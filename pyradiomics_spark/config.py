@@ -1,0 +1,96 @@
+"""Validated extraction settings.
+
+Mirrors the reference's flat settings dict with schema validation
+(defaults: /root/reference/radiomics/featureextractor.py:147-163, schema:
+/root/reference/radiomics/schemas/paramSchema.yaml) as a plain dataclass that
+is cheap to broadcast to executors.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+from typing import Optional
+
+#: Machine epsilon used by the reference in entropy-style formulas
+#: (``numpy.spacing(1)``, e.g. /root/reference/radiomics/firstorder.py:199).
+EPS = 2.220446049250313e-16
+
+ALL_FEATURE_CLASSES = ("firstorder", "glcm", "glrlm", "glszm", "ngtdm", "gldm")
+
+#: Derived "image types" — elementwise intensity transforms with global
+#: rescale semantics (reference imageoperations.py:973-1073) plus the
+#: identity ("Original").
+ALL_IMAGE_TYPES = ("original", "square", "squareroot", "logarithm", "exponential")
+
+
+@dataclass(frozen=True)
+class ExtractionSettings:
+    """Flat, validated settings broadcast to executors.
+
+    Defaults follow /root/reference/radiomics/featureextractor.py:147-163:
+    binWidth=25, label=1, distances=[1], symmetricalGLCM=True, gldm_a=0,
+    voxelArrayShift=0 (firstorder.py:37).
+    """
+
+    # --- discretization (imageoperations.py:67-174) ---
+    bin_width: float = 25.0
+    bin_count: Optional[int] = None  # when set, fixed-bin-count mode wins
+
+    # --- texture matrices ---
+    distances: tuple = (1,)            # GLCM/NGTDM/GLDM neighborhood distances
+    symmetrical_glcm: bool = True      # glcm.py:155-157
+    weighting_norm: Optional[str] = None  # None|'manhattan'|'euclidean'|'infinity'|'no_weighting'
+    gldm_a: float = 0.0                # dependence cutoff alpha (gldm.py:71)
+
+    # --- firstorder ---
+    voxel_array_shift: float = 0.0     # firstorder.py:37
+
+    # --- normalization (imageoperations.py:615-654) ---
+    normalize: bool = False
+    normalize_scale: float = 1.0
+    remove_outliers: Optional[float] = None  # n·σ clamp after z-normalize
+
+    # --- resegmentation (imageoperations.py:657-742) ---
+    resegment_range: Optional[tuple] = None
+    resegment_mode: str = "absolute"   # absolute | relative | sigma
+
+    # --- ROI validity (checkMask minimumROISize, imageoperations.py:292-310) ---
+    minimum_roi_size: int = 1
+
+    # --- enabled surface ---
+    feature_classes: tuple = ALL_FEATURE_CLASSES
+    image_types: tuple = ("original",)
+
+    # --- tokenizer / intensity derivation (our engine's "image load") ---
+    tokenizer: str = "whitespace"      # whitespace | bpe_regex
+    intensity_mode: str = "token_len"  # token_len | hash_bucket
+    intensity_buckets: int = 64        # for hash_bucket mode
+
+    def __post_init__(self):
+        if self.bin_count is not None and self.bin_count < 1:
+            raise ValueError("bin_count must be >= 1")
+        if self.bin_width <= 0:
+            raise ValueError("bin_width must be > 0")
+        if self.resegment_mode not in ("absolute", "relative", "sigma"):
+            raise ValueError(f"bad resegment_mode: {self.resegment_mode}")
+        if self.tokenizer not in ("whitespace", "bpe_regex"):
+            raise ValueError(f"bad tokenizer: {self.tokenizer}")
+        if self.intensity_mode not in ("token_len", "hash_bucket"):
+            raise ValueError(f"bad intensity_mode: {self.intensity_mode}")
+        bad = set(self.feature_classes) - set(ALL_FEATURE_CLASSES)
+        if bad:
+            raise ValueError(f"unknown feature classes: {bad}")
+        bad = set(self.image_types) - set(ALL_IMAGE_TYPES)
+        if bad:
+            raise ValueError(f"unknown image types: {bad}")
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ExtractionSettings":
+        d = dict(d)
+        for k in ("distances", "feature_classes", "image_types", "resegment_range"):
+            if k in d and d[k] is not None:
+                d[k] = tuple(d[k])
+        return cls(**d)
