@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``     — flagship: full radiomics-style feature extraction over the
+                sf0.001 ``documents`` table (93 features × image types).
+``queries``   — one entry per implemented operator (SURVEY.md §2), each
+                (spark, sf_dir) → DataFrame.
+``oracle_sql``— DuckDB-equivalent SQL per query (same column names; floats
+                rounded identically on both sides).
 """
 
 from __future__ import annotations
@@ -12,27 +13,497 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: extract the full
+    first-order + texture feature vector per document."""
+    from pyradiomics_spark.config import ExtractionSettings
+    from pyradiomics_spark.operators.features import extract_features
 
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # bin_width=1: token-length intensities are small ints (1..~15); one gray
+    # level per distinct length (the reference default 25 suits CT ranges)
+    settings = ExtractionSettings(bin_width=1.0, image_types=("original",))
+    return extract_features(docs, keys=("doc_id",), text_col="text", settings=settings)
+
+
+# --------------------------------------------------------------------------
+# helpers shared by queries
+# --------------------------------------------------------------------------
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents exploded to (doc_id, pos, tok, tok_len) — the token-intensity
+    sequence (intensity = UTF-8 byte length ≈ char length for this corpus)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+        )
+        .where(F.col("tok") != "")
+        .withColumn("tok_len", F.length("tok"))
+    )
+
+
+_TOKENS_SQL = """
+    SELECT doc_id,
+           generate_subscripts(toks, 1) - 1 AS pos,
+           unnest(toks) AS tok,
+           length(unnest(toks)) AS tok_len
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    -- empty tokens filtered in outer query
+"""
+
+
+def q_fo_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order aggregates per document (SURVEY §2.4.1 builtin subset)."""
+    t = _tokens(spark, sf_dir)
+    return t.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.min("tok_len").alias("min_len"),
+        F.max("tok_len").alias("max_len"),
+        F.sum("tok_len").alias("sum_len"),
+        F.round(F.avg("tok_len"), 6).alias("mean_len"),
+        F.sum(F.col("tok_len") * F.col("tok_len")).alias("energy"),
+        F.round(F.sqrt(F.avg(F.col("tok_len") * F.col("tok_len"))), 6).alias("rms"),
+        F.round(F.var_pop("tok_len"), 6).alias("variance"),
+    ).orderBy("doc_id")
+
+
+def q_fo_binned_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference binning (floor(x/W) − floor(min/W) + 1, W=4) as pure SQL —
+    per-doc min via window, then global histogram per (lang, level)."""
+    t = _tokens(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("doc_id")
+    lv = t.withColumn(
+        "level",
+        F.floor(F.col("tok_len") / 4) - F.floor(F.min("tok_len").over(w) / 4) + 1,
+    )
+    return (
+        lv.join(docs, "doc_id")
+        .groupBy("lang", "level")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("lang", "level")
+    )
+
+
+def q_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram entropy of token lengths per lang (two-level aggregate)."""
+    t = _tokens(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    hist = (
+        t.join(docs, "doc_id")
+        .groupBy("lang", "tok_len")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = Window.partitionBy("lang")
+    p = hist.withColumn("p", F.col("c") / F.sum("c").over(tot))
+    return (
+        p.groupBy("lang")
+        .agg(F.round(-F.sum(F.col("p") * F.log2(F.col("p"))), 6).alias("entropy"))
+        .orderBy("lang")
+    )
+
+
+def q_glcm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLCM pair counting as lag-window + groupBy (SURVEY §2.3): directed
+    co-occurrence of binned token lengths at distance 1, per lang."""
+    t = _tokens(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lv = t.withColumn("level", F.least(F.floor(F.col("tok_len") / 2) + 1, F.lit(8)))
+    pairs = lv.withColumn("next_level", F.lead("level", 1).over(w)).where(
+        F.col("next_level").isNotNull()
+    )
+    return (
+        pairs.join(docs, "doc_id")
+        .groupBy("lang", "level", "next_level")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("lang", "level", "next_level")
+    )
+
+
+def q_glrlm_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding as gaps-and-islands (SURVEY §2.4 GLRLM):
+    runs of equal binned levels per doc → (level, run_len) histogram."""
+    t = _tokens(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lv = t.withColumn("level", F.least(F.floor(F.col("tok_len") / 2) + 1, F.lit(8)))
+    flagged = lv.withColumn(
+        "chg",
+        F.when(
+            F.lag("level", 1).over(w).isNull()
+            | (F.lag("level", 1).over(w) != F.col("level")),
+            1,
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run_id", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    run_tbl = runs.groupBy("doc_id", "run_id", "level").agg(
+        F.count("*").alias("run_len")
+    )
+    return (
+        run_tbl.groupBy("level", "run_len")
+        .agg(F.count("*").alias("n_runs"))
+        .orderBy("level", "run_len")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionize (north_rule window op): 30-min gap on events;
+    per user session count + mean session length."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts", 1).over(w).isNull()
+            | (
+                F.col("ts").cast("timestamp").cast("double")
+                - F.lag("ts", 1).over(w).cast("timestamp").cast("double")
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = gap.withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead window op: per-user event value deltas (north_rule)."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    out = ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value", 1).over(w), 6).alias("delta_prev"),
+        F.round(F.lead("value", 1).over(w) - F.col("value"), 6).alias("delta_next"),
+    )
+    return out.orderBy("event_id")
+
+
+def q_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (north_rule): null out non-purchase values, then
+    last(ignoreNulls) over the past-only frame — leakage-safe by frame."""
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    masked = ev.withColumn(
+        "purchase_value",
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+    )
+    return masked.select(
+        "event_id",
+        "user_id",
+        F.round(F.last("purchase_value", ignorenulls=True).over(w), 6).alias(
+            "last_purchase_value"
+        ),
+    ).orderBy("event_id")
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time as-of join (north_rule core): for each purchase event,
+    the latest signup event of the same user with ts <= purchase ts."""
+    from pyradiomics_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        F.col("user_id"), F.col("ts").alias("signup_ts"),
+        F.col("value").alias("signup_value"),
+    )
+    joined = asof_join(
+        purchases, signups, on="user_id", left_ts="ts", right_ts="signup_ts"
+    )
+    return joined.select(
+        "event_id", "user_id",
+        F.col("signup_ts"),
+        F.round("signup_value", 6).alias("signup_value"),
+    ).orderBy("event_id")
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-agg with pushdown (SURVEY §2.2/§2.4)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join + agg + top-k (SURVEY §2.3/§2.6)."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+        F.count("*").alias("n_orders"),
+    )
+    return (
+        spend.join(F.broadcast(cust), spend.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "total_spend", "n_orders")
+        .orderBy(F.desc("total_spend"), "c_custkey")
+        .limit(10)
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash (training-data op): keep min doc_id per
+    distinct text; report survivors count per lang."""
+    docs = _read(spark, sf_dir, "documents")
+    keep = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        keep.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_unique_docs"))
+        .orderBy("lang")
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring: stopword ratio, mean token length, token count
+    per doc (training-data op), all JVM-side expressions."""
+    t = _tokens(spark, sf_dir)
+    stop = ["the", "a", "of", "and", "to", "in", "is", "it"]
+    return (
+        t.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("tok_len"), 6).alias("mean_tok_len"),
+            F.round(
+                F.avg(F.when(F.col("tok").isin(stop), 1.0).otherwise(0.0)), 6
+            ).alias("stopword_ratio"),
+            F.count_distinct("tok").alias("n_distinct_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# contract
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "fo_doc_stats": q_fo_doc_stats,
+        "fo_binned_hist": q_fo_binned_hist,
+        "entropy_by_lang": q_entropy_by_lang,
+        "glcm_pairs": q_glcm_pairs,
+        "glrlm_runs": q_glrlm_runs,
+        "sessionize": q_sessionize,
+        "lag_lead": q_lag_lead,
+        "ffill": q_ffill,
+        "asof_join": q_asof_join,
+        "tpch_q1": q_tpch_q1,
+        "top_customers": q_top_customers,
+        "dedup_exact": q_dedup_exact,
+        "text_quality": q_text_quality,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tokens = (
+        "SELECT doc_id, pos, tok, length(tok) AS tok_len FROM ("
+        " SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS tok"
+        " FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"
+        ") WHERE tok <> ''"
+    )
+    return {
+        "fo_doc_stats": f"""
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   min(tok_len) AS min_len,
+                   max(tok_len) AS max_len,
+                   sum(tok_len) AS sum_len,
+                   round(avg(tok_len), 6) AS mean_len,
+                   sum(tok_len * tok_len) AS energy,
+                   round(sqrt(avg(tok_len * tok_len)), 6) AS rms,
+                   round(var_pop(tok_len), 6) AS variance
+            FROM ({tokens}) GROUP BY doc_id ORDER BY doc_id
+        """,
+        "fo_binned_hist": f"""
+            WITH lv AS (
+              SELECT t.doc_id,
+                     floor(tok_len / 4) - floor(min(tok_len) OVER (PARTITION BY t.doc_id) / 4) + 1 AS level
+              FROM ({tokens}) t
+            )
+            SELECT d.lang, lv.level, count(*) AS cnt
+            FROM lv JOIN documents d ON lv.doc_id = d.doc_id
+            GROUP BY d.lang, lv.level ORDER BY d.lang, lv.level
+        """,
+        "entropy_by_lang": f"""
+            WITH hist AS (
+              SELECT d.lang, t.tok_len, count(*) AS c
+              FROM ({tokens}) t JOIN documents d ON t.doc_id = d.doc_id
+              GROUP BY d.lang, t.tok_len
+            ), p AS (
+              SELECT lang, c / sum(c) OVER (PARTITION BY lang) AS p FROM hist
+            )
+            SELECT lang, round(-sum(p * log2(p)), 6) AS entropy
+            FROM p GROUP BY lang ORDER BY lang
+        """,
+        "glcm_pairs": f"""
+            WITH lv AS (
+              SELECT doc_id, pos, least(floor(tok_len / 2) + 1, 8) AS level
+              FROM ({tokens})
+            ), pairs AS (
+              SELECT doc_id, level,
+                     lead(level, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS next_level
+              FROM lv
+            )
+            SELECT d.lang, p.level, p.next_level, count(*) AS cnt
+            FROM pairs p JOIN documents d ON p.doc_id = d.doc_id
+            WHERE p.next_level IS NOT NULL
+            GROUP BY d.lang, p.level, p.next_level
+            ORDER BY d.lang, p.level, p.next_level
+        """,
+        "glrlm_runs": f"""
+            WITH lv AS (
+              SELECT doc_id, pos, least(floor(tok_len / 2) + 1, 8) AS level
+              FROM ({tokens})
+            ), flagged AS (
+              SELECT doc_id, pos, level,
+                     CASE WHEN lag(level, 1) OVER w IS NULL
+                               OR lag(level, 1) OVER w <> level
+                          THEN 1 ELSE 0 END AS chg
+              FROM lv WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), runs AS (
+              SELECT doc_id, level,
+                     sum(chg) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS run_id
+              FROM flagged
+            ), run_tbl AS (
+              SELECT doc_id, run_id, level, count(*) AS run_len
+              FROM runs GROUP BY doc_id, run_id, level
+            )
+            SELECT level, run_len, count(*) AS n_runs
+            FROM run_tbl GROUP BY level, run_len ORDER BY level, run_len
+        """,
+        "sessionize": """
+            WITH gaps AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+              SELECT user_id,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM gaps
+            ), per_sess AS (
+              SELECT user_id, session_id, count(*) AS n_events
+              FROM sess GROUP BY user_id, session_id
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   round(avg(n_events), 6) AS avg_events_per_session,
+                   max(n_events) AS max_session_events
+            FROM per_sess GROUP BY user_id ORDER BY user_id
+        """,
+        "lag_lead": """
+            SELECT event_id, user_id,
+                   round(value - lag(value) OVER w, 6) AS delta_prev,
+                   round(lead(value) OVER w - value, 6) AS delta_next
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id
+        """,
+        "ffill": """
+            SELECT event_id, user_id,
+                   round(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING), 6) AS last_purchase_value
+            FROM events ORDER BY event_id
+        """,
+        "asof_join": """
+            WITH purchases AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+            ), signups AS (
+              SELECT user_id, ts AS signup_ts, value AS signup_value
+              FROM events WHERE event_type = 'signup'
+            )
+            SELECT p.event_id, p.user_id, s.signup_ts,
+                   round(s.signup_value, 6) AS signup_value
+            FROM purchases p
+            ASOF LEFT JOIN signups s
+              ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+            ORDER BY p.event_id
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            WITH spend AS (
+              SELECT o_custkey, round(sum(o_totalprice), 4) AS total_spend,
+                     count(*) AS n_orders
+              FROM orders GROUP BY o_custkey
+            )
+            SELECT c_custkey, c_name, total_spend, n_orders
+            FROM spend JOIN customer ON o_custkey = c_custkey
+            ORDER BY total_spend DESC, c_custkey LIMIT 10
+        """,
+        "dedup_exact": """
+            WITH keep AS (
+              SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text
+            )
+            SELECT d.lang, count(*) AS n_unique_docs
+            FROM keep k JOIN documents d ON k.doc_id = d.doc_id
+            GROUP BY d.lang ORDER BY d.lang
+        """,
+        "text_quality": f"""
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(tok_len), 6) AS mean_tok_len,
+                   round(avg(CASE WHEN tok IN ('the','a','of','and','to','in','is','it')
+                                  THEN 1.0 ELSE 0.0 END), 6) AS stopword_ratio,
+                   count(DISTINCT tok) AS n_distinct_tokens
+            FROM ({tokens}) GROUP BY doc_id ORDER BY doc_id
+        """,
+    }

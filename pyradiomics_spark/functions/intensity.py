@@ -1,0 +1,111 @@
+"""Derived "image type" transforms + normalization on intensity arrays.
+
+Exact semantics of the reference's globally-rescaled elementwise filters
+(/root/reference/radiomics/imageoperations.py:973-1091) and z-normalization
+with outlier clamp (imageoperations.py:615-654), on 1-D numpy arrays.
+Applied to the WHOLE sequence (the reference transforms the whole image
+before ROI masking), using the global max(|x|).
+
+The gradient analog is the 1-D central-difference magnitude (the spirit of
+GradientMagnitudeImageFilter with unit spacing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def square_transform(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x, dtype=np.float64)
+    m = np.max(np.abs(x)) if x.size else 0.0
+    if m == 0:
+        return x.copy()
+    coeff = 1.0 / np.sqrt(m)
+    return (coeff * x) ** 2
+
+
+def squareroot_transform(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x, dtype=np.float64).copy()
+    m = np.max(np.abs(x)) if x.size else 0.0
+    pos = x > 0
+    neg = x < 0
+    x[pos] = np.sqrt(x[pos] * m)
+    x[neg] = -np.sqrt(-x[neg] * m)
+    return x
+
+
+def logarithm_transform(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x, dtype=np.float64).copy()
+    m = np.max(np.abs(x)) if x.size else 0.0
+    pos = x > 0
+    neg = x < 0
+    x[pos] = np.log(x[pos] + 1)
+    x[neg] = -np.log(-(x[neg] - 1))
+    out_max = np.max(np.abs(x)) if x.size else 0.0
+    if out_max != 0:
+        x = x * (m / out_max)
+    return x
+
+
+def exponential_transform(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x, dtype=np.float64)
+    m = np.max(np.abs(x)) if x.size else 0.0
+    if m == 0:
+        return np.ones_like(x)
+    coeff = np.log(m) / m
+    return np.exp(coeff * x)
+
+
+def gradient_transform(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x, dtype=np.float64)
+    if x.size < 2:
+        return np.zeros_like(x)
+    return np.abs(np.gradient(x))
+
+
+IMAGE_TRANSFORMS = {
+    "original": lambda x: np.asarray(x, dtype=np.float64),
+    "square": square_transform,
+    "squareroot": squareroot_transform,
+    "logarithm": logarithm_transform,
+    "exponential": exponential_transform,
+    "gradient": gradient_transform,
+}
+
+
+def normalize(x: np.ndarray, scale: float = 1.0, remove_outliers: float | None = None) -> np.ndarray:
+    """Z-score normalize ×scale, then optional ±nσ clamp (in normalized
+    units ×scale), per imageoperations.py:615-654."""
+    x = np.asarray(x, dtype=np.float64)
+    sigma = x.std()
+    mean = x.mean()
+    if sigma == 0:
+        out = np.zeros_like(x)
+    else:
+        out = (x - mean) / sigma
+    out = out * scale
+    if remove_outliers is not None:
+        bound = remove_outliers * scale
+        out = np.clip(out, -bound, bound)
+    return out
+
+
+def resegment_bounds(
+    roi_values: np.ndarray, rng: tuple, mode: str = "absolute"
+) -> tuple:
+    """Threshold bounds for intensity resegmentation
+    (imageoperations.py:695-711): absolute = literal; relative = ×max;
+    sigma = mean ± n·σ."""
+    lo, hi = (rng[0], rng[1]) if len(rng) == 2 else (rng[0], None)
+    if mode == "absolute":
+        return lo, hi
+    if mode == "relative":
+        m = float(np.max(roi_values))
+        return (lo * m if lo is not None else None,
+                hi * m if hi is not None else None)
+    if mode == "sigma":
+        mean = float(np.mean(roi_values))
+        sd = float(np.std(roi_values))
+        return (mean + lo * sd if lo is not None else None,
+                mean + hi * sd if hi is not None else None)
+    raise ValueError(f"bad resegment mode {mode}")

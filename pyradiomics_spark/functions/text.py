@@ -1,0 +1,117 @@
+"""Deterministic HTML→text extraction + tokenization + intensity derivation.
+
+The extraction is the analog of the reference's image loader
+(/root/reference/radiomics/featureextractor.py:431-442): it turns the raw
+stored representation (html binary) into the dense numeric array the kernels
+consume. The north-rule invariant is **byte-identical extracted text per
+url** across executors and runs — hence pure-regex, locale-free, library-free
+extraction with documented normalization rules:
+
+1. drop <script>/<style>/<noscript> blocks and HTML comments;
+2. replace all remaining tags with a single space;
+3. decode the named entities &amp; &lt; &gt; &quot; &#39; &nbsp; and
+   numeric entities &#NNN; / &#xHH;
+4. collapse all whitespace runs to one space; strip ends.
+
+Tokenization: ``whitespace`` (split on the normalized single spaces) or
+``bpe_regex`` (GPT-2-style coarse pre-tokenizer: words / numbers /
+punctuation runs). Intensity: UTF-8 byte length of the token (default) or a
+stable hash bucket (md5-based so any engine can reproduce it).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+_SCRIPT_RE = re.compile(
+    r"<(script|style|noscript)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL
+)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+_NUM_ENT_RE = re.compile(r"&#(x[0-9a-fA-F]+|[0-9]+);")
+_NAMED_ENTITIES = {
+    "&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"',
+    "&#39;": "'", "&apos;": "'", "&nbsp;": " ",
+}
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+")
+
+
+def _decode_entities(s: str) -> str:
+    for k, v in _NAMED_ENTITIES.items():
+        s = s.replace(k, v)
+
+    def _num(m: re.Match) -> str:
+        body = m.group(1)
+        try:
+            cp = int(body[1:], 16) if body[0] in "xX" else int(body)
+            if 0 < cp < 0x110000:
+                return chr(cp)
+        except ValueError:
+            pass
+        return m.group(0)
+
+    return _NUM_ENT_RE.sub(_num, s)
+
+
+def extract_text(html: bytes | str) -> str:
+    """Deterministic HTML→text (single value). Byte-identical per input."""
+    if isinstance(html, (bytes, bytearray)):
+        s = bytes(html).decode("utf-8", errors="replace")
+    else:
+        s = html or ""
+    s = _SCRIPT_RE.sub(" ", s)
+    s = _COMMENT_RE.sub(" ", s)
+    s = _TAG_RE.sub(" ", s)
+    s = _decode_entities(s)
+    return _WS_RE.sub(" ", s).strip()
+
+
+def extract_text_series(html: pd.Series) -> pd.Series:
+    """Arrow-batched Series→Series extraction (pandas UDF body)."""
+    return html.map(extract_text)
+
+
+def tokenize(text: str, tokenizer: str = "whitespace") -> list:
+    if not text:
+        return []
+    if tokenizer == "whitespace":
+        return text.split()
+    if tokenizer == "bpe_regex":
+        return _BPE_RE.findall(text)
+    raise ValueError(f"unknown tokenizer {tokenizer}")
+
+
+def token_intensity(
+    tokens: list,
+    mode: str = "token_len",
+    buckets: int = 64,
+) -> np.ndarray:
+    """1-D integer intensity sequence — the 'gray-level image' of a document.
+
+    token_len: UTF-8 byte length (deterministic, engine-agnostic).
+    hash_bucket: first 8 hex chars of md5 mod buckets, +1 (1-based), md5 so
+    DuckDB/any SQL engine can reproduce it for oracle checks.
+    """
+    if mode == "token_len":
+        return np.array([len(t.encode("utf-8")) for t in tokens], dtype=np.int64)
+    if mode == "hash_bucket":
+        return np.array(
+            [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % buckets + 1
+             for t in tokens],
+            dtype=np.int64,
+        )
+    raise ValueError(f"unknown intensity mode {mode}")
+
+
+def text_to_intensity(
+    text: str,
+    tokenizer: str = "whitespace",
+    mode: str = "token_len",
+    buckets: int = 64,
+) -> np.ndarray:
+    return token_intensity(tokenize(text, tokenizer), mode, buckets)

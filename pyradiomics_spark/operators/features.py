@@ -1,0 +1,196 @@
+"""Feature-extraction operator: the Spark analog of
+``RadiomicsFeatureExtractor.execute`` (/root/reference/radiomics/featureextractor.py:241-396).
+
+Execution model
+---------------
+One input row = one case (url × warc_ts × its text). Because the full token
+sequence lives in a single row, per-document extraction needs **no shuffle at
+all**: ``mapInPandas`` streams Arrow batches through the numpy kernels —
+embarrassingly parallel, scan-local, the plan is a single
+WholeStageCodegen(scan) → ArrowEvalPython stage. The reference's
+1-case-per-process Pool (scripts/__init__.py:393-416) maps to Spark task
+parallelism over parquet splits.
+
+Pipeline per case (order mirrors featureextractor.execute):
+normalize → (resegment mask from original intensities) → per image type:
+transform → per feature class: discretize → kernel features.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from pyradiomics_spark.config import ExtractionSettings
+from pyradiomics_spark.functions.intensity import (
+    IMAGE_TRANSFORMS,
+    normalize,
+    resegment_bounds,
+)
+from pyradiomics_spark.functions.text import text_to_intensity
+from pyradiomics_spark.kernels import (
+    discretize,
+    firstorder_features,
+    glcm_features,
+    gldm_features,
+    glrlm_features,
+    glszm_features,
+    ngtdm_features,
+)
+from pyradiomics_spark.kernels.firstorder import FIRSTORDER_FEATURES
+from pyradiomics_spark.kernels.glcm import GLCM_FEATURES
+from pyradiomics_spark.kernels.gldm import GLDM_FEATURES
+from pyradiomics_spark.kernels.glrlm import GLRLM_FEATURES
+from pyradiomics_spark.kernels.glszm import GLSZM_FEATURES
+from pyradiomics_spark.kernels.ngtdm import NGTDM_FEATURES
+
+CLASS_FEATURES = {
+    "firstorder": FIRSTORDER_FEATURES,
+    "glcm": GLCM_FEATURES,
+    "glrlm": GLRLM_FEATURES,
+    "glszm": GLSZM_FEATURES,
+    "ngtdm": NGTDM_FEATURES,
+    "gldm": GLDM_FEATURES,
+}
+
+
+def feature_columns(settings: ExtractionSettings) -> list:
+    cols = []
+    for cls in settings.feature_classes:
+        for f in CLASS_FEATURES[cls]:
+            cols.append(f"{cls}_{f}")
+    return cols
+
+
+def _extract_one(values: np.ndarray, settings: ExtractionSettings) -> dict:
+    """All enabled features for one case. Returns {col: float} + diagnostics."""
+    out: dict = {}
+    np_total = int(values.size)
+    out["diag_n_tokens"] = np_total
+
+    if settings.normalize and np_total:
+        values = normalize(values, settings.normalize_scale, settings.remove_outliers)
+
+    # resegmentation: validity mask from ORIGINAL (post-normalize) intensities
+    valid = np.ones(np_total, dtype=bool)
+    if settings.resegment_range is not None and np_total:
+        lo, hi = resegment_bounds(values, settings.resegment_range, settings.resegment_mode)
+        if lo is not None:
+            valid &= values >= lo
+        if hi is not None:
+            valid &= values <= hi
+    out["diag_n_valid"] = int(valid.sum())
+
+    fcols = feature_columns(settings)
+    if out["diag_n_valid"] < max(settings.minimum_roi_size, 1):
+        # reference raises on too-small ROI (imageoperations.py:292-310);
+        # in a batch engine we emit NaN + keep the diagnostic
+        for it in settings.image_types:
+            for c in fcols:
+                out[f"{it}:{c}"] = float("nan")
+        return out
+
+    for it in settings.image_types:
+        img = IMAGE_TRANSFORMS[it](values)
+        roi = img[valid]
+        levels = discretize(roi, settings.bin_width, settings.bin_count)
+        # kernels see the compacted ROI sequence; masked positions already
+        # removed — adjacency breaks are preserved by re-inserting gaps
+        lv_full = np.zeros(np_total, dtype=np.int64)
+        lv_full[valid] = levels
+        vmask = valid
+
+        for cls in settings.feature_classes:
+            try:
+                if cls == "firstorder":
+                    feats = firstorder_features(
+                        roi, settings.bin_width, settings.bin_count,
+                        settings.voxel_array_shift, discretized=levels)
+                elif cls == "glcm":
+                    feats = glcm_features(
+                        lv_full, settings.distances, settings.symmetrical_glcm,
+                        settings.weighting_norm, vmask)
+                elif cls == "glrlm":
+                    feats = glrlm_features(lv_full, vmask)
+                elif cls == "glszm":
+                    feats = glszm_features(lv_full, vmask)
+                elif cls == "ngtdm":
+                    feats = ngtdm_features(lv_full, settings.distances, vmask)
+                elif cls == "gldm":
+                    feats = gldm_features(
+                        lv_full, settings.distances, settings.gldm_a, vmask)
+                else:  # pragma: no cover
+                    continue
+            except Exception:
+                # per-feature-class failure → NaN row segment (base.py:271-273)
+                feats = {f: float("nan") for f in CLASS_FEATURES[cls]}
+            for f, v in feats.items():
+                out[f"{it}:{cls}_{f}"] = float(v)
+    return out
+
+
+def extraction_schema(df: DataFrame, keys: Iterable, settings: ExtractionSettings) -> str:
+    key_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    parts = [f"`{k}` {key_fields[k]}" for k in keys]
+    parts += ["image_type string", "diag_n_tokens int", "diag_n_valid int"]
+    parts += [f"`{c}` double" for c in feature_columns(settings)]
+    return ", ".join(parts)
+
+
+def extract_features(
+    df: DataFrame,
+    keys: tuple = ("url", "warc_ts"),
+    text_col: str = "text",
+    settings: ExtractionSettings | None = None,
+) -> DataFrame:
+    """Wide feature table: one output row per input row per image type.
+
+    Shuffle-free: pure mapInPandas over the scan. Column pruning matters —
+    we select only keys + text before the Arrow boundary.
+    """
+    if settings is None:
+        settings = ExtractionSettings()
+    keys = tuple(keys)
+    cols = list(keys) + [text_col]
+    src = df.select(*cols)
+    schema = extraction_schema(df, keys, settings)
+    fcols = feature_columns(settings)
+    image_types = settings.image_types
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for tup in pdf.itertuples(index=False):
+                keyvals = tup[: len(keys)]
+                text = tup[len(keys)]
+                vals = text_to_intensity(
+                    text or "", settings.tokenizer,
+                    settings.intensity_mode, settings.intensity_buckets,
+                ).astype(np.float64)
+                feats = _extract_one(vals, settings)
+                for it in image_types:
+                    row = list(keyvals) + [
+                        it, feats["diag_n_tokens"], feats["diag_n_valid"]]
+                    row += [feats.get(f"{it}:{c}", float("nan")) for c in fcols]
+                    rows.append(row)
+            out_cols = (
+                list(keys) + ["image_type", "diag_n_tokens", "diag_n_valid"] + fcols
+            )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return src.mapInPandas(run, schema=schema)
+
+
+def melt_features(wide: DataFrame, keys: tuple = ("url", "warc_ts")) -> DataFrame:
+    """Wide → long (key..., image_type, feature_name, value) via builtin
+    ``stack`` — stays JVM-side, no UDF."""
+    fcols = [c for c in wide.columns
+             if c not in keys and c not in ("image_type", "diag_n_tokens", "diag_n_valid")]
+    n = len(fcols)
+    pairs = ", ".join(f"'{c}', `{c}`" for c in fcols)
+    expr = f"stack({n}, {pairs}) as (feature_name, value)"
+    return wide.selectExpr(*[f"`{k}`" for k in keys], "image_type", expr)

@@ -1,0 +1,121 @@
+"""As-of join semantics: hand-built timelines with ties, no-match-before-first
+rows, and the zero-leakage property (FIXTURES.md ts_asof / ts_leak cases)."""
+
+import pandas as pd
+import pytest
+
+from pyradiomics_spark.operators.asof import asof_join, asof_join_merge
+
+
+def _ts(s):
+    return pd.Timestamp(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = pd.DataFrame({
+        "ent": ["a", "a", "a", "b", "b", "c"],
+        "ts": [_ts("2024-01-01 10:00"), _ts("2024-01-01 12:00"),
+               _ts("2024-01-02 00:00"), _ts("2024-01-01 09:00"),
+               _ts("2024-01-01 11:00"), _ts("2024-01-05 00:00")],
+        "lval": [1, 2, 3, 4, 5, 6],
+    })
+    right = pd.DataFrame({
+        "ent": ["a", "a", "b", "d"],
+        "rts": [_ts("2024-01-01 10:00"),  # exact tie with left a@10:00
+                _ts("2024-01-01 13:00"),
+                _ts("2024-01-01 10:00"),
+                _ts("2024-01-01 00:00")],
+        "rval": [10.0, 20.0, 30.0, 99.0],
+    })
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    return left, right, ldf, rdf
+
+
+EXPECT = {
+    # (ent, lval) -> rval with allow_exact_matches=True
+    ("a", 1): 10.0,   # exact tie matches
+    ("a", 2): 10.0,
+    ("a", 3): 20.0,
+    ("b", 4): None,   # before first right row → no match
+    ("b", 5): 30.0,
+    ("c", 6): None,   # entity absent on right
+}
+
+
+@pytest.mark.parametrize("impl", [asof_join, asof_join_merge])
+def test_asof_backward_with_ties(frames, impl):
+    left, right, ldf, rdf = frames
+    out = impl(ldf, rdf, on="ent", left_ts="ts", right_ts="rts").toPandas()
+    assert len(out) == len(left)  # left join: all rows preserved
+    got = {(r["ent"], r["lval"]): (None if pd.isna(r["rval"]) else r["rval"])
+           for _, r in out.iterrows()}
+    assert got == EXPECT
+
+
+@pytest.mark.parametrize("impl", [asof_join, asof_join_merge])
+def test_asof_no_exact_matches(frames, impl):
+    left, right, ldf, rdf = frames
+    out = impl(ldf, rdf, on="ent", left_ts="ts", right_ts="rts",
+               allow_exact_matches=False).toPandas()
+    got = {(r["ent"], r["lval"]): (None if pd.isna(r["rval"]) else r["rval"])
+           for _, r in out.iterrows()}
+    # exact tie at a@10:00 now excluded → no match for lval=1
+    assert got[("a", 1)] is None
+    assert got[("a", 2)] == 10.0  # strictly-before still matches
+
+
+def test_asof_matches_pandas_merge_asof(spark, rng):
+    n_l, n_r = 300, 120
+    left = pd.DataFrame({
+        "ent": rng.choice(["x", "y", "z"], n_l),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n_l), unit="s"),
+        "lval": rng.normal(size=n_l),
+    })
+    right = pd.DataFrame({
+        "ent": rng.choice(["x", "y", "z"], n_r),
+        "rts": pd.to_datetime(rng.integers(0, 10**6, n_r), unit="s"),
+        "rval": rng.normal(size=n_r),
+    })
+    expected = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("rts"),
+        left_on="ts", right_on="rts", by="ent", direction="backward")
+    out = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="ent", left_ts="ts", right_ts="rts",
+    ).toPandas()
+    key = ["ent", "ts", "lval"]
+    a = expected.sort_values(key).reset_index(drop=True)
+    b = out.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        a["rval"].reset_index(drop=True), b["rval"].reset_index(drop=True),
+        check_names=False)
+
+
+def test_asof_zero_leakage(frames, spark):
+    """Perturb FUTURE right rows → outputs at earlier cuts unchanged."""
+    left, right, ldf, rdf = frames
+    base = asof_join(ldf, rdf, on="ent", left_ts="ts", right_ts="rts").toPandas()
+    fut = right.copy()
+    # add a future right row per entity (after all left ts)
+    extra = pd.DataFrame({
+        "ent": ["a", "b", "c"],
+        "rts": [_ts("2030-01-01")] * 3,
+        "rval": [-1.0, -2.0, -3.0],
+    })
+    rdf2 = spark.createDataFrame(pd.concat([fut, extra], ignore_index=True))
+    pert = asof_join(ldf, rdf2, on="ent", left_ts="ts", right_ts="rts").toPandas()
+    key = ["ent", "lval"]
+    a = base.sort_values(key).reset_index(drop=True)
+    b = pert.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_asof_plan_single_shuffle(frames):
+    _, _, ldf, rdf = frames
+    out = asof_join(ldf, rdf, on="ent", left_ts="ts", right_ts="rts")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # union + one window partitioning: exactly one Exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "ArrowEvalPython" not in plan  # fully JVM-side

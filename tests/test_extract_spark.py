@@ -1,0 +1,75 @@
+"""End-to-end extraction over Spark: mapInPandas kernel vs driver-side
+direct kernel calls on the same synthetic pages (golden cross-check)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyradiomics_spark.config import ExtractionSettings
+from pyradiomics_spark.functions.text import text_to_intensity
+from pyradiomics_spark.kernels import discretize, firstorder_features, glcm_features
+from pyradiomics_spark.operators.features import (
+    extract_features, melt_features, _extract_one, feature_columns)
+from pyradiomics_spark.sources.pages import pages_pdf, pages_df, PAGES_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return spark.createDataFrame(pages_pdf(12), schema=PAGES_SCHEMA).cache()
+
+
+def test_extract_matches_local_kernels(spark, pages):
+    out = extract_features(pages, settings=ExtractionSettings()).toPandas()
+    src = pages_pdf(12)
+    assert len(out) == len(src)  # one image type
+    merged = src.merge(out, on=["url", "warc_ts"], how="inner")
+    assert len(merged) == len(src)
+    s = ExtractionSettings()
+    for _, r in merged.head(20).iterrows():
+        vals = text_to_intensity(r["text"]).astype(float)
+        fo = firstorder_features(vals, s.bin_width)
+        assert r["firstorder_Mean"] == pytest.approx(fo["Mean"])
+        assert r["firstorder_Entropy"] == pytest.approx(fo["Entropy"])
+        gl = glcm_features(discretize(vals, 25))
+        assert r["glcm_Contrast"] == pytest.approx(gl["Contrast"])
+        assert r["glcm_MCC"] == pytest.approx(gl["MCC"])
+
+
+def test_extract_multiple_image_types(spark, pages):
+    s = ExtractionSettings(image_types=("original", "square", "logarithm"))
+    out = extract_features(pages, settings=s)
+    cnt = out.groupBy("image_type").count().toPandas()
+    assert set(cnt["image_type"]) == {"original", "square", "logarithm"}
+    assert cnt["count"].nunique() == 1
+
+
+def test_extract_empty_text_yields_nan(spark):
+    pdf = pd.DataFrame({
+        "url": ["u1"], "warc_ts": [pd.Timestamp("2024-01-01")],
+        "html": [b""], "text": [""], "lang": ["en"]})
+    df = spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
+    out = extract_features(df).toPandas()
+    assert out["diag_n_tokens"].iloc[0] == 0
+    assert np.isnan(out["firstorder_Mean"].iloc[0])
+
+
+def test_melt_features(spark, pages):
+    wide = extract_features(pages.limit(2))
+    long = melt_features(wide).toPandas()
+    ncols = len(feature_columns(ExtractionSettings()))
+    assert len(long) == 2 * ncols
+    assert set(long.columns) == {"url", "warc_ts", "image_type", "feature_name", "value"}
+
+
+def test_distributed_pages_generator(spark):
+    df = pages_df(spark, n_urls=30, partitions=4)
+    pdf = df.toPandas().sort_values(["url", "warc_ts"]).reset_index(drop=True)
+    loc = pages_pdf(30).sort_values(["url", "warc_ts"]).reset_index(drop=True)
+    assert len(pdf) == len(loc)
+    assert (pdf["text"] == loc["text"]).all()
+
+
+def test_extraction_plan_is_shuffle_free(spark, pages):
+    out = extract_features(pages)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle for per-doc extraction

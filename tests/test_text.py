@@ -1,0 +1,80 @@
+import numpy as np
+
+from pyradiomics_spark.functions.text import (
+    extract_text, tokenize, token_intensity, text_to_intensity)
+from pyradiomics_spark.functions.intensity import (
+    square_transform, squareroot_transform, logarithm_transform,
+    exponential_transform, normalize, resegment_bounds)
+from pyradiomics_spark.sources.pages import pages_pdf, page_rows
+
+
+def test_extract_text_strips_and_decodes():
+    html = (b"<html><head><style>p{}</style><script>var a='<x>';</script></head>"
+            b"<body><!-- c --><p>Hello &amp; world &#233; &#x41;</p></body></html>")
+    assert extract_text(html) == "Hello & world \xe9 A"
+
+
+def test_extract_text_deterministic_bytes():
+    html = "<p>café &nbsp; straße</p>".encode("utf-8")
+    t1 = extract_text(html)
+    t2 = extract_text(html)
+    assert t1.encode("utf-8") == t2.encode("utf-8")
+    assert t1 == "café straße"
+
+
+def test_tokenize_modes():
+    assert tokenize("a bb ccc") == ["a", "bb", "ccc"]
+    assert tokenize("ab12,cd", "bpe_regex") == ["ab", "12", ",", "cd"]
+
+
+def test_token_intensity():
+    np.testing.assert_array_equal(
+        token_intensity(["a", "bb", "café"]), [1, 2, 5])
+    h = token_intensity(["x", "y"], mode="hash_bucket", buckets=8)
+    assert all(1 <= v <= 8 for v in h)
+
+
+def test_pages_text_matches_extraction():
+    pdf = pages_pdf(5)
+    for _, r in pdf.iterrows():
+        assert extract_text(r["html"]) == r["text"]
+
+
+def test_pages_deterministic_and_skewed():
+    a = page_rows(range(20))
+    b = page_rows(range(20))
+    assert a.equals(b)
+    assert a["warc_ts"].is_monotonic_increasing is False  # irregular per url
+    assert set(a["lang"]) <= {"en", "de", "fr", "nl", "zz"}
+
+
+def test_square_transform_matches_reference_semantics():
+    x = np.array([1.0, 4.0, 9.0])
+    out = square_transform(x)
+    np.testing.assert_allclose(out, (x / np.sqrt(9)) ** 2)
+    assert out.max() == 9.0  # global max preserved
+
+
+def test_sqrt_log_exp_preserve_max():
+    x = np.array([1.0, 4.0, 16.0])
+    np.testing.assert_allclose(squareroot_transform(x), np.sqrt(x * 16))
+    lg = logarithm_transform(x)
+    assert lg.max() == 16.0
+    ex = exponential_transform(x)
+    np.testing.assert_allclose(ex.max(), 16.0)
+
+
+def test_normalize_and_clamp():
+    x = np.array([0.0, 1.0, 2.0, 100.0])
+    z = normalize(x, scale=1.0, remove_outliers=1.0)
+    assert z.max() <= 1.0 and z.min() >= -1.0
+    flat = normalize(np.ones(5))
+    np.testing.assert_array_equal(flat, np.zeros(5))
+
+
+def test_resegment_modes():
+    v = np.array([0.0, 10.0])
+    assert resegment_bounds(v, (2, 8), "absolute") == (2, 8)
+    assert resegment_bounds(v, (0.1, 0.9), "relative") == (1.0, 9.0)
+    lo, hi = resegment_bounds(v, (-1, 1), "sigma")
+    np.testing.assert_allclose([lo, hi], [0.0, 10.0])
