@@ -1,0 +1,85 @@
+"""Explicit skew controls: deterministic salting for hot entity keys
+(SURVEY.md §4 "What needs custom Spark machinery" item 2).
+
+Host-keyed web corpora are power-law distributed (a few giant hosts), so a
+plain ``groupBy(host)``/as-of shuffle puts whole hot hosts on one task. The
+controls here:
+
+* ``skew_stats``    — per-key row counts + skew factor (driver decision input)
+* ``with_salt``     — deterministic salt column ``pmod(xxhash64(key, ts), S)``
+* ``salted_asof_join`` — as-of join where the LEFT side is split S ways and
+  the RIGHT timeline is replicated into every salt bucket (correct because
+  every bucket needs the full right timeline; right side is the smaller
+  snapshot table by assumption)
+
+AQE skew-join splitting (enabled in session defaults) handles residual skew
+in plain joins; salting is for the window/cogroup shuffles AQE can't split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT = "__salt"
+
+
+def _keys(on) -> list:
+    return [on] if isinstance(on, str) else list(on)
+
+
+def skew_stats(df: DataFrame, on) -> DataFrame:
+    """Per-key counts + global skew factor (max/avg) — one aggregation."""
+    keys = _keys(on)
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n"))
+    return counts.agg(
+        F.count("*").alias("n_keys"),
+        F.max("n").alias("max_rows"),
+        F.avg("n").alias("avg_rows"),
+        (F.max("n") / F.avg("n")).alias("skew_factor"),
+    )
+
+
+def with_salt(df: DataFrame, on, buckets: int, extra_col: str | None = None) -> DataFrame:
+    """Deterministic salt in [0, buckets): hash of key cols + a spreading
+    column (e.g. the timestamp) so one key's rows fan out over buckets."""
+    keys = _keys(on)
+    cols = [F.col(c) for c in keys]
+    if extra_col is not None:
+        cols.append(F.col(extra_col).cast("string"))
+    return df.withColumn(SALT, F.pmod(F.xxhash64(*cols), F.lit(buckets)))
+
+
+def salted_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    left_ts: str,
+    right_ts: str,
+    buckets: int = 8,
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """As-of join with the left side salted S ways per key.
+
+    Left rows get ``salt = pmod(xxhash64(key, left_ts), S)``; the right
+    timeline is replicated to all S buckets (explode over a salt literal
+    array), so each (key, salt) partition contains the FULL right history —
+    the merge is then embarrassingly parallel across buckets and a hot key's
+    left rows split across S tasks.
+    """
+    from pyradiomics_spark.operators.asof import asof_join
+
+    keys = _keys(on)
+    l_salted = with_salt(left, keys, buckets, extra_col=left_ts)
+    r_replicated = right.withColumn(
+        SALT, F.explode(F.array([F.lit(i) for i in range(buckets)]))
+    )
+    out = asof_join(
+        l_salted,
+        r_replicated,
+        on=keys + [SALT],
+        left_ts=left_ts,
+        right_ts=right_ts,
+        allow_exact_matches=allow_exact_matches,
+    )
+    return out.drop(SALT)

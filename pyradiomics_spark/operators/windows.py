@@ -1,0 +1,166 @@
+"""Windowed temporal operators (north_rule): lag/lead, forward/backward fill,
+gap sessionize, rolling (voxel-mode analog) features.
+
+All pure DataFrame window functions (SURVEY.md §2.5) — JVM-side, one shuffle
+on the entity key, whole-stage codegen. Leakage discipline: every "past"
+operator uses frames ending at the current row; ``bfill`` is the only
+future-looking op and is therefore excluded from feature cuts (enforced by
+``leakage.audit_cut`` + the as-of direction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _keys(on) -> list:
+    return [on] if isinstance(on, str) else list(on)
+
+
+def _epoch(col):
+    # TIMESTAMP_NTZ-safe seconds since epoch (session tz = UTC)
+    return F.col(col).cast("timestamp").cast("double")
+
+
+def with_lag_lead(
+    df: DataFrame, on, order_by, cols, offsets=(1,), prefix: str = ""
+) -> DataFrame:
+    """Add lag/lead columns: ``{prefix}{col}_lag{k}`` / ``_lead{k}``."""
+    w = Window.partitionBy(*_keys(on)).orderBy(*_keys(order_by))
+    out = df
+    for c in _keys(cols):
+        for k in offsets:
+            out = out.withColumn(f"{prefix}{c}_lag{k}", F.lag(c, k).over(w))
+            out = out.withColumn(f"{prefix}{c}_lead{k}", F.lead(c, k).over(w))
+    return out
+
+
+def ffill(df: DataFrame, on, order_by, cols) -> DataFrame:
+    """Forward-fill nulls from the past only (leakage-safe)."""
+    w = (
+        Window.partitionBy(*_keys(on))
+        .orderBy(*_keys(order_by))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in _keys(cols):
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def bfill(df: DataFrame, on, order_by, cols) -> DataFrame:
+    """Backward-fill nulls from the future. FUTURE-LOOKING: must only be
+    applied within an already-cut window (never before an as-of feature cut —
+    SURVEY.md §2.5 note)."""
+    w = (
+        Window.partitionBy(*_keys(on))
+        .orderBy(*_keys(order_by))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    out = df
+    for c in _keys(cols):
+        out = out.withColumn(c, F.first(c, ignorenulls=True).over(w))
+    return out
+
+
+def sessionize(
+    df: DataFrame, on, ts_col: str, gap_seconds: float, session_col: str = "session_id"
+) -> DataFrame:
+    """Gap-based sessionize: new session when the gap to the previous event
+    exceeds ``gap_seconds``. Classic gaps-and-islands (SURVEY.md §2.5);
+    session ids are 1-based per entity."""
+    keys = _keys(on)
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag(ts_col, 1).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((_epoch(ts_col) - prev.cast("timestamp").cast("double")) > gap_seconds),
+        1,
+    ).otherwise(0)
+    return df.withColumn(session_col, F.sum(new_sess).over(cum))
+
+
+def session_bounds(
+    df: DataFrame, on, ts_col: str, gap_seconds: float
+) -> DataFrame:
+    """Per-session aggregate: start/end/duration/event count."""
+    keys = _keys(on)
+    s = sessionize(df, on, ts_col, gap_seconds)
+    return s.groupBy(*keys, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (
+            F.max(_epoch(ts_col)) - F.min(_epoch(ts_col))
+        ).alias("duration_seconds"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def rolling_firstorder(
+    df: DataFrame,
+    on,
+    order_by,
+    value_col: str,
+    radius: int,
+    prefix: str = "roll_",
+) -> DataFrame:
+    """Voxel-mode analog (reference base.py:200-245): per-position rolling
+    first-order stats over frame rowsBetween(-radius, +radius). Pure window
+    aggregates — no Python."""
+    w = (
+        Window.partitionBy(*_keys(on))
+        .orderBy(*_keys(order_by))
+        .rowsBetween(-radius, radius)
+    )
+    v = F.col(value_col)
+    return (
+        df.withColumn(f"{prefix}mean", F.avg(v).over(w))
+        .withColumn(f"{prefix}min", F.min(v).over(w))
+        .withColumn(f"{prefix}max", F.max(v).over(w))
+        .withColumn(f"{prefix}sum", F.sum(v).over(w))
+        .withColumn(f"{prefix}count", F.count(v).over(w))
+        .withColumn(f"{prefix}var", F.coalesce(F.var_pop(v).over(w), F.lit(0.0)))
+        .withColumn(f"{prefix}energy", F.sum(v * v).over(w))
+        .withColumn(
+            f"{prefix}range", F.max(v).over(w) - F.min(v).over(w)
+        )
+    )
+
+
+def ngtdm_window(
+    df: DataFrame, on, order_by, level_col: str, radius: int = 1
+) -> DataFrame:
+    """NGTDM neighborhood terms as window ops (SURVEY §2.4 NGTDM row):
+    per-position neighbor mean excluding self = (sum − level)/(cnt − 1);
+    emits ``nbr_mean`` and ``abs_diff`` (NaN-safe when no neighbors)."""
+    w = (
+        Window.partitionBy(*_keys(on))
+        .orderBy(*_keys(order_by))
+        .rowsBetween(-radius, radius)
+    )
+    v = F.col(level_col)
+    s = F.sum(v).over(w)
+    c = F.count(v).over(w)
+    nbr_mean = F.when(c > 1, (s - v) / (c - 1))
+    return df.withColumn("nbr_mean", nbr_mean).withColumn(
+        "abs_diff", F.abs(v - nbr_mean)
+    )
+
+
+def gldm_window(
+    df: DataFrame, on, order_by, level_col: str, radius: int = 1, alpha: float = 0.0
+) -> DataFrame:
+    """GLDM dependence count as window ops: #neighbors within ±radius with
+    |level − neighbor| ≤ α (self excluded)."""
+    keys = _keys(on)
+    order = _keys(order_by)
+    w = Window.partitionBy(*keys).orderBy(*order)
+    dep = F.lit(0)
+    for k in range(1, radius + 1):
+        for side in (F.lag, F.lead):
+            nbr = side(level_col, k).over(w)
+            dep = dep + F.when(
+                nbr.isNotNull() & (F.abs(F.col(level_col) - nbr) <= alpha), 1
+            ).otherwise(0)
+    return df.withColumn("dependence", dep)

@@ -1,0 +1,153 @@
+"""Window operators: lag/lead, ffill/bfill, sessionize, rolling features,
+salting, leakage audit (FIXTURES.md ts_session / ts_leak cases)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pyradiomics_spark.operators.windows import (
+    with_lag_lead, ffill, bfill, sessionize, session_bounds,
+    rolling_firstorder, ngtdm_window, gldm_window)
+from pyradiomics_spark.operators.salting import (
+    with_salt, skew_stats, salted_asof_join)
+from pyradiomics_spark.operators.asof import asof_join
+from pyradiomics_spark.operators.leakage import audit_cut, assert_no_leakage
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    pdf = pd.DataFrame({
+        "ent": ["a"] * 5 + ["b"] * 3,
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00", "2024-01-01 00:10",  # gap 10m
+            "2024-01-01 01:00",                       # gap 50m → new session
+            "2024-01-01 01:05", "2024-01-01 03:00",   # gap 115m → new session
+            "2024-01-01 00:00", "2024-01-01 00:29",   # 29m — inside 30m gap
+            "2024-01-01 01:00",                       # 31m → new session
+        ]),
+        "v": [1.0, None, 3.0, None, 5.0, 10.0, None, 30.0],
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_lag_lead(events):
+    out = with_lag_lead(events, "ent", "ts", "v", offsets=(1,)).toPandas()
+    a = out[out.ent == "a"].sort_values("ts")
+    assert a["v_lag1"].tolist()[0] is None or pd.isna(a["v_lag1"].tolist()[0])
+    assert a["v_lag1"].tolist()[2] is None or pd.isna(a["v_lag1"].tolist()[2])  # lag sees null v
+    assert a["v_lead1"].tolist()[1] == 3.0
+
+
+def test_ffill_bfill(events):
+    f = ffill(events, "ent", "ts", "v").toPandas()
+    a = f[f.ent == "a"].sort_values("ts")["v"].tolist()
+    assert a == [1.0, 1.0, 3.0, 3.0, 5.0]
+    b = bfill(events, "ent", "ts", "v").toPandas()
+    bb = b[b.ent == "b"].sort_values("ts")["v"].tolist()
+    assert bb == [10.0, 30.0, 30.0]
+
+
+def test_sessionize_gap_boundary(events):
+    out = sessionize(events, "ent", "ts", gap_seconds=1800).toPandas()
+    a = out[out.ent == "a"].sort_values("ts")["session_id"].tolist()
+    assert a == [1, 1, 2, 2, 3]
+    b = out[out.ent == "b"].sort_values("ts")["session_id"].tolist()
+    # 29m gap (1740s) <= 1800 → same session; 31m (1860s) > 1800 → new
+    assert b == [1, 1, 2]
+
+
+def test_session_bounds(events):
+    out = session_bounds(events, "ent", "ts", 1800).toPandas()
+    a = out[(out.ent == "a")].sort_values("session_id")
+    assert a["n_events"].tolist() == [2, 2, 1]
+    assert a["duration_seconds"].tolist() == [600.0, 300.0, 0.0]
+
+
+def test_rolling_firstorder(spark):
+    pdf = pd.DataFrame({
+        "doc": ["d"] * 5, "pos": range(5), "x": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    df = spark.createDataFrame(pdf)
+    out = rolling_firstorder(df, "doc", "pos", "x", radius=1).toPandas().sort_values("pos")
+    assert out["roll_mean"].tolist() == [1.5, 2.0, 3.0, 4.0, 4.5]
+    assert out["roll_count"].tolist() == [2, 3, 3, 3, 2]
+    assert out["roll_range"].tolist() == [1.0, 2.0, 2.0, 2.0, 1.0]
+
+
+def test_ngtdm_window_matches_kernel(spark):
+    import numpy as np
+    from pyradiomics_spark.kernels.ngtdm import ngtdm_matrix
+    levels = [1, 2, 1, 2, 3, 3, 1]
+    pdf = pd.DataFrame({"doc": ["d"] * 7, "pos": range(7), "level": levels})
+    out = ngtdm_window(spark.createDataFrame(pdf), "doc", "pos", "level").toPandas()
+    out = out.sort_values("pos")
+    n_i, s_i, iv = ngtdm_matrix(np.array(levels))
+    # sum of abs_diff grouped by level == s_i
+    got = out.groupby("level")["abs_diff"].sum()
+    for lvl, s in zip(iv, s_i):
+        assert got[int(lvl)] == pytest.approx(s)
+
+
+def test_gldm_window_matches_kernel(spark):
+    import numpy as np
+    from pyradiomics_spark.kernels.gldm import gldm_matrix
+    levels = [1, 1, 2, 2, 2, 3]
+    pdf = pd.DataFrame({"doc": ["d"] * 6, "pos": range(6), "level": levels})
+    out = gldm_window(spark.createDataFrame(pdf), "doc", "pos", "level").toPandas()
+    deps = out.sort_values("pos")["dependence"].tolist()
+    assert deps == [1, 1, 1, 2, 1, 0]
+    P, iv, jv = gldm_matrix(np.array(levels))
+    # relational deps histogram == kernel matrix
+    import collections
+    hist = collections.Counter(zip(out["level"], out["dependence"] + 1))
+    for (lvl, dep1), cnt in hist.items():
+        assert P[list(iv).index(lvl), list(jv).index(dep1)] == cnt
+
+
+def test_salting_deterministic(spark, events):
+    s1 = with_salt(events, "ent", 4, extra_col="ts").toPandas()
+    s2 = with_salt(events, "ent", 4, extra_col="ts").toPandas()
+    assert (s1["__salt"] == s2["__salt"]).all()
+    assert s1["__salt"].between(0, 3).all()
+
+
+def test_skew_stats(spark, events):
+    st = skew_stats(events, "ent").toPandas().iloc[0]
+    assert st["n_keys"] == 2
+    assert st["max_rows"] == 5
+    assert st["skew_factor"] == pytest.approx(5 / 4)
+
+
+def test_salted_asof_equals_plain(spark, rng):
+    left = pd.DataFrame({
+        "ent": rng.choice(["x", "y"], 200),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, 200), unit="s"),
+        "lval": rng.normal(size=200)})
+    right = pd.DataFrame({
+        "ent": rng.choice(["x", "y"], 50),
+        "rts": pd.to_datetime(rng.integers(0, 10**6, 50), unit="s"),
+        "rval": rng.normal(size=50)})
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    plain = asof_join(ldf, rdf, "ent", "ts", "rts").toPandas()
+    salted = salted_asof_join(ldf, rdf, "ent", "ts", "rts", buckets=4).toPandas()
+    key = ["ent", "ts", "lval"]
+    a = plain.sort_values(key).reset_index(drop=True)
+    b = salted[plain.columns].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+
+
+def test_leakage_audit(spark, events):
+    right = spark.createDataFrame(pd.DataFrame({
+        "ent": ["a", "b"],
+        "rts": pd.to_datetime(["2024-01-01 00:05", "2024-01-01 00:10"]),
+        "rval": [1.0, 2.0]}))
+    joined = asof_join(events, right, "ent", "ts", "rts")
+    assert audit_cut(joined, "ts", "rts") == {"rts": 0}
+    assert_no_leakage(joined, "ts", "rts")
+    # adversarial: a deliberately leaky join must be caught
+    leaky = events.crossJoin(
+        right.select(F.col("rts"), F.col("rval"))).where(F.col("rts") > F.col("ts"))
+    if leaky.count() > 0:
+        v = audit_cut(leaky, "ts", "rts")
+        assert v["rts"] > 0
+        with pytest.raises(AssertionError):
+            assert_no_leakage(leaky, "ts", "rts")
