@@ -319,6 +319,175 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted as-of join (skew path): must equal the plain as-of join —
+    checked against the same DuckDB ASOF oracle."""
+    from pyradiomics_spark.operators.salting import salted_asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        F.col("user_id"), F.col("ts").alias("signup_ts"),
+        F.col("value").alias("signup_value"),
+    )
+    joined = salted_asof_join(
+        purchases, signups, on="user_id", left_ts="ts", right_ts="signup_ts",
+        buckets=4,
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("signup_ts"),
+        F.round("signup_value", 6).alias("signup_value"),
+    ).orderBy("event_id")
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate (streaming-shape op in batch)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("user_id"),
+            F.window(F.col("ts"), "1 hour").start.alias("hour_start"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("user_id", "hour_start")
+    )
+
+
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voxel-mode analog: rolling first-order stats over a ±2 row frame
+    (SURVEY §2.5 kernel-extraction row)."""
+    from pyradiomics_spark.operators.windows import rolling_firstorder
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = rolling_firstorder(ev, "user_id", ["ts", "event_id"], "value", radius=2)
+    return out.select(
+        "event_id", "user_id",
+        F.round("roll_mean", 6).alias("roll_mean"),
+        F.col("roll_count").alias("roll_count"),
+        F.round("roll_var", 6).alias("roll_var"),
+        F.round("roll_energy", 6).alias("roll_energy"),
+    ).orderBy("event_id")
+
+
+def q_ngtdm_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NGTDM n_i/s_i built relationally (window neighbor mean, SURVEY §2.4)."""
+    from pyradiomics_spark.operators.windows import ngtdm_window
+
+    t = _tokens(spark, sf_dir).withColumn(
+        "level", F.least(F.floor(F.col("tok_len") / 2) + 1, F.lit(8))
+    )
+    terms = ngtdm_window(t, "doc_id", "pos", "level", radius=1)
+    return (
+        terms.where(F.col("nbr_mean").isNotNull())
+        .groupBy("level")
+        .agg(
+            F.count("*").alias("n_i"),
+            F.round(F.sum("abs_diff"), 6).alias("s_i"),
+        )
+        .orderBy("level")
+    )
+
+
+def q_gldm_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLDM dependence counting as lag/lead windows (SURVEY §2.4)."""
+    from pyradiomics_spark.operators.windows import gldm_window
+
+    t = _tokens(spark, sf_dir).withColumn(
+        "level", F.least(F.floor(F.col("tok_len") / 2) + 1, F.lit(8))
+    )
+    dep = gldm_window(t, "doc_id", "pos", "level", radius=1, alpha=0.0)
+    return (
+        dep.groupBy("level", "dependence")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("level", "dependence")
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures with engine-agnostic md5 hashing (4 permutations,
+    lexicographic-min of md5 hex) so DuckDB reproduces them exactly."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = docs.select(
+        "doc_id", F.explode(grams).alias("g")
+    ).where(F.col("g") != "").distinct()
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("g"), F.lit(f":{i}")))).alias(f"sig{i}")
+            for i in range(4)
+        ]
+    ).orderBy("doc_id")
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling min over k-gram hashes) with md5
+    hashing for oracle parity; counts distinct fingerprints per doc."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) >= 5,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 5),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 5)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", F.posexplode(grams).alias("pos", "g")).withColumn(
+        "gh", F.md5("g")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    fp = g.withColumn("winmin", F.min("gh").over(w)).select("doc_id", "winmin").distinct()
+    return fp.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints")
+    ).orderBy("doc_id")
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 ANN baseline: queries = vec_id < 3 rows."""
+    from pyradiomics_spark.operators.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=3)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+def q_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational language-ID (stopword-marker argmax) per doc, counted per
+    predicted language."""
+    from pyradiomics_spark.functions.textstats import detect_language
+
+    docs = _read(spark, sf_dir, "documents")
+    out = detect_language(docs, "doc_id")
+    return out.groupBy("lang_pred").agg(F.count("*").alias("n_docs")).orderBy("lang_pred")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit simhash signatures (xxhash64-based — no SQL twin, rows-only
+    driver check; correctness covered by tests/test_dedup_similarity.py)."""
+    from pyradiomics_spark.operators.dedup import simhash_signatures
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_signatures(docs, "doc_id", "text").orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -334,6 +503,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_lead": q_lag_lead,
         "ffill": q_ffill,
         "asof_join": q_asof_join,
+        "asof_join_salted": q_asof_join_salted,
+        "tumbling_window": q_tumbling_window,
+        "rolling_stats": q_rolling_stats,
+        "ngtdm_terms": q_ngtdm_terms,
+        "gldm_dependence": q_gldm_dependence,
+        "minhash_signatures": q_minhash_signatures,
+        "winnowing": q_winnowing,
+        "knn_cosine": q_knn_cosine,
+        "lang_detect": q_lang_detect,
+        "simhash": q_simhash,
         "tpch_q1": q_tpch_q1,
         "top_customers": q_top_customers,
         "dedup_exact": q_dedup_exact,
@@ -467,6 +646,166 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN signups s
               ON p.user_id = s.user_id AND p.ts >= s.signup_ts
             ORDER BY p.event_id
+        """,
+        "asof_join_salted": """
+            WITH purchases AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+            ), signups AS (
+              SELECT user_id, ts AS signup_ts, value AS signup_value
+              FROM events WHERE event_type = 'signup'
+            )
+            SELECT p.event_id, p.user_id, s.signup_ts,
+                   round(s.signup_value, 6) AS signup_value
+            FROM purchases p
+            ASOF LEFT JOIN signups s
+              ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+            ORDER BY p.event_id
+        """,
+        "tumbling_window": """
+            SELECT user_id,
+                   time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY user_id, hour_start
+            ORDER BY user_id, hour_start
+        """,
+        "rolling_stats": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER w, 6) AS roll_mean,
+                   count(value) OVER w AS roll_count,
+                   round(coalesce(var_pop(value) OVER w, 0.0), 6) AS roll_var,
+                   round(sum(value * value) OVER w, 6) AS roll_energy
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+            ORDER BY event_id
+        """,
+        "ngtdm_terms": f"""
+            WITH lv AS (
+              SELECT doc_id, pos, least(floor(tok_len / 2) + 1, 8) AS level
+              FROM ({tokens})
+            ), terms AS (
+              SELECT doc_id, level,
+                     CASE WHEN count(level) OVER w > 1
+                          THEN (sum(level) OVER w - level) / (count(level) OVER w - 1)
+                     END AS nbr_mean
+              FROM lv
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+            )
+            SELECT level, count(*) AS n_i,
+                   round(sum(abs(level - nbr_mean)), 6) AS s_i
+            FROM terms WHERE nbr_mean IS NOT NULL
+            GROUP BY level ORDER BY level
+        """,
+        "gldm_dependence": f"""
+            WITH lv AS (
+              SELECT doc_id, pos, least(floor(tok_len / 2) + 1, 8) AS level
+              FROM ({tokens})
+            ), dep AS (
+              SELECT doc_id, level,
+                     (CASE WHEN lag(level) OVER w IS NOT NULL
+                                AND abs(level - lag(level) OVER w) <= 0
+                           THEN 1 ELSE 0 END
+                      + CASE WHEN lead(level) OVER w IS NOT NULL
+                                  AND abs(level - lead(level) OVER w) <= 0
+                             THEN 1 ELSE 0 END) AS dependence
+              FROM lv WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            )
+            SELECT level, dependence, count(*) AS cnt
+            FROM dep GROUP BY level, dependence ORDER BY level, dependence
+        """,
+        "minhash_signatures": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), g0 AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(t) - 2, 0)),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+              FROM toks
+            ), sh AS (
+              SELECT DISTINCT doc_id, g FROM g0 WHERE g <> ''
+            )
+            SELECT doc_id,
+                   min(md5(g || ':0')) AS sig0,
+                   min(md5(g || ':1')) AS sig1,
+                   min(md5(g || ':2')) AS sig2,
+                   min(md5(g || ':3')) AS sig3
+            FROM sh GROUP BY doc_id ORDER BY doc_id
+        """,
+        "winnowing": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), g0 AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(t) - 4, 0)),
+                       i -> struct_pack(pos := i - 1,
+                         gh := md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])))) AS u
+              FROM toks
+            ), grams AS (
+              SELECT doc_id, u.pos AS pos, u.gh AS gh FROM g0
+            ), fp AS (
+              SELECT DISTINCT doc_id,
+                     min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS winmin
+              FROM grams
+            )
+            SELECT doc_id, count(*) AS n_fingerprints
+            FROM fp GROUP BY doc_id ORDER BY doc_id
+        """,
+        "knn_cosine": """
+            WITH emb AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+            ), q AS (
+              SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 3
+            ), scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(e.v, q.qv) AS cos
+              FROM emb e CROSS JOIN q
+            ), ranked AS (
+              SELECT query_id, vec_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, round(cos, 6) AS cosine, rank
+            FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        "lang_detect": """
+            WITH markers AS (
+              SELECT * FROM (VALUES
+                ('en','the'),('en','and'),('en','of'),('en','to'),('en','is'),
+                ('en','in'),('en','that'),('en','it'),('en','with'),('en','for'),
+                ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),
+                ('de','nicht'),('de','mit'),('de','ein'),('de','zu'),('de','für'),
+                ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','est'),
+                ('fr','dans'),('fr','pour'),('fr','que'),('fr','une'),('fr','des'),
+                ('nl','de'),('nl','het'),('nl','een'),('nl','en'),('nl','van'),
+                ('nl','is'),('nl','dat'),('nl','niet'),('nl','met'),('nl','voor')
+              ) AS t(cand_lang, marker)
+            ), toks AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents
+            ), hits AS (
+              SELECT doc_id, cand_lang, count(*) AS h
+              FROM toks JOIN markers ON tok = marker
+              WHERE tok <> ''
+              GROUP BY doc_id, cand_lang
+            ), best AS (
+              SELECT doc_id, cand_lang,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY h DESC, cand_lang) AS rn
+              FROM hits
+            )
+            SELECT coalesce(b.cand_lang, 'unk') AS lang_pred,
+                   count(*) AS n_docs
+            FROM documents d
+            LEFT JOIN (SELECT doc_id, cand_lang FROM best WHERE rn = 1) b
+              ON d.doc_id = b.doc_id
+            GROUP BY lang_pred ORDER BY lang_pred
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

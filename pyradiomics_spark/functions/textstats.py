@@ -1,0 +1,142 @@
+"""Text analytics: language-ID, quality scoring, token counting, document
+fingerprinting — all JVM-side column expressions / relational plans
+(no Python UDFs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: tiny stopword marker profiles for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "with", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "für"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"],
+    "nl": ["de", "het", "een", "en", "van", "is", "dat", "niet", "met", "voor"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "an", "on", "at", "by", "as", "be"]
+
+
+def token_count(text_col, tokenizer: str = "whitespace"):
+    """Builtin token count expression."""
+    if tokenizer == "whitespace":
+        toks = F.split(text_col, " ")
+        return F.size(F.filter(toks, lambda t: t != ""))
+    if tokenizer == "bpe_regex":
+        # count of word / number / punct-run matches
+        return F.size(
+            F.filter(
+                F.split(
+                    F.regexp_replace(text_col, r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+)", "$1"),
+                    "",
+                ),
+                lambda t: F.trim(t) != "",
+            )
+        )
+    raise ValueError(tokenizer)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring columns: length, token stats, stopword/punct/digit
+    ratios, mean word length, uppercase ratio. Pure expressions."""
+    t = F.col(text_col)
+    toks = F.filter(F.split(t, " "), lambda x: x != "")
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, F.lower(x))))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_tokens", n_tok)
+        .withColumn(
+            "mean_word_len",
+            F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok),
+        )
+        .withColumn("stopword_ratio", F.when(n_tok > 0, n_stop / n_tok))
+        .withColumn("punct_ratio", F.when(n_chars > 0, n_punct / n_chars))
+        .withColumn("digit_ratio", F.when(n_chars > 0, n_digit / n_chars))
+        .withColumn("upper_ratio", F.when(n_chars > 0, n_upper / n_chars))
+        .withColumn(
+            "quality_score",
+            F.round(
+                F.when(n_tok <= 0, 0.0).otherwise(
+                    F.greatest(
+                        F.lit(0.0),
+                        F.least(
+                            F.lit(1.0),
+                            0.5
+                            + 0.5 * F.least(n_tok / 100.0, F.lit(1.0))
+                            - F.coalesce(n_punct / F.greatest(n_chars, F.lit(1)), F.lit(0.0))
+                            - F.coalesce(n_digit / F.greatest(n_chars, F.lit(1)), F.lit(0.0)),
+                        ),
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+
+
+def detect_language(
+    df: DataFrame, id_col: str, text_col: str = "text", out_col: str = "lang_pred"
+) -> DataFrame:
+    """Stopword-marker language ID, fully relational: explode tokens →
+    broadcast-join the marker table → per-(doc, lang) hit counts → argmax
+    via row_number. Docs with zero marker hits get 'unk'."""
+    spark = df.sparkSession
+    markers = [(lang, w) for lang, ws in LANG_MARKERS.items() for w in ws]
+    mdf = F.broadcast(spark.createDataFrame(markers, ["cand_lang", "marker"]))
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    hits = (
+        toks.join(mdf, toks.tok == mdf.marker)
+        .groupBy(id_col, "cand_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("hits"), "cand_lang")
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("cand_lang").alias(out_col))
+    )
+    return df.join(best, id_col, "left").fillna({out_col: "unk"})
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Whole-document content fingerprint: sha256 of whitespace-normalized,
+    lowercased text."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.withColumn(out_col, F.sha2(norm.cast("binary"), 256))
+
+
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    kgram: int = 5, window: int = 4,
+) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: hash every k-gram of tokens,
+    keep the min hash of each sliding window of ``window`` consecutive
+    k-grams (distinct). Relational: explode k-grams → window min → distinct.
+    The standard local document fingerprint for plagiarism/near-dup."""
+    toks = F.split(F.col(text_col), " ")
+    # guard short docs: sequence(0, size-k) would turn descending
+    grams = F.when(
+        F.size(toks) >= kgram,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - kgram),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, kgram)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+    ).withColumn("gh", F.xxhash64("gram"))
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        g.withColumn("winmin", F.min("gh").over(w))
+        .select(F.col(id_col), F.col("winmin").alias("fingerprint"))
+        .distinct()
+    )

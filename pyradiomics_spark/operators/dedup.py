@@ -1,0 +1,274 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+All four families are expressed RELATIONALLY (explode → hash → groupBy →
+join) so Catalyst plans them with map-side partial aggregation and AQE —
+no Python on the hot path:
+
+* ``exact_dedup``        — content-hash groupBy (one shuffle)
+* ``minhash_signatures`` / ``minhash_lsh_candidates`` / ``minhash_dedup`` —
+  shingle → k min-hashes (ONE groupBy with k min() aggregates) → band
+  buckets → candidate pairs → optional exact-Jaccard verify
+* ``simhash_signatures`` / ``simhash_candidates`` — 64-bit token simhash via
+  64 conditional sums; near-dup pairs via 4×16-bit band equality
+  (Hamming ≤ 3 guarantee by pigeonhole)
+* ``ngram_jaccard_pairs`` — exact n-gram Jaccard via self-equi-join on the
+  n-gram (bounded by LSH candidates or an id window at scale)
+
+Determinism: every hash is ``xxhash64`` with an integer seed column baked
+into the input — reproducible across runs/executors/cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id row per distinct text. Returns survivors with
+    ``dup_count`` (group size). One shuffle on the content hash."""
+    h = F.sha2(F.col(text_col).cast("binary"), 256).alias("__h")
+    groups = (
+        df.select(F.col(id_col), h)
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .drop("__h")
+    )
+    return groups.join(df, id_col, "inner")
+
+
+# ---------------------------------------------------------------- minhash
+
+def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct word n-gram shingles per doc — JVM-side via split + transform
+    + explode (no UDF)."""
+    toks = F.split(F.col(text_col), " ")
+    # array of n-grams at positions 0..size-n; guard short docs (an
+    # unguarded sequence(0, size-n) turns DESCENDING when size < n)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """(id, sig_0..sig_{k-1}): k independent min-hashes in ONE aggregation."""
+    sh = _shingles(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, id_col: str, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) that share ≥1 LSH band."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        sig_slice = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*sig_slice).alias("bh"))
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard for pairs: |A∩B| via self-equi-join on the
+    shingle, |A∪B| = |A|+|B|−|A∩B|. ``candidates`` (id_a,id_b) bounds the
+    O(n²) blowup at scale (pass LSH candidates); None = all co-shingled
+    pairs (fine at test scale, every pair sharing ≥1 shingle)."""
+    sh = _shingles(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, ["id_a", "id_b"], "inner")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact-Jaccard verify →
+    connected survivors (min id per dup cluster via iterative min propagation
+    is overkill here: we use the standard keep-if-no-smaller-similar-id rule,
+    one anti-join)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    cand = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
+    verified = ngram_jaccard_pairs(df, id_col, text_col, shingle_n, cand).where(
+        F.col("jaccard") >= threshold
+    )
+    # drop any doc that has a similar doc with a smaller id
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit token-level simhash, fully relational: explode tokens →
+    per-bit signed sums → reassemble bits. Returns (id, simhash:long,
+    b0..b3: 4×16-bit bands for candidate joins)."""
+    toks = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .withColumn("th", F.xxhash64("tok"))
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(64)
+    ]
+    sums = toks.groupBy(id_col).agg(*bit_aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(0)
+        )
+    out = sums.select(F.col(id_col), sim.alias("simhash"))
+    for band in range(4):
+        out = out.withColumn(
+            f"band{band}",
+            F.shiftright(F.col("simhash"), band * 16).bitwiseAND(F.lit(0xFFFF)),
+        )
+    return out
+
+
+def hamming64(a, b):
+    """Hamming distance between two long columns (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidates(
+    signatures: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming ≤ max_hamming (≤3 guaranteed found by
+    4-band pigeonhole): union of 4 band-equality joins, then exact verify."""
+    pairs = None
+    for band in range(4):
+        a = signatures.alias("a")
+        b = signatures.alias("b")
+        p = a.join(
+            b,
+            (F.col(f"a.band{band}") == F.col(f"b.band{band}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.distinct()
+        .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------- embeddings
+
+def embedding_cosine_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs by exact cosine (builtin array ops —
+    F.zip_with + F.aggregate, JVM-side). Pair generation bounded by
+    ``candidates`` or LSH buckets from ``similarity.hyperplane_buckets``."""
+    from pyradiomics_spark.operators.similarity import cosine_expr
+
+    if candidates is None:
+        from pyradiomics_spark.operators.similarity import hyperplane_buckets
+
+        dim = len(df.select(vec_col).first()[0])
+        bucketed = hyperplane_buckets(df, id_col, vec_col, n_planes=8, dim=dim)
+        a = bucketed.alias("a")
+        b = bucketed.alias("b")
+        candidates = (
+            a.join(
+                b,
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,160 @@
+"""Dedup + similarity operators vs brute-force python oracles."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pyradiomics_spark.operators.dedup import (
+    exact_dedup, minhash_signatures, minhash_lsh_candidates, minhash_dedup,
+    ngram_jaccard_pairs, simhash_signatures, simhash_candidates,
+    embedding_cosine_pairs)
+from pyradiomics_spark.operators.similarity import (
+    brute_force_topk, hyperplane_buckets, ivf_topk, cosine_expr)
+from pyradiomics_spark.functions.textstats import (
+    quality_features, detect_language, doc_fingerprint, winnowing_fingerprints)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",           # exact dup of 0
+        "the quick brown fox jumps over the lazy cat today",     # near dup
+        "completely different content about spark dataframes",
+        "der schnelle braune fuchs und der faule hund ist nicht da",
+        "le chat est dans la maison et la porte est pour le chien",
+        "spark dataframes enable scalable distributed query processing",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    return spark.createDataFrame(pdf)
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs, "doc_id", "text").toPandas().sort_values("doc_id")
+    assert 1 not in out["doc_id"].tolist()  # dup of 0 dropped
+    assert out[out.doc_id == 0]["dup_count"].iloc[0] == 2
+    assert len(out) == 6
+
+
+def test_ngram_jaccard_brute(docs):
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3).toPandas()
+    def shingles(t, n=3):
+        toks = t.split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.itertuples()}
+    for (a, b), j in got.items():
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        assert j == pytest.approx(len(sa & sb) / len(sa | sb))
+    assert got[(0, 1)] == 1.0  # exact dups
+    assert got[(0, 2)] > 0.4   # near dups share most shingles
+
+
+def test_minhash_pipeline(docs):
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=32)
+    assert sigs.count() == 7
+    cand = minhash_lsh_candidates(sigs, "doc_id", 32, 8).toPandas()
+    pairs = set(zip(cand.id_a, cand.id_b))
+    assert (0, 1) in pairs  # identical docs always collide on every band
+    surv = minhash_dedup(docs, "doc_id", "text", threshold=0.9).toPandas()
+    assert 1 not in surv["doc_id"].tolist()
+    assert 3 in surv["doc_id"].tolist()
+
+
+def test_simhash(docs):
+    sigs = simhash_signatures(docs, "doc_id", "text").toPandas()
+    s = dict(zip(sigs.doc_id, sigs.simhash))
+    assert s[0] == s[1]  # identical text → identical simhash
+    cand = simhash_candidates(
+        simhash_signatures(docs, "doc_id", "text"), "doc_id", max_hamming=10
+    ).toPandas()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in cand.itertuples()}
+    assert pairs[(0, 1)] == 0
+    # near-dup docs should be within 10 bits; unrelated docs typically not
+    assert (0, 2) in pairs
+
+
+def _rand_vecs(rng, n, dim=16):
+    v = rng.normal(size=(n, dim))
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+def test_brute_force_topk_matches_numpy(spark, rng):
+    dim = 16
+    corpus = _rand_vecs(rng, 50, dim)
+    queries = _rand_vecs(rng, 3, dim)
+    cdf = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(50), "embedding": [list(map(float, v)) for v in corpus]}))
+    qdf = spark.createDataFrame(pd.DataFrame({
+        "query_id": range(3), "embedding": [list(map(float, v)) for v in queries]}))
+    out = brute_force_topk(cdf, qdf, k=5).toPandas()
+    for q in range(3):
+        cos = corpus @ queries[q]
+        expect = np.argsort(-cos)[:5]
+        got = out[out.query_id == q].sort_values("rank")["vec_id"].to_numpy()
+        np.testing.assert_array_equal(got, expect)
+
+
+def test_hyperplane_buckets_deterministic(spark, rng):
+    vecs = _rand_vecs(rng, 20, 16)
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(20), "embedding": [list(map(float, v)) for v in vecs]}))
+    b1 = hyperplane_buckets(df, "vec_id", "embedding", 6, 16).toPandas()
+    b2 = hyperplane_buckets(df, "vec_id", "embedding", 6, 16).toPandas()
+    assert (b1.sort_values("vec_id")["bucket"].to_numpy()
+            == b2.sort_values("vec_id")["bucket"].to_numpy()).all()
+    assert b1["bucket"].between(0, 63).all()
+
+
+def test_embedding_cosine_pairs_finds_duplicate(spark, rng):
+    vecs = _rand_vecs(rng, 10, 16)
+    vecs[7] = vecs[3] * 0.999 + 0.001 * vecs[5]  # near-dup of 3
+    vecs[7] /= np.linalg.norm(vecs[7])
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(10), "embedding": [list(map(float, v)) for v in vecs]}))
+    out = embedding_cosine_pairs(df, "vec_id", "embedding", threshold=0.99).toPandas()
+    assert (3, 7) in set(zip(out.id_a, out.id_b))
+
+
+def test_ivf_topk_reasonable_recall(spark, rng):
+    dim = 16
+    corpus = _rand_vecs(rng, 200, dim)
+    queries = corpus[:4] + rng.normal(size=(4, dim)) * 0.01  # near own rows
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    cdf = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(200), "embedding": [list(map(float, v)) for v in corpus]}))
+    qdf = spark.createDataFrame(pd.DataFrame({
+        "query_id": range(4), "embedding": [list(map(float, v)) for v in queries]}))
+    out = ivf_topk(cdf, qdf, k=1, n_cells=8, nprobe=4, dim=dim).toPandas()
+    hits = sum(out[out.query_id == q]["vec_id"].iloc[0] == q for q in range(4))
+    assert hits >= 3  # high recall with nprobe=half the cells
+
+
+def test_quality_features(docs):
+    out = quality_features(docs).toPandas()
+    r = out[out.doc_id == 0].iloc[0]
+    assert r["n_tokens"] == 9
+    assert r["stopword_ratio"] == pytest.approx(2 / 9)  # two 'the'
+    assert 0 <= r["quality_score"] <= 1
+
+
+def test_detect_language(docs):
+    out = detect_language(docs, "doc_id").toPandas()
+    got = dict(zip(out.doc_id, out.lang_pred))
+    assert got[0] == "en"
+    assert got[4] == "de"
+    assert got[5] == "fr"
+
+
+def test_fingerprints(docs):
+    fp = doc_fingerprint(docs).toPandas()
+    assert fp[fp.doc_id == 0]["fingerprint"].iloc[0] == fp[fp.doc_id == 1]["fingerprint"].iloc[0]
+    wf = winnowing_fingerprints(docs, "doc_id", kgram=3, window=2).toPandas()
+    s0 = set(wf[wf.doc_id == 0]["fingerprint"])
+    s1 = set(wf[wf.doc_id == 1]["fingerprint"])
+    s3 = set(wf[wf.doc_id == 3]["fingerprint"])
+    assert s0 == s1          # identical docs → identical fingerprint sets
+    assert not (s0 & s3)     # unrelated docs → disjoint
