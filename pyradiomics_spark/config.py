@@ -17,10 +17,13 @@ EPS = 2.220446049250313e-16
 
 ALL_FEATURE_CLASSES = ("firstorder", "glcm", "glrlm", "glszm", "ngtdm", "gldm")
 
-#: Derived "image types" — elementwise intensity transforms with global
-#: rescale semantics (reference imageoperations.py:973-1073) plus the
-#: identity ("Original").
-ALL_IMAGE_TYPES = ("original", "square", "squareroot", "logarithm", "exponential")
+#: Derived "image types": elementwise transforms with global rescale
+#: (reference imageoperations.py:973-1073), gradient magnitude (:1076-1091),
+#: single-level SWT subbands (:839-970 analog), and LoG (:756-836 analog).
+ALL_IMAGE_TYPES = (
+    "original", "square", "squareroot", "logarithm", "exponential",
+    "gradient", "wavelet-L", "wavelet-H", "log-sigma-2",
+)
 
 
 @dataclass(frozen=True)

