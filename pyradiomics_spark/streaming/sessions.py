@@ -1,0 +1,80 @@
+"""Streaming ingestion operators (SURVEY.md §2.9).
+
+The reference is pure batch; the north rule requires watermark discipline.
+These wrappers put the batch semantics on a stream:
+
+* ``watermarked``         — event-time watermark (late-data bound)
+* ``stream_sessionize``   — native ``session_window`` gap sessions
+* ``stream_tumbling``     — tumbling window aggregate
+* ``stream_extract``      — per-microbatch feature extraction (the
+  extraction operator is stateless per row, so it lifts to streams as-is
+  via the same mapInPandas)
+
+All return streaming DataFrames; callers attach ``writeStream`` (tests use
+``trigger(availableNow=True)`` + memory sink). The same functions accept
+batch DataFrames (minus watermark) — one code path, two execution modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def watermarked(df: DataFrame, ts_col: str, delay: str = "1 hour") -> DataFrame:
+    return df.withWatermark(ts_col, delay) if df.isStreaming else df
+
+
+def stream_sessionize(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    agg_cols: dict | None = None,
+) -> DataFrame:
+    """Gap sessions via the native session_window (streaming-safe state).
+
+    Returns per-session rows: entity, session start/end, n_events (+extras).
+    """
+    src = watermarked(df, ts_col, watermark)
+    aggs = [F.count("*").alias("n_events")]
+    for name, col in (agg_cols or {}).items():
+        aggs.append(col.alias(name))
+    agg_names = ["n_events"] + list((agg_cols or {}).keys())
+    return (
+        src.groupBy(F.col(entity_col), F.session_window(F.col(ts_col), gap))
+        .agg(*aggs)
+        .select(
+            entity_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *[F.col(n) for n in agg_names],
+        )
+    )
+
+
+def stream_tumbling(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    width: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    src = watermarked(df, ts_col, watermark)
+    return (
+        src.groupBy(F.col(entity_col), F.window(F.col(ts_col), width))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            entity_col,
+            F.col("window.start").alias("window_start"),
+            F.col("n_events"),
+        )
+    )
+
+
+def stream_extract(df: DataFrame, keys, text_col: str = "text", settings=None) -> DataFrame:
+    """Feature extraction on a stream: stateless mapInPandas lifts directly."""
+    from pyradiomics_spark.operators.features import extract_features
+
+    return extract_features(df, tuple(keys), text_col, settings)

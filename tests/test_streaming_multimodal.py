@@ -1,0 +1,89 @@
+"""Streaming sessionize (availableNow trigger, memory sink) and multimodal
+binary plumbing."""
+
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pyradiomics_spark.streaming.sessions import (
+    stream_sessionize, stream_tumbling)
+from pyradiomics_spark.multimodal.binaryops import (
+    image_features, frame_sample_plan, decode_image)
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark):
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    pdf = pd.DataFrame({
+        "ent": ["a"] * 4 + ["b"] * 2,
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00", "2024-01-01 00:10",
+            "2024-01-01 02:00", "2024-01-01 02:05",
+            "2024-01-01 00:00", "2024-01-01 05:00"]),
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]})
+    spark.createDataFrame(pdf).write.parquet(f"{d}/data")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream(spark, df, name):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}").toPandas()
+
+
+def test_stream_sessionize_matches_batch(spark, event_dir):
+    schema = "ent string, ts timestamp, v double"
+    stream = spark.readStream.schema(schema).parquet(f"{event_dir}/data")
+    assert stream.isStreaming
+    sess = stream_sessionize(stream, "ent", "ts", gap="30 minutes")
+    out = _run_stream(spark, sess, "sess_out").sort_values(
+        ["ent", "session_start"]).reset_index(drop=True)
+    # entity a: two sessions (00:00-00:10, 02:00-02:05); b: two singletons
+    assert out[out.ent == "a"]["n_events"].tolist() == [2, 2]
+    assert out[out.ent == "b"]["n_events"].tolist() == [1, 1]
+
+    # batch parity: same function on the batch frame
+    batch = spark.read.parquet(f"{event_dir}/data")
+    bout = stream_sessionize(batch, "ent", "ts", gap="30 minutes").toPandas()
+    bout = bout.sort_values(["ent", "session_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, bout)
+
+
+def test_stream_tumbling(spark, event_dir):
+    schema = "ent string, ts timestamp, v double"
+    stream = spark.readStream.schema(schema).parquet(f"{event_dir}/data")
+    out = _run_stream(
+        spark, stream_tumbling(stream, "ent", "ts", width="1 hour"), "tumb_out")
+    a = out[out.ent == "a"].sort_values("window_start")
+    assert a["n_events"].tolist() == [2, 2]
+
+
+def test_image_features_deterministic(spark):
+    pdf = pd.DataFrame({
+        "img_id": [1, 2, 3],
+        "payload": [b"imagebytes-1", b"imagebytes-2", b"imagebytes-1"]})
+    df = spark.createDataFrame(pdf)
+    out = image_features(df, "img_id", fake=True).toPandas().sort_values("img_id")
+    assert (out["width"] == 8).all() and (out["channels"] == 3).all()
+    # identical payloads → identical fake decode → identical features
+    r1 = out[out.img_id == 1].iloc[0]
+    r3 = out[out.img_id == 3].iloc[0]
+    assert r1["mean_r"] == r3["mean_r"] and r1["std_gray"] == r3["std_gray"]
+
+
+def test_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"x", fake=False)
+
+
+def test_frame_sample_plan(spark):
+    pdf = pd.DataFrame({"vid": ["v1", "v2"], "n_frames": [100, 45]})
+    out = frame_sample_plan(
+        spark.createDataFrame(pdf), "vid", "n_frames", every_k=30).toPandas()
+    assert out[out.vid == "v1"]["frame_idx"].tolist() == [0, 30, 60, 90]
+    assert out[out.vid == "v2"]["frame_idx"].tolist() == [0, 30]
