@@ -31,8 +31,11 @@ FIRSTORDER_FEATURES = (
 
 
 def _central_moment(x: np.ndarray, k: int) -> float:
-    m = np.nanmean(x)
-    return float(np.nanmean((x - m) ** k))
+    # plain mean: the batch path never passes NaNs (validity is an explicit
+    # boolean mask applied before the kernel, unlike the reference's
+    # NaN-padded voxel mode)
+    m = x.mean()
+    return float(((x - m) ** k).mean())
 
 
 def firstorder_features(
@@ -59,17 +62,17 @@ def firstorder_features(
 
     c = voxel_array_shift
     shifted = x + c
-    energy = float(np.nansum(shifted ** 2))
+    energy = float(np.sum(shifted ** 2))
 
-    p10, p25, p50, p75, p90 = np.nanpercentile(x, [10, 25, 50, 75, 90])
-    mean = float(np.nanmean(x))
-    mn = float(np.nanmin(x))
-    mx = float(np.nanmax(x))
+    p10, p25, p50, p75, p90 = np.percentile(x, [10, 25, 50, 75, 90])
+    mean = float(x.mean())
+    mn = float(x.min())
+    mx = float(x.max())
 
     # Robust MAD: restrict to the closed [P10, P90] range (firstorder.py:301-331)
     robust = x[(x >= p10) & (x <= p90)]
     if robust.size:
-        rmad = float(np.nanmean(np.abs(robust - np.nanmean(robust))))
+        rmad = float(np.abs(robust - robust.mean()).mean())
     else:
         rmad = float("nan")
 
@@ -94,7 +97,7 @@ def firstorder_features(
         "Median": float(p50),
         "InterquartileRange": float(p75 - p25),
         "Range": mx - mn,
-        "MeanAbsoluteDeviation": float(np.nanmean(np.abs(x - mean))),
+        "MeanAbsoluteDeviation": float(np.abs(x - mean).mean()),
         "RobustMeanAbsoluteDeviation": rmad,
         "RootMeanSquared": float(np.sqrt(energy / n)),
         "Skewness": float(skewness),

@@ -69,7 +69,8 @@ def glcm_matrix(
     idx[gray_levels] = np.arange(gray_levels.size)
 
     na = len(distances)
-    P = np.zeros((gray_levels.size, gray_levels.size, na), dtype=np.float64)
+    G = gray_levels.size
+    P = np.zeros((G, G, na), dtype=np.float64)
     for a, d in enumerate(distances):
         d = int(d)
         if d <= 0 or d >= n:
@@ -78,7 +79,8 @@ def glcm_matrix(
         li = levels[:-d][both]
         lj = levels[d:][both]
         if li.size:
-            np.add.at(P[:, :, a], (idx[li], idx[lj]), 1.0)
+            flat = idx[li] * G + idx[lj]
+            P[:, :, a] = np.bincount(flat, minlength=G * G).reshape(G, G)
 
     if symmetric:
         P = P + P.transpose(1, 0, 2)
@@ -110,7 +112,12 @@ def glcm_features(
     weighting_norm: str | None = None,
     valid: np.ndarray | None = None,
 ) -> dict:
-    """All 24 active GLCM features, per-angle then nan-mean over angles."""
+    """All 24 active GLCM features, per-angle then mean over angles.
+
+    (The reference nan-means over angles; empty angles are already deleted
+    in glcm_matrix when >1 angle exists, and a single empty angle yields NaN
+    under both mean and nanmean — so plain mean is equivalent and faster.)
+    """
     P, gl, ng_max = glcm_matrix(levels, distances, symmetric, weighting_norm, valid)
     eps = EPS
     na = P.shape[2]
@@ -125,37 +132,42 @@ def glcm_features(
     ux = np.sum(i * P, axis=(0, 1), keepdims=True)  # (1,1,Na)
     uy = np.sum(j * P, axis=(0, 1), keepdims=True)
 
-    ij_sum = gl[:, None] + gl[None, :]        # (Ng,Ng)
-    ij_absdiff = np.abs(gl[:, None] - gl[None, :])
-    # p(x+y), p(x−y): (len(k), Na)
-    p_add = np.array([P[ij_sum == k, :].sum(axis=0) for k in k_sum])
-    p_sub = np.array([P[ij_absdiff == k, :].sum(axis=0) for k in k_diff])
+    # p(x+y), p(x−y): (len(k), Na) via index-bincount (k ranges over the
+    # FULL 2..2Ng / 0..Ng−1 grids even when levels are compacted)
+    sum_idx = (gl[:, None] + gl[None, :] - 2).astype(np.int64).ravel()
+    diff_idx = np.abs(gl[:, None] - gl[None, :]).astype(np.int64).ravel()
+    p_add = np.empty((k_sum.size, na))
+    p_sub = np.empty((k_diff.size, na))
+    for a in range(na):
+        flat = P[:, :, a].ravel()
+        p_add[:, a] = np.bincount(sum_idx, weights=flat, minlength=k_sum.size)
+        p_sub[:, a] = np.bincount(diff_idx, weights=flat, minlength=k_diff.size)
 
     HXY = -np.sum(P * np.log2(P + eps), axis=(0, 1))  # (Na,)
 
     out = {}
-    out["Autocorrelation"] = np.nanmean(np.sum(P * (i * j), axis=(0, 1)))
+    out["Autocorrelation"] = np.mean(np.sum(P * (i * j), axis=(0, 1)))
     out["JointAverage"] = float(np.mean(ux))
-    out["ClusterProminence"] = np.nanmean(np.sum(P * ((i + j) - ux - uy) ** 4, axis=(0, 1)))
-    out["ClusterShade"] = np.nanmean(np.sum(P * ((i + j) - ux - uy) ** 3, axis=(0, 1)))
-    out["ClusterTendency"] = np.nanmean(np.sum(P * ((i + j) - ux - uy) ** 2, axis=(0, 1)))
-    out["Contrast"] = np.nanmean(np.sum(P * np.abs(i - j) ** 2, axis=(0, 1)))
+    out["ClusterProminence"] = np.mean(np.sum(P * ((i + j) - ux - uy) ** 4, axis=(0, 1)))
+    out["ClusterShade"] = np.mean(np.sum(P * ((i + j) - ux - uy) ** 3, axis=(0, 1)))
+    out["ClusterTendency"] = np.mean(np.sum(P * ((i + j) - ux - uy) ** 2, axis=(0, 1)))
+    out["Contrast"] = np.mean(np.sum(P * np.abs(i - j) ** 2, axis=(0, 1)))
 
     sigx = np.sum(P * (i - ux) ** 2, axis=(0, 1), keepdims=True) ** 0.5
     sigy = np.sum(P * (j - uy) ** 2, axis=(0, 1), keepdims=True) ** 0.5
     corm = np.sum(P * (i - ux) * (j - uy), axis=(0, 1), keepdims=True)
     corr = corm / (sigx * sigy + eps)
     corr[sigx * sigy == 0] = 1  # flat per angle → 1 (glcm.py:409)
-    out["Correlation"] = float(np.nanmean(corr))
+    out["Correlation"] = float(np.mean(corr))
 
     diffavg = np.sum(k_diff[:, None] * p_sub, axis=0)
-    out["DifferenceAverage"] = float(np.nanmean(diffavg))
-    out["DifferenceEntropy"] = float(np.nanmean(-np.sum(p_sub * np.log2(p_sub + eps), axis=0)))
+    out["DifferenceAverage"] = float(np.mean(diffavg))
+    out["DifferenceEntropy"] = float(np.mean(-np.sum(p_sub * np.log2(p_sub + eps), axis=0)))
     out["DifferenceVariance"] = float(
-        np.nanmean(np.sum(p_sub * (k_diff[:, None] - diffavg[None, :]) ** 2, axis=0))
+        np.mean(np.sum(p_sub * (k_diff[:, None] - diffavg[None, :]) ** 2, axis=0))
     )
-    out["JointEnergy"] = float(np.nanmean(np.sum(P ** 2, axis=(0, 1))))
-    out["JointEntropy"] = float(np.nanmean(HXY))
+    out["JointEnergy"] = float(np.mean(np.sum(P ** 2, axis=(0, 1))))
+    out["JointEntropy"] = float(np.mean(HXY))
 
     HX = -np.sum(px * np.log2(px + eps), axis=(0, 1))
     HY = -np.sum(py * np.log2(py + eps), axis=(0, 1))
@@ -164,12 +176,12 @@ def glcm_features(
     div = np.fmax(HX, HY)
     imc1 = HXY - HXY1
     imc1 = np.where(div != 0, imc1 / np.where(div != 0, div, 1.0), 0.0)
-    out["Imc1"] = float(np.nanmean(imc1))
+    out["Imc1"] = float(np.mean(imc1))
     imc2 = (1 - np.exp(-2.0 * (HXY2 - HXY))) ** 0.5
     imc2 = np.where(HXY2 == HXY, 0.0, imc2)
-    out["Imc2"] = float(np.nanmean(imc2))
+    out["Imc2"] = float(np.mean(imc2))
 
-    out["Idm"] = float(np.nanmean(np.sum(p_sub / (1 + k_diff[:, None] ** 2), axis=0)))
+    out["Idm"] = float(np.mean(np.sum(p_sub / (1 + k_diff[:, None] ** 2), axis=0)))
 
     # MCC: second-largest eigenvalue of Q(i,j) = Σ_k p(i,k)p(j,k)/(px(i)py(k)+eps)
     if gl.size < 2:
@@ -184,15 +196,15 @@ def glcm_features(
             ev = np.linalg.eigvals(Q)
             ev.sort()
             mcc_vals[a] = np.real(np.sqrt(ev[-2]))
-        out["MCC"] = float(np.nanmean(mcc_vals))
+        out["MCC"] = float(np.mean(mcc_vals))
 
-    out["Idmn"] = float(np.nanmean(np.sum(p_sub / (1 + k_diff[:, None] ** 2 / ng_max ** 2), axis=0)))
-    out["Id"] = float(np.nanmean(np.sum(p_sub / (1 + k_diff[:, None]), axis=0)))
-    out["Idn"] = float(np.nanmean(np.sum(p_sub / (1 + k_diff[:, None] / ng_max), axis=0)))
-    out["InverseVariance"] = float(np.nanmean(np.sum(p_sub[1:, :] / k_diff[1:, None] ** 2, axis=0)))
-    out["MaximumProbability"] = float(np.nanmean(np.max(P, axis=(0, 1))))
-    out["SumAverage"] = float(np.nanmean(np.sum(k_sum[:, None] * p_add, axis=0)))
-    out["SumEntropy"] = float(np.nanmean(-np.sum(p_add * np.log2(p_add + eps), axis=0)))
-    out["SumSquares"] = float(np.nanmean(np.sum(P * (i - ux) ** 2, axis=(0, 1))))
+    out["Idmn"] = float(np.mean(np.sum(p_sub / (1 + k_diff[:, None] ** 2 / ng_max ** 2), axis=0)))
+    out["Id"] = float(np.mean(np.sum(p_sub / (1 + k_diff[:, None]), axis=0)))
+    out["Idn"] = float(np.mean(np.sum(p_sub / (1 + k_diff[:, None] / ng_max), axis=0)))
+    out["InverseVariance"] = float(np.mean(np.sum(p_sub[1:, :] / k_diff[1:, None] ** 2, axis=0)))
+    out["MaximumProbability"] = float(np.mean(np.max(P, axis=(0, 1))))
+    out["SumAverage"] = float(np.mean(np.sum(k_sum[:, None] * p_add, axis=0)))
+    out["SumEntropy"] = float(np.mean(-np.sum(p_add * np.log2(p_add + eps), axis=0)))
+    out["SumSquares"] = float(np.mean(np.sum(P * (i - ux) ** 2, axis=(0, 1))))
 
     return {k: float(v) for k, v in out.items()}

@@ -157,6 +157,14 @@ def extract_features(
     keys = tuple(keys)
     cols = list(keys) + [text_col]
     src = df.select(*cols)
+    # kernel-bound stage: if the scan has fewer splits than the cluster has
+    # slots (tiny files / single parquet row group), fan out first — one
+    # cheap shuffle of (keys, text) buys full task parallelism. Big inputs
+    # (many splits) skip this.
+    spark = df.sparkSession
+    slots = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < slots:
+        src = src.repartition(slots * 2)
     schema = extraction_schema(df, keys, settings)
     fcols = feature_columns(settings)
     image_types = settings.image_types

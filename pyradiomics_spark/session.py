@@ -24,6 +24,15 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cores, 32)
 
+    # Pin BLAS/OpenMP to 1 thread per Python worker — N workers × M-thread
+    # BLAS pools thrash badly (the reference pins SimpleITK the same way,
+    # scripts/segment.py:161). Kernels are tiny-matrix numpy; parallelism
+    # comes from Spark tasks, not BLAS. Must be set before the JVM/daemon
+    # forks so every worker inherits it.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
