@@ -479,6 +479,110 @@ def q_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("lang_pred").agg(F.count("*").alias("n_docs")).orderBy("lang_pred")
 
 
+def q_normalize_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-normalize + outlier clamp (imageoperations.py:615-654 semantics) on
+    token lengths per doc; aggregate the clamped values."""
+    t = _tokens(spark, sf_dir)
+    w = Window.partitionBy("doc_id")
+    z = t.withColumn(
+        "sd", F.stddev_pop("tok_len").over(w)
+    ).withColumn(
+        "z",
+        F.when(F.col("sd") > 0,
+               (F.col("tok_len") - F.avg("tok_len").over(w)) / F.col("sd"))
+        .otherwise(F.lit(0.0)),
+    ).withColumn("zc", F.greatest(F.least(F.col("z"), F.lit(2.0)), F.lit(-2.0)))
+    return z.groupBy("doc_id").agg(
+        F.round(F.sum("zc"), 6).alias("sum_z"),
+        F.round(F.max("zc"), 6).alias("max_z"),
+        F.sum(F.when(F.col("z") != F.col("zc"), 1).otherwise(0)).alias("n_clamped"),
+    ).orderBy("doc_id")
+
+
+def q_resegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resegmentation: re-filter ROI by group-derived sigma thresholds
+    (imageoperations.py:657-742, mode='sigma'): keep tokens within
+    mean ± 1σ per doc; report retained count + mean."""
+    t = _tokens(spark, sf_dir)
+    w = Window.partitionBy("doc_id")
+    b = t.withColumn("mu", F.avg("tok_len").over(w)).withColumn(
+        "sd", F.stddev_pop("tok_len").over(w))
+    kept = b.where(
+        (F.col("tok_len") >= F.col("mu") - F.col("sd"))
+        & (F.col("tok_len") <= F.col("mu") + F.col("sd")))
+    return kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.avg("tok_len"), 6).alias("mean_kept"),
+    ).orderBy("doc_id")
+
+
+def q_square_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally-rescaled square intensity transform
+    (imageoperations.py:973-994: x' = (x/√max|x|)², max preserved) as pure
+    SQL — per-doc global max via window."""
+    t = _tokens(spark, sf_dir)
+    w = Window.partitionBy("doc_id")
+    sq = t.withColumn("mx", F.max(F.abs(F.col("tok_len"))).over(w)).withColumn(
+        "xsq",
+        F.pow(F.col("tok_len") / F.sqrt(F.col("mx")), F.lit(2.0)),
+    )
+    return sq.groupBy("doc_id").agg(
+        F.round(F.sum("xsq"), 6).alias("sum_sq"),
+        F.round(F.max("xsq"), 6).alias("max_sq"),  # == max intensity
+    ).orderBy("doc_id")
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (the resume-ledger shape, SURVEY §2.1): customers with
+    no large (>300k) order."""
+    cust = _read(spark, sf_dir, "customer")
+    big = _read(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def q_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward-fill (future-looking; excluded from feature cuts): next
+    signup value per user at each event."""
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    masked = ev.withColumn(
+        "signup_value", F.when(F.col("event_type") == "signup", F.col("value")))
+    return masked.select(
+        "event_id", "user_id",
+        F.round(F.first("signup_value", ignorenulls=True).over(w), 6).alias(
+            "next_signup_value"),
+    ).orderBy("event_id")
+
+
+def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP multi-granularity aggregate (SURVEY §2.4 note)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy(F.col("event_type").asc_nulls_first())
+    )
+
+
+def q_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName of per-source aggregates (header-union analog,
+    SURVEY §2.7)."""
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.where(F.col("source") == "src0").groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.lit("src0").alias("source"))
+    b = docs.where(F.col("source") == "src1").groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.lit("src1").alias("source"))
+    return a.unionByName(b).orderBy("source", "lang")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit simhash signatures (xxhash64-based — no SQL twin, rows-only
     driver check; correctness covered by tests/test_dedup_similarity.py)."""
@@ -512,6 +616,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": q_winnowing,
         "knn_cosine": q_knn_cosine,
         "lang_detect": q_lang_detect,
+        "normalize_clamp": q_normalize_clamp,
+        "resegment": q_resegment,
+        "square_rescale": q_square_rescale,
+        "anti_join": q_anti_join,
+        "bfill": q_bfill,
+        "rollup_events": q_rollup_events,
+        "union_sources": q_union_sources,
         "simhash": q_simhash,
         "tpch_q1": q_tpch_q1,
         "top_customers": q_top_customers,
@@ -806,6 +917,75 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT doc_id, cand_lang FROM best WHERE rn = 1) b
               ON d.doc_id = b.doc_id
             GROUP BY lang_pred ORDER BY lang_pred
+        """,
+        "normalize_clamp": f"""
+            WITH z AS (
+              SELECT doc_id,
+                     CASE WHEN stddev_pop(tok_len) OVER w > 0
+                          THEN (tok_len - avg(tok_len) OVER w) / (stddev_pop(tok_len) OVER w)
+                          ELSE 0.0 END AS z
+              FROM ({tokens})
+              WINDOW w AS (PARTITION BY doc_id)
+            ), c AS (
+              SELECT doc_id, z, greatest(least(z, 2.0), -2.0) AS zc FROM z
+            )
+            SELECT doc_id, round(sum(zc), 6) AS sum_z,
+                   round(max(zc), 6) AS max_z,
+                   sum(CASE WHEN z <> zc THEN 1 ELSE 0 END) AS n_clamped
+            FROM c GROUP BY doc_id ORDER BY doc_id
+        """,
+        "resegment": f"""
+            WITH b AS (
+              SELECT doc_id, tok_len,
+                     avg(tok_len) OVER w AS mu,
+                     stddev_pop(tok_len) OVER w AS sd
+              FROM ({tokens})
+              WINDOW w AS (PARTITION BY doc_id)
+            )
+            SELECT doc_id, count(*) AS n_kept,
+                   round(avg(tok_len), 6) AS mean_kept
+            FROM b
+            WHERE tok_len >= mu - sd AND tok_len <= mu + sd
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "square_rescale": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     pow(tok_len / sqrt(max(abs(tok_len)) OVER (PARTITION BY doc_id)), 2.0) AS xsq
+              FROM ({tokens})
+            )
+            SELECT doc_id, round(sum(xsq), 6) AS sum_sq,
+                   round(max(xsq), 6) AS max_sq
+            FROM s GROUP BY doc_id ORDER BY doc_id
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 300000)
+            ORDER BY c_custkey
+        """,
+        "bfill": """
+            SELECT event_id, user_id,
+                   round(first_value(CASE WHEN event_type = 'signup' THEN value END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6)
+                     AS next_signup_value
+            FROM events ORDER BY event_id
+        """,
+        "rollup_events": """
+            SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY ROLLUP (event_type)
+            ORDER BY event_type NULLS FIRST
+        """,
+        "union_sources": """
+            SELECT lang, count(*) AS n_docs, 'src0' AS source
+            FROM documents WHERE source = 'src0' GROUP BY lang
+            UNION ALL
+            SELECT lang, count(*) AS n_docs, 'src1' AS source
+            FROM documents WHERE source = 'src1' GROUP BY lang
+            ORDER BY source, lang
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
