@@ -583,6 +583,31 @@ def q_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b).orderBy("source", "lang")
 
 
+def q_seqshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-shape descriptors (1-D shape-class analog) relationally:
+    ROI = tokens with length ≥ 3; span, compactness, run count via
+    gaps-and-islands over valid positions."""
+    t = _tokens(spark, sf_dir)
+    v = t.where(F.col("tok_len") >= 3)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = v.withColumn(
+        "chg",
+        F.when(
+            F.lag("pos", 1).over(w).isNull()
+            | (F.col("pos") - F.lag("pos", 1).over(w) > 1),
+            1,
+        ).otherwise(0),
+    )
+    return runs.groupBy("doc_id").agg(
+        F.count("*").alias("n_valid"),
+        F.min("pos").alias("span_start"),
+        F.max("pos").alias("span_end"),
+        F.round(F.count("*") / (F.max("pos") - F.min("pos") + 1), 6).alias(
+            "compactness"),
+        F.sum("chg").alias("n_runs"),
+    ).orderBy("doc_id")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit simhash signatures (xxhash64-based — no SQL twin, rows-only
     driver check; correctness covered by tests/test_dedup_similarity.py)."""
@@ -623,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfill": q_bfill,
         "rollup_events": q_rollup_events,
         "union_sources": q_union_sources,
+        "seqshape": q_seqshape,
         "simhash": q_simhash,
         "tpch_q1": q_tpch_q1,
         "top_customers": q_top_customers,
@@ -986,6 +1012,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs, 'src1' AS source
             FROM documents WHERE source = 'src1' GROUP BY lang
             ORDER BY source, lang
+        """,
+        "seqshape": f"""
+            WITH v AS (
+              SELECT doc_id, pos FROM ({tokens}) WHERE tok_len >= 3
+            ), runs AS (
+              SELECT doc_id, pos,
+                     CASE WHEN lag(pos) OVER w IS NULL
+                               OR pos - lag(pos) OVER w > 1
+                          THEN 1 ELSE 0 END AS chg
+              FROM v WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            )
+            SELECT doc_id, count(*) AS n_valid,
+                   min(pos) AS span_start, max(pos) AS span_end,
+                   round(count(*) / (max(pos) - min(pos) + 1.0), 6) AS compactness,
+                   sum(chg) AS n_runs
+            FROM runs GROUP BY doc_id ORDER BY doc_id
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

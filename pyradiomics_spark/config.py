@@ -15,7 +15,11 @@ from typing import Optional
 #: (``numpy.spacing(1)``, e.g. /root/reference/radiomics/firstorder.py:199).
 EPS = 2.220446049250313e-16
 
-ALL_FEATURE_CLASSES = ("firstorder", "glcm", "glrlm", "glszm", "ngtdm", "gldm")
+#: "seqshape" = 1-D shape analog (intensity-free; computed once per case on
+#: the 'original' image type only, like the reference's shape class)
+ALL_FEATURE_CLASSES = (
+    "firstorder", "glcm", "glrlm", "glszm", "ngtdm", "gldm", "seqshape",
+)
 
 #: Derived "image types": elementwise transforms with global rescale
 #: (reference imageoperations.py:973-1073), gradient magnitude (:1076-1091),

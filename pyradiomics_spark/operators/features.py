@@ -47,6 +47,7 @@ from pyradiomics_spark.kernels.gldm import GLDM_FEATURES
 from pyradiomics_spark.kernels.glrlm import GLRLM_FEATURES
 from pyradiomics_spark.kernels.glszm import GLSZM_FEATURES
 from pyradiomics_spark.kernels.ngtdm import NGTDM_FEATURES
+from pyradiomics_spark.kernels.seqshape import SEQSHAPE_FEATURES, seqshape_features
 
 CLASS_FEATURES = {
     "firstorder": FIRSTORDER_FEATURES,
@@ -55,6 +56,7 @@ CLASS_FEATURES = {
     "glszm": GLSZM_FEATURES,
     "ngtdm": NGTDM_FEATURES,
     "gldm": GLDM_FEATURES,
+    "seqshape": SEQSHAPE_FEATURES,
 }
 
 
@@ -94,6 +96,12 @@ def _extract_one(values: np.ndarray, settings: ExtractionSettings) -> dict:
                 out[f"{it}:{c}"] = float("nan")
         return out
 
+    # shape analog: intensity-free, computed ONCE per case, attached to the
+    # 'original' image type only (the reference computes shape once on the
+    # cropped original, featureextractor.py:356-360)
+    if "seqshape" in settings.feature_classes:
+        shape_feats = seqshape_features(np_total, valid)
+
     for it in settings.image_types:
         img = IMAGE_TRANSFORMS[it](values)
         roi = img[valid]
@@ -105,6 +113,12 @@ def _extract_one(values: np.ndarray, settings: ExtractionSettings) -> dict:
         vmask = valid
 
         for cls in settings.feature_classes:
+            if cls == "seqshape":
+                vals_ = shape_feats if it == "original" else {
+                    f: float("nan") for f in SEQSHAPE_FEATURES}
+                for f, v in vals_.items():
+                    out[f"{it}:seqshape_{f}"] = float(v)
+                continue
             try:
                 if cls == "firstorder":
                     feats = firstorder_features(

@@ -25,6 +25,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def is_catalog_table(target: str) -> bool:
+    """True if ``target`` names a catalog table (e.g. ``iceberg.db.tbl``)
+    rather than a filesystem path."""
+    return "/" not in target and target.count(".") >= 1
+
+
+def write_table(df: DataFrame, target: str, mode: str = "append") -> None:
+    """Format-gated sink: Iceberg ``writeTo`` (snapshot-committed, exactly
+    the checkpoint discipline the north rule names) when ``target`` is a
+    catalog table and the session has an Iceberg catalog configured; plain
+    parquet dir otherwise (this container ships no Iceberg jars — the
+    parquet path carries the same append-only resume semantics)."""
+    if is_catalog_table(target):
+        writer = df.writeTo(target)
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            writer.append()
+    else:
+        df.write.mode(mode).parquet(target)
+
+
+def read_table(spark: SparkSession, target: str) -> DataFrame:
+    return spark.table(target) if is_catalog_table(target) else spark.read.parquet(target)
+
+
 def table_exists(spark: SparkSession, path: str) -> bool:
     try:
         spark.read.parquet(path).schema

@@ -372,3 +372,36 @@ def test_gldm_alpha():
     # α=9: every neighbor is dependent → deps [1,2,2,1]
     P, iv, jv = gldm_matrix(levels, alpha=9.0)
     assert list(jv) == [2.0, 3.0]
+
+
+# ---------------- seqshape ----------------
+
+def test_seqshape_solid_mask():
+    from pyradiomics_spark.kernels.seqshape import seqshape_features
+    f = seqshape_features(10)
+    assert f["NTokens"] == 10
+    assert f["ValidFraction"] == 1.0
+    assert f["Compactness"] == 1.0
+    assert f["NRuns"] == 1
+    assert f["SpanLength"] == 10
+    assert f["CenterOfMass"] == pytest.approx(0.5)
+
+
+def test_seqshape_gappy_mask():
+    from pyradiomics_spark.kernels.seqshape import seqshape_features
+    valid = np.array([False, True, True, False, False, True, False, True])
+    f = seqshape_features(8, valid)
+    assert f["NTokens"] == 8
+    assert f["ValidFraction"] == 0.5
+    assert f["SpanStart"] == 1 and f["SpanEnd"] == 7
+    assert f["SpanLength"] == 7
+    assert f["NRuns"] == 3
+    assert f["MaxRunLength"] == 2
+    assert f["MeanRunLength"] == pytest.approx(4 / 3)
+    assert f["Compactness"] == pytest.approx(4 / 7)
+
+
+def test_seqshape_empty():
+    from pyradiomics_spark.kernels.seqshape import seqshape_features
+    f = seqshape_features(0)
+    assert all(np.isnan(v) for v in f.values())
