@@ -75,3 +75,22 @@ def test_goldens_cover_edge_docs():
     single = golden[golden.url == "short://doc"].iloc[0]
     assert single["diag_n_tokens"] == 1
     assert single["firstorder_Variance"] == 0.0
+
+
+def test_spark_matrices_match_golden(spark, fixture_df):
+    """Matrix-tier golden (the test_matrices.py analog, tolerance 1e-3 per
+    BASELINE.md row 2; ours are exact)."""
+    from pyradiomics_spark.operators.matrices import extract_matrices
+
+    golden = pd.read_parquet(os.path.join(GOLDEN_DIR, "golden_matrices.parquet"))
+    got = extract_matrices(
+        fixture_df, keys=("url", "warc_ts"), settings=CASES["doc_plain"]
+    ).toPandas()
+    key = ["url", "warc_ts", "matrix", "i", "j", "angle"]
+    golden["angle"] = golden["angle"].astype("int64")
+    got["angle"] = got["angle"].astype("int64")
+    g = golden.sort_values(key).reset_index(drop=True)
+    o = got[golden.columns].sort_values(key).reset_index(drop=True)
+    assert len(g) == len(o)
+    pd.testing.assert_frame_equal(o[key], g[key])
+    assert np.abs(o["value"].to_numpy() - g["value"].to_numpy()).max() < 1e-3

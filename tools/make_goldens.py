@@ -89,6 +89,25 @@ def compute_case(pages: pd.DataFrame, settings: ExtractionSettings) -> pd.DataFr
         + fcols)
 
 
+def compute_matrices(pages: pd.DataFrame, settings: ExtractionSettings) -> pd.DataFrame:
+    """Matrix-tier goldens (test_matrices.py analog): long-form matrices
+    computed driver-side with the numpy kernels."""
+    from pyradiomics_spark.kernels import discretize
+    from pyradiomics_spark.operators.matrices import _matrix_rows
+
+    rows = []
+    for _, r in pages.iterrows():
+        vals = text_to_intensity(r["text"] or "").astype(np.float64)
+        if vals.size == 0:
+            continue
+        levels = discretize(vals, settings.bin_width, settings.bin_count)
+        for m in _matrix_rows(levels, settings,
+                              ("glcm", "glrlm", "glszm", "ngtdm", "gldm")):
+            rows.append([r["url"], r["warc_ts"], m[0], m[1], m[2], m[3], m[4]])
+    return pd.DataFrame(
+        rows, columns=["url", "warc_ts", "matrix", "i", "j", "value", "angle"])
+
+
 def main() -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     pages = fixture_pages()
@@ -97,6 +116,9 @@ def main() -> None:
         out = compute_case(pages, settings)
         out.to_parquet(os.path.join(GOLDEN_DIR, f"golden_{case}.parquet"), index=False)
         print(f"{case}: {len(out)} rows × {len(out.columns)} cols")
+    mats = compute_matrices(pages, CASES["doc_plain"])
+    mats.to_parquet(os.path.join(GOLDEN_DIR, "golden_matrices.parquet"), index=False)
+    print(f"matrices: {len(mats)} rows")
 
 
 if __name__ == "__main__":
