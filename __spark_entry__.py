@@ -271,6 +271,62 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + filter + agg + top-k."""
+    cust = _read(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1995-03-15")
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join through region→nation→customer/supplier."""
+    region = _read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _read(spark, sf_dir, "nation")
+    cust = _read(spark, sf_dir, "customer")
+    sup = _read(spark, sf_dir, "supplier")
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01"))
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, (li.l_suppkey == sup.s_suppkey)
+              & (cust.c_nationkey == sup.s_nationkey))
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def q_fo_entropy_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document histogram entropy + uniformity of binned token lengths —
+    the firstorder Entropy/Uniformity formulas as relational aggregates."""
+    t = _tokens(spark, sf_dir)
+    w = Window.partitionBy("doc_id")
+    lv = t.withColumn(
+        "level",
+        F.floor(F.col("tok_len")) - F.floor(F.min("tok_len").over(w)) + 1)
+    hist = lv.groupBy("doc_id", "level").agg(F.count("*").alias("c"))
+    tot = Window.partitionBy("doc_id")
+    p = hist.withColumn("p", F.col("c") / F.sum("c").over(tot))
+    return p.groupBy("doc_id").agg(
+        F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("entropy"),
+        F.round(F.sum(F.col("p") * F.col("p")), 6).alias("uniformity"),
+    ).orderBy("doc_id")
+
+
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast join + agg + top-k (SURVEY §2.3/§2.6)."""
     orders = _read(spark, sf_dir, "orders")
@@ -651,6 +707,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seqshape": q_seqshape,
         "simhash": q_simhash,
         "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "fo_entropy_doc": q_fo_entropy_doc,
         "top_customers": q_top_customers,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
@@ -1040,6 +1099,45 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < '1995-03-15'
+              AND l_shipdate > '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+            GROUP BY n_name ORDER BY revenue DESC, n_name
+        """,
+        "fo_entropy_doc": f"""
+            WITH lv AS (
+              SELECT doc_id,
+                     floor(tok_len) - floor(min(tok_len) OVER (PARTITION BY doc_id)) + 1 AS level
+              FROM ({tokens})
+            ), hist AS (
+              SELECT doc_id, level, count(*) AS c FROM lv GROUP BY doc_id, level
+            ), p AS (
+              SELECT doc_id, c / sum(c) OVER (PARTITION BY doc_id) AS p FROM hist
+            )
+            SELECT doc_id, round(-sum(p * log2(p)), 6) AS entropy,
+                   round(sum(p * p), 6) AS uniformity
+            FROM p GROUP BY doc_id ORDER BY doc_id
         """,
         "top_customers": """
             WITH spend AS (
