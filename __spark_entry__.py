@@ -664,6 +664,27 @@ def q_seqshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_voxel_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voxel-mode analog (per-position feature map, base.py:200-245): rolling
+    histogram entropy over a ±2 token window, fully relational —
+    collect_list window + higher-order functions (no Python)."""
+    t = _tokens(spark, sf_dir)
+    w = Window.partitionBy("doc_id")
+    lv = t.withColumn(
+        "level", (F.col("tok_len") - F.min("tok_len").over(w) + 1).cast("int"))
+    frame = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-2, 2))
+    with_lst = lv.withColumn("lst", F.collect_list("level").over(frame))
+    n = F.size("lst")
+    p_of = lambda v: F.size(F.filter(F.col("lst"), lambda x: x == v)) / n  # noqa: E731
+    ent = -F.aggregate(
+        F.transform(F.array_distinct("lst"), lambda v: p_of(v) * F.log2(p_of(v))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    out = with_lst.select(
+        "doc_id", "pos", F.round(ent, 6).alias("roll_entropy"))
+    return out.where(F.col("doc_id") < 50).orderBy("doc_id", "pos")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit simhash signatures (xxhash64-based — no SQL twin, rows-only
     driver check; correctness covered by tests/test_dedup_similarity.py)."""
@@ -705,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_events": q_rollup_events,
         "union_sources": q_union_sources,
         "seqshape": q_seqshape,
+        "voxel_entropy": q_voxel_entropy,
         "simhash": q_simhash,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -1087,6 +1109,25 @@ def oracle_sql() -> dict[str, str]:
                    round(count(*) / (max(pos) - min(pos) + 1.0), 6) AS compactness,
                    sum(chg) AS n_runs
             FROM runs GROUP BY doc_id ORDER BY doc_id
+        """,
+        "voxel_entropy": f"""
+            WITH lv AS (
+              SELECT doc_id, pos,
+                     CAST(tok_len - min(tok_len) OVER (PARTITION BY doc_id) + 1 AS INT) AS level
+              FROM ({tokens})
+            ), w AS (
+              SELECT doc_id, pos,
+                     list(level) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS lst
+              FROM lv
+            )
+            SELECT doc_id, pos,
+                   round(-list_aggregate(
+                      list_transform(list_distinct(lst),
+                        v -> (len(list_filter(lst, x -> x = v)) * 1.0 / len(lst))
+                             * log2(len(list_filter(lst, x -> x = v)) * 1.0 / len(lst))),
+                      'sum'), 6) AS roll_entropy
+            FROM w WHERE doc_id < 50 ORDER BY doc_id, pos
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -119,3 +119,30 @@ def test_asof_plan_single_shuffle(frames):
     # union + one window partitioning: exactly one Exchange
     assert plan.count("Exchange hashpartitioning") == 1
     assert "ArrowEvalPython" not in plan  # fully JVM-side
+
+
+def test_asof_tolerance(frames, spark):
+    left, right, ldf, rdf = frames
+    out = asof_join(ldf, rdf, on="ent", left_ts="ts", right_ts="rts",
+                    tolerance_seconds=3600).toPandas()
+    got = {(r["ent"], r["lval"]): (None if pd.isna(r["rval"]) else r["rval"])
+           for _, r in out.iterrows()}
+    # a@12:00 matched a@10:00 (2h ago) — outside the 1h tolerance → null
+    assert got[("a", 2)] is None
+    # a@10:00 exact tie (0s) within tolerance
+    assert got[("a", 1)] == 10.0
+    # b@11:00 matched b@10:00 (1h exactly) → within
+    assert got[("b", 5)] == 30.0
+
+
+def test_asof_merge_forward_direction(frames):
+    left, right, ldf, rdf = frames
+    out = asof_join_merge(ldf, rdf, on="ent", left_ts="ts", right_ts="rts",
+                          direction="forward").toPandas()
+    got = {(r["ent"], r["lval"]): (None if pd.isna(r["rval"]) else r["rval"])
+           for _, r in out.iterrows()}
+    # forward: first right row with rts >= ts
+    assert got[("a", 1)] == 10.0   # exact tie
+    assert got[("a", 2)] == 20.0   # next at 13:00
+    assert got[("a", 3)] is None   # nothing after 2024-01-02
+    assert got[("b", 4)] == 30.0
