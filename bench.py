@@ -99,6 +99,28 @@ def main() -> None:
         _count(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
+    # full pipeline (BASELINE.md protocol): pages scan → extract → as-of
+    # cuts → sessionize → committed parquet snapshot
+    import shutil
+    import tempfile
+
+    from pyradiomics_spark.plans.demo import full_pipeline
+    from pyradiomics_spark.sources.pages import pages_df
+
+    tmp = tempfile.mkdtemp(prefix="bench_pipe_")
+    try:
+        pages = pages_df(spark, n_urls=1000,
+                         partitions=spark.sparkContext.defaultParallelism * 2)
+        t0 = time.time()
+        pipe_metrics = full_pipeline(pages, out_path=f"{tmp}/out")
+        timings["full_pipeline"] = round(time.time() - t0, 3)
+        result_pipe = {
+            "pipeline_rows": pipe_metrics["n_cuts"],
+            "pipeline_leaks": pipe_metrics["leak_violations"],
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     result = {
         "metric": "headline query wall-clock (flagship extraction + temporal + relational) at sf",
         "value": round(sum(timings.values()), 3),
@@ -108,6 +130,7 @@ def main() -> None:
         "fv_rows": n_fv,
         "fv_per_sec": round(fv_per_sec, 1),
         "cores": cpus,
+        **result_pipe,
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING"):

@@ -41,6 +41,28 @@ def _as_list(x) -> list:
     return [x] if isinstance(x, str) else list(x)
 
 
+def asof_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    left_ts: str,
+    right_ts: str,
+    allow_exact_matches: bool = True,
+    avg_group_rows: int | None = None,
+) -> DataFrame:
+    """Physical-strategy dispatch. Measured head-to-head (BENCH context):
+    the union+window form wins across payload widths up to ~100 columns —
+    one window pass, whole-stage codegen, no per-group Python overhead. The
+    cogrouped merge_asof kernel only wins when per-key groups are LARGE
+    (≥ ~10k rows/key), where one Arrow pass beats many window fills; with
+    small groups its per-group pandas overhead (~10 ms × n_keys) dominates.
+    Callers that know their group sizes pass ``avg_group_rows``."""
+    if avg_group_rows is not None and avg_group_rows >= 10_000:
+        return asof_join_merge(left, right, on, left_ts, right_ts,
+                               allow_exact_matches)
+    return asof_join(left, right, on, left_ts, right_ts, allow_exact_matches)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -107,3 +107,13 @@ def test_cli_end_to_end(spark, pages, tmp_path):
     out = spark.read.parquet(outp)
     assert out.count() == pages.count() * 2  # two image types
     assert "glcm_Contrast" in out.columns
+
+
+def test_full_pipeline_demo(spark, pages, tmp_path):
+    from pyradiomics_spark.plans.demo import full_pipeline
+
+    m = full_pipeline(pages, out_path=str(tmp_path / "out"))
+    assert m["n_pages"] == pages.count()
+    assert m["n_cuts"] > 0
+    assert m["n_sessions"] >= pages.select("url").distinct().count()
+    assert m["leak_violations"] == 0
