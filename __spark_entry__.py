@@ -664,6 +664,78 @@ def q_seqshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _doc_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 1-based gray levels with bin_width=1 (level = len − min + 1),
+    matching kernels.binning.discretize exactly on the integer grid."""
+    t = _tokens(spark, sf_dir)
+    w = Window.partitionBy("doc_id")
+    return t.withColumn(
+        "level", (F.col("tok_len") - F.min("tok_len").over(w) + 1).cast("long"))
+
+
+def q_glcm_contrast_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL GLCM Contrast feature per doc, relationally: lag pairs →
+    Σ p(i,j)·(i−j)². Symmetrization is a no-op for Contrast ((i−j)² is
+    symmetric), so the directed normalized matrix gives the same value as
+    the kernel's symmetric one — cross-checked in tests/test_relational_features.py."""
+    lv = _doc_levels(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = lv.withColumn("nxt", F.lead("level", 1).over(w)).where(
+        F.col("nxt").isNotNull())
+    return pairs.groupBy("doc_id").agg(
+        F.round(
+            F.sum((F.col("level") - F.col("nxt")) ** 2) / F.count("*"), 6
+        ).alias("glcm_contrast")
+    ).orderBy("doc_id")
+
+
+def q_glrlm_sre_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL GLRLM ShortRunEmphasis per doc, relationally: sessionize runs →
+    Σ pr(j)/j² / Nr."""
+    lv = _doc_levels(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = lv.withColumn(
+        "chg",
+        F.when(F.lag("level", 1).over(w).isNull()
+               | (F.lag("level", 1).over(w) != F.col("level")), 1).otherwise(0))
+    runs = flagged.withColumn(
+        "run_id", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    run_tbl = runs.groupBy("doc_id", "run_id").agg(F.count("*").alias("run_len"))
+    return run_tbl.groupBy("doc_id").agg(
+        F.round(
+            F.sum(1.0 / (F.col("run_len") * F.col("run_len"))) / F.count("*"), 6
+        ).alias("glrlm_sre")
+    ).orderBy("doc_id")
+
+
+def q_ngtdm_coarseness_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL NGTDM Coarseness per doc, relationally: neighbor-mean windows →
+    n_i/s_i per level → 1/Σ pᵢsᵢ (1e6 for homogeneous docs,
+    ngtdm.py:149-150)."""
+    lv = _doc_levels(spark, sf_dir)
+    wf = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-1, 1)
+    terms = lv.withColumn(
+        "nbr_mean",
+        F.when(F.count("level").over(wf) > 1,
+               (F.sum("level").over(wf) - F.col("level"))
+               / (F.count("level").over(wf) - 1)))
+    per_level = terms.where(F.col("nbr_mean").isNotNull()).groupBy(
+        "doc_id", "level").agg(
+        F.count("*").alias("n_i"),
+        F.sum(F.abs(F.col("level") - F.col("nbr_mean"))).alias("s_i"))
+    tot = Window.partitionBy("doc_id")
+    per_doc = per_level.withColumn(
+        "nvp", F.sum("n_i").over(tot)
+    ).groupBy("doc_id").agg(
+        F.sum(F.col("n_i") / F.col("nvp") * F.col("s_i")).alias("denom"))
+    return per_doc.select(
+        "doc_id",
+        F.round(
+            F.when(F.col("denom") != 0, 1.0 / F.col("denom")).otherwise(1e6), 6
+        ).alias("ngtdm_coarseness"),
+    ).orderBy("doc_id")
+
+
 def q_voxel_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Voxel-mode analog (per-position feature map, base.py:200-245): rolling
     histogram entropy over a ±2 token window, fully relational —
@@ -727,6 +799,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_sources": q_union_sources,
         "seqshape": q_seqshape,
         "voxel_entropy": q_voxel_entropy,
+        "glcm_contrast_doc": q_glcm_contrast_doc,
+        "glrlm_sre_doc": q_glrlm_sre_doc,
+        "ngtdm_coarseness_doc": q_ngtdm_coarseness_doc,
         "simhash": q_simhash,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -1128,6 +1203,77 @@ def oracle_sql() -> dict[str, str]:
                              * log2(len(list_filter(lst, x -> x = v)) * 1.0 / len(lst))),
                       'sum'), 6) AS roll_entropy
             FROM w WHERE doc_id < 50 ORDER BY doc_id, pos
+        """,
+        "glcm_contrast_doc": f"""
+            WITH lv AS (
+              SELECT doc_id, pos,
+                     tok_len - min(tok_len) OVER (PARTITION BY doc_id) + 1 AS level
+              FROM ({tokens})
+            ), pairs AS (
+              SELECT doc_id, level,
+                     lead(level) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+              FROM lv
+            )
+            SELECT doc_id,
+                   round(sum((level - nxt) * (level - nxt)) * 1.0 / count(*), 6)
+                     AS glcm_contrast
+            FROM pairs WHERE nxt IS NOT NULL
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "glrlm_sre_doc": f"""
+            WITH lv AS (
+              SELECT doc_id, pos,
+                     tok_len - min(tok_len) OVER (PARTITION BY doc_id) + 1 AS level
+              FROM ({tokens})
+            ), flagged AS (
+              SELECT doc_id, pos, level,
+                     CASE WHEN lag(level) OVER w IS NULL
+                               OR lag(level) OVER w <> level
+                          THEN 1 ELSE 0 END AS chg
+              FROM lv WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), runs AS (
+              SELECT doc_id,
+                     sum(chg) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS run_id
+              FROM flagged
+            ), run_tbl AS (
+              SELECT doc_id, run_id, count(*) AS run_len
+              FROM runs GROUP BY doc_id, run_id
+            )
+            SELECT doc_id,
+                   round(sum(1.0 / (run_len * run_len)) / count(*), 6) AS glrlm_sre
+            FROM run_tbl GROUP BY doc_id ORDER BY doc_id
+        """,
+        "ngtdm_coarseness_doc": f"""
+            WITH lv AS (
+              SELECT doc_id, pos,
+                     tok_len - min(tok_len) OVER (PARTITION BY doc_id) + 1 AS level
+              FROM ({tokens})
+            ), terms AS (
+              SELECT doc_id, level,
+                     CASE WHEN count(level) OVER w > 1
+                          THEN (sum(level) OVER w - level) / (count(level) OVER w - 1)
+                     END AS nbr_mean
+              FROM lv
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+            ), per_level AS (
+              SELECT doc_id, level, count(*) AS n_i,
+                     sum(abs(level - nbr_mean)) AS s_i
+              FROM terms WHERE nbr_mean IS NOT NULL
+              GROUP BY doc_id, level
+            ), with_nvp AS (
+              SELECT doc_id, n_i, s_i,
+                     sum(n_i) OVER (PARTITION BY doc_id) AS nvp
+              FROM per_level
+            ), agg AS (
+              SELECT doc_id, sum(n_i * 1.0 / nvp * s_i) AS denom
+              FROM with_nvp GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   round(CASE WHEN denom <> 0 THEN 1.0 / denom ELSE 1e6 END, 6)
+                     AS ngtdm_coarseness
+            FROM agg ORDER BY doc_id
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
