@@ -175,10 +175,11 @@ def extract_features(
     # slots (tiny files / single parquet row group), fan out first — one
     # cheap shuffle of (keys, text) buys full task parallelism. Big inputs
     # (many splits) skip this.
-    spark = df.sparkSession
-    slots = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < slots:
-        src = src.repartition(slots * 2)
+    if not df.isStreaming:  # streams parallelize per micro-batch source split
+        spark = df.sparkSession
+        slots = spark.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < slots:
+            src = src.repartition(slots * 2)
     schema = extraction_schema(df, keys, settings)
     fcols = feature_columns(settings)
     image_types = settings.image_types

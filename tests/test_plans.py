@@ -1,0 +1,73 @@
+"""Physical-plan hygiene: predicate pushdown, column pruning, broadcast
+joins — the Catalyst properties the engine relies on at 100 TB
+(SURVEY.md §4). These assert on .explain output so regressions that
+silently de-optimize the plan fail loudly."""
+
+import pytest
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.where(F.col("l_shipdate") <= "1998-09-02").select("l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or \
+           "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.select("l_quantity", "l_returnflag")
+    plan = _plan(q)
+    # ReadSchema carries only the projected columns
+    assert "l_quantity" in plan and "l_extendedprice" not in plan.split("ReadSchema")[1]
+
+
+def test_broadcast_join_in_topcustomers(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_top_customers(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_extraction_prunes_to_keys_and_text(spark):
+    from pyradiomics_spark.operators.features import extract_features
+    from pyradiomics_spark.sources.pages import pages_pdf, PAGES_SCHEMA
+
+    pages = spark.createDataFrame(pages_pdf(3), schema=PAGES_SCHEMA)
+    out = extract_features(pages, keys=("url", "warc_ts"))
+    plan = _plan(out)
+    # the heavy html binary column must NOT cross the Arrow boundary
+    assert "html" not in plan
+
+
+def test_asof_whole_stage_codegen(spark):
+    import pandas as pd
+    from pyradiomics_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame(pd.DataFrame({
+        "k": ["a"], "ts": [pd.Timestamp("2024-01-01")], "x": [1.0]}))
+    r = spark.createDataFrame(pd.DataFrame({
+        "k": ["a"], "rts": [pd.Timestamp("2024-01-01")], "y": [2.0]}))
+    plan = _plan(asof_join(l, r, "k", "ts", "rts"))
+    # fully JVM-side: union → one Exchange → Sort → Window → Filter/Project
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Window" in plan and "Exchange hashpartitioning" in plan
+
+
+def test_minhash_single_aggregate_stage(spark):
+    """The k min-hashes must be ONE groupBy (k aggregates), not k passes."""
+    from pyradiomics_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(minhash_signatures(docs, "doc_id", "text", num_hashes=16))
+    # one (partial+final) hash aggregate pair over the shingles
+    assert plan.count("HashAggregate") <= 4

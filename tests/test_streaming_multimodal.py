@@ -87,3 +87,26 @@ def test_frame_sample_plan(spark):
         spark.createDataFrame(pdf), "vid", "n_frames", every_k=30).toPandas()
     assert out[out.vid == "v1"]["frame_idx"].tolist() == [0, 30, 60, 90]
     assert out[out.vid == "v2"]["frame_idx"].tolist() == [0, 30]
+
+
+def test_stream_extract(spark, event_dir, tmp_path):
+    """Feature extraction lifts to streams unchanged (stateless mapInPandas)."""
+    import pandas as pd
+    from pyradiomics_spark.config import ExtractionSettings
+    from pyradiomics_spark.streaming.sessions import stream_extract
+    from pyradiomics_spark.sources.pages import pages_pdf, PAGES_SCHEMA
+
+    src_dir = str(tmp_path / "pages_stream")
+    spark.createDataFrame(pages_pdf(4), schema=PAGES_SCHEMA).write.parquet(src_dir)
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src_dir)
+    out = stream_extract(
+        stream, keys=("url", "warc_ts"),
+        settings=ExtractionSettings(bin_width=1.0, feature_classes=("firstorder",)))
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("feat_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from feat_stream").toPandas()
+    assert len(got) == spark.read.parquet(src_dir).count()
+    assert "firstorder_Mean" in got.columns
+    assert got["firstorder_Mean"].notna().all()
