@@ -76,6 +76,20 @@ def extract_text_series(html: pd.Series) -> pd.Series:
     return html.map(extract_text)
 
 
+def with_extracted_text(df, html_col: str = "html", out_col: str = "text"):
+    """Add the extracted-text column via an Arrow-vectorized pandas UDF —
+    the engine's image-loader stage (featureextractor.py:431-442 analog).
+    Deterministic and executor-independent ⇒ byte-identical per url
+    (north-rule invariant; pinned by tests/test_text_invariant.py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _extract(html: pd.Series) -> pd.Series:
+        return extract_text_series(html)
+
+    return df.withColumn(out_col, _extract(html_col))
+
+
 def tokenize(text: str, tokenizer: str = "whitespace") -> list:
     if not text:
         return []

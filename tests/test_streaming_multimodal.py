@@ -110,3 +110,36 @@ def test_stream_extract(spark, event_dir, tmp_path):
     assert len(got) == spark.read.parquet(src_dir).count()
     assert "firstorder_Mean" in got.columns
     assert got["firstorder_Mean"].notna().all()
+
+
+def test_stateful_running_stats(spark, tmp_path):
+    """applyInPandasWithState: state survives across micro-batches — feed
+    two parquet files as two batches, final state equals the batch aggregate."""
+    import pandas as pd
+    import numpy as np
+    from pyradiomics_spark.streaming.stateful import (
+        running_entity_stats, batch_entity_stats)
+
+    src = str(tmp_path / "stateful_src")
+    b1 = pd.DataFrame({"ent": ["a", "a", "b"], "value": [1.0, 2.0, 10.0]})
+    b2 = pd.DataFrame({"ent": ["a", "b", "b"], "value": [3.0, 20.0, 30.0]})
+    spark.createDataFrame(b1).write.parquet(src)
+    spark.createDataFrame(b2).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("ent string, value double") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    out = running_entity_stats(stream)
+    q = (out.writeStream.format("memory").queryName("run_stats")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select * from run_stats").toPandas()
+    # final running state = the row with the largest cnt per entity
+    # (cnt is monotone; positional 'last' would depend on sink row order)
+    final = got.sort_values("cnt").groupby("entity").last()
+    expect = batch_entity_stats(
+        spark.read.parquet(src)).toPandas().set_index("entity")
+    for ent in ("a", "b"):
+        assert final.loc[ent, "cnt"] == expect.loc[ent, "cnt"]
+        assert final.loc[ent, "mean"] == pytest.approx(expect.loc[ent, "mean"])
+        assert final.loc[ent, "m2"] == pytest.approx(expect.loc[ent, "m2"])
