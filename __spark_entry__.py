@@ -757,6 +757,25 @@ def q_voxel_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("doc_id") < 50).orderBy("doc_id", "pos")
 
 
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs by exact cosine ≥ 0.35 (builtin zip_with +
+    aggregate array math, no UDF); all-pairs form for oracle parity (the
+    LSH-bucketed variant in operators.dedup is the scale path)."""
+    from pyradiomics_spark.operators.similarity import cosine_expr
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .where(F.col("cosine") >= 0.35)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit simhash signatures (xxhash64-based — no SQL twin, rows-only
     driver check; correctness covered by tests/test_dedup_similarity.py)."""
@@ -802,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "glcm_contrast_doc": q_glcm_contrast_doc,
         "glrlm_sre_doc": q_glrlm_sre_doc,
         "ngtdm_coarseness_doc": q_ngtdm_coarseness_doc,
+        "embedding_dedup": q_embedding_dedup,
         "simhash": q_simhash,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -1274,6 +1294,17 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN denom <> 0 THEN 1.0 / denom ELSE 1e6 END, 6)
                      AS ngtdm_coarseness
             FROM agg ORDER BY doc_id
+        """,
+        "embedding_dedup": """
+            WITH emb AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+            ORDER BY id_a, id_b
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
