@@ -12,9 +12,56 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import os
+import sys
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+_PYFILES_SENT = set()
+
+def _rnd(col, n: int):
+    """Engine-agnostic HALF-UP rounding: floor(x·10ⁿ + 0.5)/10ⁿ. Spark's
+    round() is HALF_UP but DuckDB's is banker's — values landing exactly on
+    a rounding boundary (dyadic ratios of small counts) would hash-mismatch.
+    This floor form is identical IEEE-double arithmetic in both engines and
+    also normalizes -0.0 to 0.0."""
+    if isinstance(col, str):
+        col = F.col(col)
+    p = float(10 ** n)
+    # 0.5 + 2⁻²⁰: engines may disagree by 1 ulp in aggregation order, and
+    # count-ratios land EXACTLY on the .5 boundary (dyadic values like
+    # 0.2728125). The dyadic shift moves the boundary to (2¹⁹−1)/2²⁰, which
+    # no ratio with denominator < 2²⁰ can hit, while absorbing ulp noise.
+    return F.floor(col * p + F.lit(0.50000095367431640625)) / p
+
+
+
+
+def _ensure_package(spark: SparkSession) -> None:
+    """Ship pyradiomics_spark to executors via addPyFile — insurance for
+    harnesses whose Python workers don't inherit the repo on sys.path."""
+    sid = id(spark.sparkContext)
+    if sid in _PYFILES_SENT:
+        return
+    _PYFILES_SENT.add(sid)
+    try:
+        import shutil
+        import tempfile
+
+        zip_base = os.path.join(tempfile.gettempdir(), "pyradiomics_spark_pkg")
+        zip_path = zip_base + ".zip"
+        if not os.path.exists(zip_path):
+            shutil.make_archive(
+                zip_base, "zip", root_dir=_REPO_ROOT, base_dir="pyradiomics_spark")
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # local sessions already see the repo; never fail the query
 
 
 # --------------------------------------------------------------------------
@@ -24,6 +71,7 @@ from pyspark.sql.window import Window
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: extract the full
     first-order + texture feature vector per document."""
+    _ensure_package(spark)
     from pyradiomics_spark.config import ExtractionSettings
     from pyradiomics_spark.operators.features import extract_features
 
@@ -74,10 +122,10 @@ def q_fo_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("tok_len").alias("min_len"),
         F.max("tok_len").alias("max_len"),
         F.sum("tok_len").alias("sum_len"),
-        F.round(F.avg("tok_len"), 6).alias("mean_len"),
+        _rnd(F.avg("tok_len"), 6).alias("mean_len"),
         F.sum(F.col("tok_len") * F.col("tok_len")).alias("energy"),
-        F.round(F.sqrt(F.avg(F.col("tok_len") * F.col("tok_len"))), 6).alias("rms"),
-        F.round(F.var_pop("tok_len"), 6).alias("variance"),
+        _rnd(F.sqrt(F.avg(F.col("tok_len") * F.col("tok_len"))), 6).alias("rms"),
+        _rnd(F.var_pop("tok_len"), 6).alias("variance"),
     ).orderBy("doc_id")
 
 
@@ -112,7 +160,7 @@ def q_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = hist.withColumn("p", F.col("c") / F.sum("c").over(tot))
     return (
         p.groupBy("lang")
-        .agg(F.round(-F.sum(F.col("p") * F.log2(F.col("p"))), 6).alias("entropy"))
+        .agg((_rnd(-F.sum(F.col("p") * F.log2(F.col("p"))), 6) + F.lit(0.0)).alias("entropy"))
         .orderBy("lang")
     )
 
@@ -187,7 +235,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_sess.groupBy("user_id")
         .agg(
             F.count("*").alias("n_sessions"),
-            F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
+            _rnd(F.avg("n_events"), 6).alias("avg_events_per_session"),
             F.max("n_events").alias("max_session_events"),
         )
         .orderBy("user_id")
@@ -201,8 +249,8 @@ def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ev.select(
         "event_id",
         "user_id",
-        F.round(F.col("value") - F.lag("value", 1).over(w), 6).alias("delta_prev"),
-        F.round(F.lead("value", 1).over(w) - F.col("value"), 6).alias("delta_next"),
+        _rnd(F.col("value") - F.lag("value", 1).over(w), 6).alias("delta_prev"),
+        _rnd(F.lead("value", 1).over(w) - F.col("value"), 6).alias("delta_next"),
     )
     return out.orderBy("event_id")
 
@@ -223,7 +271,7 @@ def q_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return masked.select(
         "event_id",
         "user_id",
-        F.round(F.last("purchase_value", ignorenulls=True).over(w), 6).alias(
+        _rnd(F.last("purchase_value", ignorenulls=True).over(w), 6).alias(
             "last_purchase_value"
         ),
     ).orderBy("event_id")
@@ -248,7 +296,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id",
         F.col("signup_ts"),
-        F.round("signup_value", 6).alias("signup_value"),
+        _rnd("signup_value", 6).alias("signup_value"),
     ).orderBy("event_id")
 
 
@@ -259,12 +307,10 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            _rnd(F.sum("l_quantity"), 4).alias("sum_qty"),
+            _rnd(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            _rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            _rnd(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -280,7 +326,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+        .agg(_rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
              .alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -304,7 +350,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+        .agg(_rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
              .alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
@@ -322,8 +368,8 @@ def q_fo_entropy_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = Window.partitionBy("doc_id")
     p = hist.withColumn("p", F.col("c") / F.sum("c").over(tot))
     return p.groupBy("doc_id").agg(
-        F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("entropy"),
-        F.round(F.sum(F.col("p") * F.col("p")), 6).alias("uniformity"),
+        (_rnd(-F.sum(F.col("p") * F.log2("p")), 6) + F.lit(0.0)).alias("entropy"),
+        _rnd(F.sum(F.col("p") * F.col("p")), 6).alias("uniformity"),
     ).orderBy("doc_id")
 
 
@@ -332,7 +378,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _read(spark, sf_dir, "orders")
     cust = _read(spark, sf_dir, "customer")
     spend = orders.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+        _rnd(F.sum("o_totalprice"), 4).alias("total_spend"),
         F.count("*").alias("n_orders"),
     )
     return (
@@ -365,10 +411,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.avg("tok_len"), 6).alias("mean_tok_len"),
-            F.round(
-                F.avg(F.when(F.col("tok").isin(stop), 1.0).otherwise(0.0)), 6
-            ).alias("stopword_ratio"),
+            _rnd(F.avg("tok_len"), 6).alias("mean_tok_len"),
+            _rnd(F.avg(F.when(F.col("tok").isin(stop), 1.0).otherwise(0.0)), 6).alias("stopword_ratio"),
             F.count_distinct("tok").alias("n_distinct_tokens"),
         )
         .orderBy("doc_id")
@@ -394,7 +438,7 @@ def q_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.select(
         "event_id", "user_id", F.col("signup_ts"),
-        F.round("signup_value", 6).alias("signup_value"),
+        _rnd("signup_value", 6).alias("signup_value"),
     ).orderBy("event_id")
 
 
@@ -408,7 +452,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            _rnd(F.sum("value"), 6).alias("sum_value"),
         )
         .orderBy("user_id", "hour_start")
     )
@@ -423,10 +467,10 @@ def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rolling_firstorder(ev, "user_id", ["ts", "event_id"], "value", radius=2)
     return out.select(
         "event_id", "user_id",
-        F.round("roll_mean", 6).alias("roll_mean"),
+        _rnd("roll_mean", 6).alias("roll_mean"),
         F.col("roll_count").alias("roll_count"),
-        F.round("roll_var", 6).alias("roll_var"),
-        F.round("roll_energy", 6).alias("roll_energy"),
+        _rnd("roll_var", 6).alias("roll_var"),
+        _rnd("roll_energy", 6).alias("roll_energy"),
     ).orderBy("event_id")
 
 
@@ -443,7 +487,7 @@ def q_ngtdm_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("level")
         .agg(
             F.count("*").alias("n_i"),
-            F.round(F.sum("abs_diff"), 6).alias("s_i"),
+            _rnd(F.sum("abs_diff"), 6).alias("s_i"),
         )
         .orderBy("level")
     )
@@ -521,7 +565,7 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = brute_force_topk(emb, queries, k=3)
     return out.select(
-        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+        "query_id", "vec_id", _rnd("cosine", 6).alias("cosine"), "rank"
     ).orderBy("query_id", "rank")
 
 
@@ -549,8 +593,8 @@ def q_normalize_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0)),
     ).withColumn("zc", F.greatest(F.least(F.col("z"), F.lit(2.0)), F.lit(-2.0)))
     return z.groupBy("doc_id").agg(
-        F.round(F.sum("zc"), 6).alias("sum_z"),
-        F.round(F.max("zc"), 6).alias("max_z"),
+        (_rnd(F.sum("zc"), 6) + F.lit(0.0)).alias("sum_z"),
+        (_rnd(F.max("zc"), 6) + F.lit(0.0)).alias("max_z"),
         F.sum(F.when(F.col("z") != F.col("zc"), 1).otherwise(0)).alias("n_clamped"),
     ).orderBy("doc_id")
 
@@ -568,7 +612,7 @@ def q_resegment(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("tok_len") <= F.col("mu") + F.col("sd")))
     return kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),
-        F.round(F.avg("tok_len"), 6).alias("mean_kept"),
+        _rnd(F.avg("tok_len"), 6).alias("mean_kept"),
     ).orderBy("doc_id")
 
 
@@ -583,8 +627,8 @@ def q_square_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pow(F.col("tok_len") / F.sqrt(F.col("mx")), F.lit(2.0)),
     )
     return sq.groupBy("doc_id").agg(
-        F.round(F.sum("xsq"), 6).alias("sum_sq"),
-        F.round(F.max("xsq"), 6).alias("max_sq"),  # == max intensity
+        _rnd(F.sum("xsq"), 6).alias("sum_sq"),
+        _rnd(F.max("xsq"), 6).alias("max_sq"),  # == max intensity
     ).orderBy("doc_id")
 
 
@@ -613,7 +657,7 @@ def q_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "signup_value", F.when(F.col("event_type") == "signup", F.col("value")))
     return masked.select(
         "event_id", "user_id",
-        F.round(F.first("signup_value", ignorenulls=True).over(w), 6).alias(
+        _rnd(F.first("signup_value", ignorenulls=True).over(w), 6).alias(
             "next_signup_value"),
     ).orderBy("event_id")
 
@@ -623,7 +667,7 @@ def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     return (
         ev.rollup("event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count("*").alias("n"), _rnd(F.sum("value"), 4).alias("sum_value"))
         .orderBy(F.col("event_type").asc_nulls_first())
     )
 
@@ -658,7 +702,7 @@ def q_seqshape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_valid"),
         F.min("pos").alias("span_start"),
         F.max("pos").alias("span_end"),
-        F.round(F.count("*") / (F.max("pos") - F.min("pos") + 1), 6).alias(
+        _rnd(F.count("*") / (F.max("pos") - F.min("pos") + 1), 6).alias(
             "compactness"),
         F.sum("chg").alias("n_runs"),
     ).orderBy("doc_id")
@@ -683,9 +727,7 @@ def q_glcm_contrast_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lv.withColumn("nxt", F.lead("level", 1).over(w)).where(
         F.col("nxt").isNotNull())
     return pairs.groupBy("doc_id").agg(
-        F.round(
-            F.sum((F.col("level") - F.col("nxt")) ** 2) / F.count("*"), 6
-        ).alias("glcm_contrast")
+        _rnd(F.sum((F.col("level") - F.col("nxt")) ** 2) / F.count("*"), 6).alias("glcm_contrast")
     ).orderBy("doc_id")
 
 
@@ -702,9 +744,7 @@ def q_glrlm_sre_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "run_id", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
     run_tbl = runs.groupBy("doc_id", "run_id").agg(F.count("*").alias("run_len"))
     return run_tbl.groupBy("doc_id").agg(
-        F.round(
-            F.sum(1.0 / (F.col("run_len") * F.col("run_len"))) / F.count("*"), 6
-        ).alias("glrlm_sre")
+        _rnd(F.sum(1.0 / (F.col("run_len") * F.col("run_len"))) / F.count("*"), 6).alias("glrlm_sre")
     ).orderBy("doc_id")
 
 
@@ -730,9 +770,7 @@ def q_ngtdm_coarseness_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_i") / F.col("nvp") * F.col("s_i")).alias("denom"))
     return per_doc.select(
         "doc_id",
-        F.round(
-            F.when(F.col("denom") != 0, 1.0 / F.col("denom")).otherwise(1e6), 6
-        ).alias("ngtdm_coarseness"),
+        _rnd(F.when(F.col("denom") != 0, 1.0 / F.col("denom")).otherwise(1e6), 6).alias("ngtdm_coarseness"),
     ).orderBy("doc_id")
 
 
@@ -753,7 +791,7 @@ def q_voxel_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.array_distinct("lst"), lambda v: p_of(v) * F.log2(p_of(v))),
         F.lit(0.0), lambda acc, x: acc + x)
     out = with_lst.select(
-        "doc_id", "pos", F.round(ent, 6).alias("roll_entropy"))
+        "doc_id", "pos", (_rnd(ent, 6) + F.lit(0.0)).alias("roll_entropy"))
     return out.where(F.col("doc_id") < 50).orderBy("doc_id", "pos")
 
 
@@ -771,7 +809,7 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
         .where(F.col("cosine") >= 0.35)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .select("id_a", "id_b", _rnd("cosine", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
 
@@ -847,10 +885,10 @@ def oracle_sql() -> dict[str, str]:
                    min(tok_len) AS min_len,
                    max(tok_len) AS max_len,
                    sum(tok_len) AS sum_len,
-                   round(avg(tok_len), 6) AS mean_len,
+                   floor((avg(tok_len)) * 1e6 + 0.50000095367431640625) / 1e6 AS mean_len,
                    sum(tok_len * tok_len) AS energy,
-                   round(sqrt(avg(tok_len * tok_len)), 6) AS rms,
-                   round(var_pop(tok_len), 6) AS variance
+                   floor((sqrt(avg(tok_len * tok_len))) * 1e6 + 0.50000095367431640625) / 1e6 AS rms,
+                   floor((var_pop(tok_len)) * 1e6 + 0.50000095367431640625) / 1e6 AS variance
             FROM ({tokens}) GROUP BY doc_id ORDER BY doc_id
         """,
         "fo_binned_hist": f"""
@@ -871,7 +909,7 @@ def oracle_sql() -> dict[str, str]:
             ), p AS (
               SELECT lang, c / sum(c) OVER (PARTITION BY lang) AS p FROM hist
             )
-            SELECT lang, round(-sum(p * log2(p)), 6) AS entropy
+            SELECT lang, floor((-sum(p * log2(p))) * 1e6 + 0.50000095367431640625) / 1e6 + 0.0 AS entropy
             FROM p GROUP BY lang ORDER BY lang
         """,
         "glcm_pairs": f"""
@@ -928,22 +966,22 @@ def oracle_sql() -> dict[str, str]:
               FROM sess GROUP BY user_id, session_id
             )
             SELECT user_id, count(*) AS n_sessions,
-                   round(avg(n_events), 6) AS avg_events_per_session,
+                   floor((avg(n_events)) * 1e6 + 0.50000095367431640625) / 1e6 AS avg_events_per_session,
                    max(n_events) AS max_session_events
             FROM per_sess GROUP BY user_id ORDER BY user_id
         """,
         "lag_lead": """
             SELECT event_id, user_id,
-                   round(value - lag(value) OVER w, 6) AS delta_prev,
-                   round(lead(value) OVER w - value, 6) AS delta_next
+                   floor((value - lag(value) OVER w) * 1e6 + 0.50000095367431640625) / 1e6 AS delta_prev,
+                   floor((lead(value) OVER w - value) * 1e6 + 0.50000095367431640625) / 1e6 AS delta_next
             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ORDER BY event_id
         """,
         "ffill": """
             SELECT event_id, user_id,
-                   round(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                   floor((last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
                          OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING), 6) AS last_purchase_value
+                               ROWS UNBOUNDED PRECEDING)) * 1e6 + 0.50000095367431640625) / 1e6 AS last_purchase_value
             FROM events ORDER BY event_id
         """,
         "asof_join": """
@@ -954,7 +992,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events WHERE event_type = 'signup'
             )
             SELECT p.event_id, p.user_id, s.signup_ts,
-                   round(s.signup_value, 6) AS signup_value
+                   floor((s.signup_value) * 1e6 + 0.50000095367431640625) / 1e6 AS signup_value
             FROM purchases p
             ASOF LEFT JOIN signups s
               ON p.user_id = s.user_id AND p.ts >= s.signup_ts
@@ -968,7 +1006,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events WHERE event_type = 'signup'
             )
             SELECT p.event_id, p.user_id, s.signup_ts,
-                   round(s.signup_value, 6) AS signup_value
+                   floor((s.signup_value) * 1e6 + 0.50000095367431640625) / 1e6 AS signup_value
             FROM purchases p
             ASOF LEFT JOIN signups s
               ON p.user_id = s.user_id AND p.ts >= s.signup_ts
@@ -978,16 +1016,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    time_bucket(INTERVAL '1 hour', ts) AS hour_start,
                    count(*) AS n_events,
-                   round(sum(value), 6) AS sum_value
+                   floor((sum(value)) * 1e6 + 0.50000095367431640625) / 1e6 AS sum_value
             FROM events GROUP BY user_id, hour_start
             ORDER BY user_id, hour_start
         """,
         "rolling_stats": """
             SELECT event_id, user_id,
-                   round(avg(value) OVER w, 6) AS roll_mean,
+                   floor((avg(value) OVER w) * 1e6 + 0.50000095367431640625) / 1e6 AS roll_mean,
                    count(value) OVER w AS roll_count,
-                   round(coalesce(var_pop(value) OVER w, 0.0), 6) AS roll_var,
-                   round(sum(value * value) OVER w, 6) AS roll_energy
+                   floor((coalesce(var_pop(value) OVER w, 0.0)) * 1e6 + 0.50000095367431640625) / 1e6 AS roll_var,
+                   floor((sum(value * value) OVER w) * 1e6 + 0.50000095367431640625) / 1e6 AS roll_energy
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
@@ -1007,7 +1045,7 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
             )
             SELECT level, count(*) AS n_i,
-                   round(sum(abs(level - nbr_mean)), 6) AS s_i
+                   floor((sum(abs(level - nbr_mean))) * 1e6 + 0.50000095367431640625) / 1e6 AS s_i
             FROM terms WHERE nbr_mean IS NOT NULL
             GROUP BY level ORDER BY level
         """,
@@ -1084,7 +1122,7 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cos DESC, vec_id) AS rank
               FROM scored
             )
-            SELECT query_id, vec_id, round(cos, 6) AS cosine, rank
+            SELECT query_id, vec_id, floor((cos) * 1e6 + 0.50000095367431640625) / 1e6 AS cosine, rank
             FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
         """,
         "lang_detect": """
@@ -1131,8 +1169,8 @@ def oracle_sql() -> dict[str, str]:
             ), c AS (
               SELECT doc_id, z, greatest(least(z, 2.0), -2.0) AS zc FROM z
             )
-            SELECT doc_id, round(sum(zc), 6) AS sum_z,
-                   round(max(zc), 6) AS max_z,
+            SELECT doc_id, floor((sum(zc)) * 1e6 + 0.50000095367431640625) / 1e6 + 0.0 AS sum_z,
+                   floor((max(zc)) * 1e6 + 0.50000095367431640625) / 1e6 + 0.0 AS max_z,
                    sum(CASE WHEN z <> zc THEN 1 ELSE 0 END) AS n_clamped
             FROM c GROUP BY doc_id ORDER BY doc_id
         """,
@@ -1145,7 +1183,7 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY doc_id)
             )
             SELECT doc_id, count(*) AS n_kept,
-                   round(avg(tok_len), 6) AS mean_kept
+                   floor((avg(tok_len)) * 1e6 + 0.50000095367431640625) / 1e6 AS mean_kept
             FROM b
             WHERE tok_len >= mu - sd AND tok_len <= mu + sd
             GROUP BY doc_id ORDER BY doc_id
@@ -1156,8 +1194,8 @@ def oracle_sql() -> dict[str, str]:
                      pow(tok_len / sqrt(max(abs(tok_len)) OVER (PARTITION BY doc_id)), 2.0) AS xsq
               FROM ({tokens})
             )
-            SELECT doc_id, round(sum(xsq), 6) AS sum_sq,
-                   round(max(xsq), 6) AS max_sq
+            SELECT doc_id, floor((sum(xsq)) * 1e6 + 0.50000095367431640625) / 1e6 AS sum_sq,
+                   floor((max(xsq)) * 1e6 + 0.50000095367431640625) / 1e6 AS max_sq
             FROM s GROUP BY doc_id ORDER BY doc_id
         """,
         "anti_join": """
@@ -1170,14 +1208,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bfill": """
             SELECT event_id, user_id,
-                   round(first_value(CASE WHEN event_type = 'signup' THEN value END IGNORE NULLS)
+                   floor((first_value(CASE WHEN event_type = 'signup' THEN value END IGNORE NULLS)
                          OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6)
+                               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) * 1e6 + 0.50000095367431640625) / 1e6
                      AS next_signup_value
             FROM events ORDER BY event_id
         """,
         "rollup_events": """
-            SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+            SELECT event_type, count(*) AS n, floor((sum(value)) * 1e4 + 0.50000095367431640625) / 1e4 AS sum_value
             FROM events GROUP BY ROLLUP (event_type)
             ORDER BY event_type NULLS FIRST
         """,
@@ -1201,7 +1239,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, count(*) AS n_valid,
                    min(pos) AS span_start, max(pos) AS span_end,
-                   round(count(*) / (max(pos) - min(pos) + 1.0), 6) AS compactness,
+                   floor((count(*) / (max(pos) - min(pos) + 1.0)) * 1e6 + 0.50000095367431640625) / 1e6 AS compactness,
                    sum(chg) AS n_runs
             FROM runs GROUP BY doc_id ORDER BY doc_id
         """,
@@ -1217,11 +1255,11 @@ def oracle_sql() -> dict[str, str]:
               FROM lv
             )
             SELECT doc_id, pos,
-                   round(-list_aggregate(
+                   floor((-list_aggregate(
                       list_transform(list_distinct(lst),
                         v -> (len(list_filter(lst, x -> x = v)) * 1.0 / len(lst))
                              * log2(len(list_filter(lst, x -> x = v)) * 1.0 / len(lst))),
-                      'sum'), 6) AS roll_entropy
+                      'sum')) * 1e6 + 0.50000095367431640625) / 1e6 + 0.0 AS roll_entropy
             FROM w WHERE doc_id < 50 ORDER BY doc_id, pos
         """,
         "glcm_contrast_doc": f"""
@@ -1235,7 +1273,7 @@ def oracle_sql() -> dict[str, str]:
               FROM lv
             )
             SELECT doc_id,
-                   round(sum((level - nxt) * (level - nxt)) * 1.0 / count(*), 6)
+                   floor((sum((level - nxt) * (level - nxt)) * 1.0 / count(*)) * 1e6 + 0.50000095367431640625) / 1e6
                      AS glcm_contrast
             FROM pairs WHERE nxt IS NOT NULL
             GROUP BY doc_id ORDER BY doc_id
@@ -1261,7 +1299,7 @@ def oracle_sql() -> dict[str, str]:
               FROM runs GROUP BY doc_id, run_id
             )
             SELECT doc_id,
-                   round(sum(1.0 / (run_len * run_len)) / count(*), 6) AS glrlm_sre
+                   floor((sum(1.0 / (run_len * run_len)) / count(*)) * 1e6 + 0.50000095367431640625) / 1e6 AS glrlm_sre
             FROM run_tbl GROUP BY doc_id ORDER BY doc_id
         """,
         "ngtdm_coarseness_doc": f"""
@@ -1291,7 +1329,7 @@ def oracle_sql() -> dict[str, str]:
               FROM with_nvp GROUP BY doc_id
             )
             SELECT doc_id,
-                   round(CASE WHEN denom <> 0 THEN 1.0 / denom ELSE 1e6 END, 6)
+                   floor((CASE WHEN denom <> 0 THEN 1.0 / denom ELSE 1e6 END) * 1e6 + 0.50000095367431640625) / 1e6
                      AS ngtdm_coarseness
             FROM agg ORDER BY doc_id
         """,
@@ -1301,17 +1339,17 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings
             )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+                   floor((list_cosine_similarity(a.v, b.v)) * 1e6 + 0.50000095367431640625) / 1e6 AS cosine
             FROM emb a JOIN emb b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.35
             ORDER BY id_a, id_b
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 4) AS sum_qty,
-                   round(sum(l_extendedprice), 4) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-                   round(avg(l_quantity), 6) AS avg_qty,
+                   floor((sum(l_quantity)) * 1e4 + 0.50000095367431640625) / 1e4 AS sum_qty,
+                   floor((sum(l_extendedprice)) * 1e4 + 0.50000095367431640625) / 1e4 AS sum_base_price,
+                   floor((sum(l_extendedprice * (1 - l_discount))) * 1e4 + 0.50000095367431640625) / 1e4 AS sum_disc_price,
+                   floor((avg(l_quantity)) * 1e6 + 0.50000095367431640625) / 1e6 AS avg_qty,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= '1998-09-02'
@@ -1320,7 +1358,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q3": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+                   floor((sum(l_extendedprice * (1 - l_discount))) * 1e4 + 0.50000095367431640625) / 1e4 AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -1332,7 +1370,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q5": """
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+                   floor((sum(l_extendedprice * (1 - l_discount))) * 1e4 + 0.50000095367431640625) / 1e4 AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -1353,13 +1391,13 @@ def oracle_sql() -> dict[str, str]:
             ), p AS (
               SELECT doc_id, c / sum(c) OVER (PARTITION BY doc_id) AS p FROM hist
             )
-            SELECT doc_id, round(-sum(p * log2(p)), 6) AS entropy,
-                   round(sum(p * p), 6) AS uniformity
+            SELECT doc_id, floor((-sum(p * log2(p))) * 1e6 + 0.50000095367431640625) / 1e6 + 0.0 AS entropy,
+                   floor((sum(p * p)) * 1e6 + 0.50000095367431640625) / 1e6 AS uniformity
             FROM p GROUP BY doc_id ORDER BY doc_id
         """,
         "top_customers": """
             WITH spend AS (
-              SELECT o_custkey, round(sum(o_totalprice), 4) AS total_spend,
+              SELECT o_custkey, floor((sum(o_totalprice)) * 1e4 + 0.50000095367431640625) / 1e4 AS total_spend,
                      count(*) AS n_orders
               FROM orders GROUP BY o_custkey
             )
@@ -1377,9 +1415,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_quality": f"""
             SELECT doc_id, count(*) AS n_tokens,
-                   round(avg(tok_len), 6) AS mean_tok_len,
-                   round(avg(CASE WHEN tok IN ('the','a','of','and','to','in','is','it')
-                                  THEN 1.0 ELSE 0.0 END), 6) AS stopword_ratio,
+                   floor((avg(tok_len)) * 1e6 + 0.50000095367431640625) / 1e6 AS mean_tok_len,
+                   floor((avg(CASE WHEN tok IN ('the','a','of','and','to','in','is','it')
+                                  THEN 1.0 ELSE 0.0 END)) * 1e6 + 0.50000095367431640625) / 1e6 AS stopword_ratio,
                    count(DISTINCT tok) AS n_distinct_tokens
             FROM ({tokens}) GROUP BY doc_id ORDER BY doc_id
         """,

@@ -37,7 +37,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+STRICT = bool(int(__import__("os").environ.get("ORACLE_STRICT", "1")))
+
+
 def values_equal(a, b) -> bool:
+    """STRICT (default) mimics a value-hash: exact equality after the
+    canonical 6-dp rounding — catches rounding-boundary divergence a
+    tolerance-based compare would mask."""
     if a is b:
         return True
     try:
@@ -47,9 +53,12 @@ def values_equal(a, b) -> bool:
         pass
     if isinstance(a, float) or isinstance(b, float):
         try:
-            return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
+            fa, fb = float(a), float(b)
         except (TypeError, ValueError):
             return False
+        if STRICT:
+            return repr(fa) == repr(fb)
+        return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
     return a == b
 
 
