@@ -23,6 +23,12 @@ _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
+# pin per-worker BLAS threads before any JVM/daemon fork (N workers ×
+# M-thread BLAS pools thrash; see pyradiomics_spark/session.py + BENCH.md)
+for _var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+             "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+    os.environ.setdefault(_var, "1")
+
 _PYFILES_SENT = set()
 
 def _rnd(col, n: int):

@@ -136,7 +136,7 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SCALING"):
         spark.stop()
         result["scaling"] = run_scaling(
-            n_urls=int(os.environ.get("SPARK_GRAFT_SCALING_URLS", "8000")),
+            n_urls=int(os.environ.get("SPARK_GRAFT_SCALING_URLS", "16000")),
             lo=int(os.environ.get("SPARK_GRAFT_SCALING_LO", "4")),
             hi=int(os.environ.get("SPARK_GRAFT_SCALING_HI", "16")),
         )
@@ -146,7 +146,7 @@ def main() -> None:
     print(json.dumps(result))
 
 
-def run_scaling(n_urls: int = 8000, lo: int = 4, hi: int = 16) -> dict:
+def run_scaling(n_urls: int = 16000, lo: int = 4, hi: int = 16) -> dict:
     """Scaling evidence (BASELINE.md row 8): the SAME job — full 93-feature
     extraction over an identical pre-generated pages corpus — at N and 4N
     local cores; efficiency = (tput_hi / tput_lo) / (hi / lo).
@@ -188,7 +188,7 @@ def run_scaling(n_urls: int = 8000, lo: int = 4, hi: int = 16) -> dict:
                 pages, keys=("url", "warc_ts"), text_col="text",
                 settings=ExtractionSettings(bin_width=1.0))
             best = None
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 n = out.count()
                 secs = time.time() - t0
@@ -199,9 +199,40 @@ def run_scaling(n_urls: int = 8000, lo: int = 4, hi: int = 16) -> dict:
             s.stop()
         ratio = scaling["tput_hi"] / scaling["tput_lo"] if scaling["tput_lo"] else 0
         scaling["efficiency"] = round(ratio / (hi / lo), 3)
+        # hardware ceiling: this sandbox's CPUs downclock as more cores go
+        # busy. Measure per-core retention with a pure-CPU probe (no numpy,
+        # no Spark) at the same two occupancies and report the
+        # software-attributable efficiency = raw / hw_retention.
+        retention = _cpu_retention(lo, hi)
+        scaling["hw_retention"] = round(retention, 3)
+        if retention > 0:
+            scaling["efficiency_hw_normalized"] = round(
+                scaling["efficiency"] / retention, 3)
         return scaling
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def _cpu_retention(lo: int, hi: int, n: int = 3_000_000) -> float:
+    """Per-core throughput at hi busy cores relative to lo busy cores —
+    pure-python multiprocessing, measures frequency scaling / steal only."""
+    from multiprocessing import Pool
+
+    rates = {}
+    for procs in (lo, hi):
+        with Pool(procs) as p:
+            t0 = time.time()
+            p.map(_burn, [n] * procs * 4)
+            dt = time.time() - t0
+        rates[procs] = procs * 4 * n / dt / procs
+    return rates[hi] / rates[lo] if rates[lo] else 0.0
 
 
 if __name__ == "__main__":

@@ -45,6 +45,9 @@ CASES: dict = {
         bin_width=1.0, distances=(1, 2), weighting_norm="euclidean"),
     "doc_gldm_a1": ExtractionSettings(bin_width=1.0, gldm_a=1.0),
     "doc_shift": ExtractionSettings(bin_width=1.0, voxel_array_shift=10.0),
+    "doc_hashbucket": ExtractionSettings(
+        bin_width=1.0, intensity_mode="hash_bucket", intensity_buckets=16),
+    "doc_bpe": ExtractionSettings(bin_width=1.0, tokenizer="bpe_regex"),
     "doc_alltypes": ExtractionSettings(
         bin_width=1.0,
         image_types=("original", "square", "squareroot", "logarithm",
