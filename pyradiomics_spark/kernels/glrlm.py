@@ -61,14 +61,15 @@ def run_lengths(levels: np.ndarray, valid: np.ndarray | None = None):
     return levels[run_start_idx], lengths.astype(np.int64)
 
 
-def glrlm_matrix(levels: np.ndarray, valid: np.ndarray | None = None):
+def glrlm_matrix(levels: np.ndarray, valid: np.ndarray | None = None, rle=None):
     """Build the compacted GLRLM.
 
     Returns (P, ivector, jvector): P shape (Ng', Nr') raw counts with empty
     gray levels and run lengths dropped, ivector = present gray levels,
-    jvector = present run lengths.
+    jvector = present run lengths. ``rle``: optional precomputed
+    (run_level, run_length) pair shared with GLSZM (same encoding in 1-D).
     """
-    rl_level, rl_len = run_lengths(levels, valid)
+    rl_level, rl_len = rle if rle is not None else run_lengths(levels, valid)
     if rl_level.size == 0:
         raise ValueError("empty ROI")
     ivector = np.unique(rl_level)
@@ -80,8 +81,8 @@ def glrlm_matrix(levels: np.ndarray, valid: np.ndarray | None = None):
     return P, ivector.astype(np.float64), jvector.astype(np.float64)
 
 
-def glrlm_features(levels: np.ndarray, valid: np.ndarray | None = None) -> dict:
-    P, iv, jv = glrlm_matrix(levels, valid)
+def glrlm_features(levels: np.ndarray, valid: np.ndarray | None = None, rle=None) -> dict:
+    P, iv, jv = glrlm_matrix(levels, valid, rle=rle)
     eps = EPS
     nr = P.sum()
     pr = P.sum(axis=0)  # per run length

@@ -29,9 +29,10 @@ GLSZM_FEATURES = (
 )
 
 
-def glszm_matrix(levels: np.ndarray, valid: np.ndarray | None = None):
-    """Zones = 1-D connected runs. Returns (P, ivector, jvector)."""
-    z_level, z_size = run_lengths(levels, valid)
+def glszm_matrix(levels: np.ndarray, valid: np.ndarray | None = None, rle=None):
+    """Zones = 1-D connected runs. Returns (P, ivector, jvector).
+    ``rle``: optional precomputed (level, length) pair shared with GLRLM."""
+    z_level, z_size = rle if rle is not None else run_lengths(levels, valid)
     if z_level.size == 0:
         raise ValueError("empty ROI")
     ivector = np.unique(z_level)
@@ -43,8 +44,8 @@ def glszm_matrix(levels: np.ndarray, valid: np.ndarray | None = None):
     return P, ivector.astype(np.float64), jvector.astype(np.float64)
 
 
-def glszm_features(levels: np.ndarray, valid: np.ndarray | None = None) -> dict:
-    P, iv, jv = glszm_matrix(levels, valid)
+def glszm_features(levels: np.ndarray, valid: np.ndarray | None = None, rle=None) -> dict:
+    P, iv, jv = glszm_matrix(levels, valid, rle=rle)
     eps = EPS
     ps = P.sum(axis=0)
     pg = P.sum(axis=1)

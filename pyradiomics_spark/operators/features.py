@@ -112,6 +112,15 @@ def _extract_one(values: np.ndarray, settings: ExtractionSettings) -> dict:
         lv_full[valid] = levels
         vmask = valid
 
+        # GLRLM and GLSZM share the identical 1-D run-length encoding —
+        # compute it once per image type (common-subexpression sharing, the
+        # analog of the reference's shared coefficients dict)
+        rle = None
+        if "glrlm" in settings.feature_classes and "glszm" in settings.feature_classes:
+            from pyradiomics_spark.kernels.glrlm import run_lengths
+
+            rle = run_lengths(lv_full, vmask)
+
         for cls in settings.feature_classes:
             if cls == "seqshape":
                 vals_ = shape_feats if it == "original" else {
@@ -129,9 +138,9 @@ def _extract_one(values: np.ndarray, settings: ExtractionSettings) -> dict:
                         lv_full, settings.distances, settings.symmetrical_glcm,
                         settings.weighting_norm, vmask)
                 elif cls == "glrlm":
-                    feats = glrlm_features(lv_full, vmask)
+                    feats = glrlm_features(lv_full, vmask, rle=rle)
                 elif cls == "glszm":
-                    feats = glszm_features(lv_full, vmask)
+                    feats = glszm_features(lv_full, vmask, rle=rle)
                 elif cls == "ngtdm":
                     feats = ngtdm_features(lv_full, settings.distances, vmask)
                 elif cls == "gldm":
