@@ -50,6 +50,10 @@ def _warmup(spark) -> None:
 
     slots = spark.sparkContext.defaultParallelism
     spark.range(0, slots, 1, slots).mapInPandas(noop, "id long").count()
+    # also warm the shuffle write/read path + codegen the Exchange→Arrow
+    # chain the extraction uses (first shuffle in a session pays JIT)
+    spark.range(0, slots * 10, 1, slots).repartition(slots * 2).mapInPandas(
+        noop, "id long").count()
 
 
 def _run_extraction(spark, sf_dir: str) -> tuple:
@@ -136,7 +140,7 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SCALING"):
         spark.stop()
         result["scaling"] = run_scaling(
-            n_urls=int(os.environ.get("SPARK_GRAFT_SCALING_URLS", "16000")),
+            n_urls=int(os.environ.get("SPARK_GRAFT_SCALING_URLS", "64000")),
             lo=int(os.environ.get("SPARK_GRAFT_SCALING_LO", "4")),
             hi=int(os.environ.get("SPARK_GRAFT_SCALING_HI", "16")),
         )
@@ -146,7 +150,7 @@ def main() -> None:
     print(json.dumps(result))
 
 
-def run_scaling(n_urls: int = 16000, lo: int = 4, hi: int = 16) -> dict:
+def run_scaling(n_urls: int = 64000, lo: int = 4, hi: int = 16) -> dict:
     """Scaling evidence (BASELINE.md row 8): the SAME job — full 93-feature
     extraction over an identical pre-generated pages corpus — at N and 4N
     local cores; efficiency = (tput_hi / tput_lo) / (hi / lo).
