@@ -60,6 +60,18 @@ class Ragged:
         # would truncate the segment before a trailing empty doc
         self._ne_starts = self.starts[self.nonempty]
 
+    def with_x(self, new_x: np.ndarray) -> "Ragged":
+        """Same layout, different values (for derived image types)."""
+        clone = object.__new__(Ragged)
+        clone.lens = self.lens
+        clone.B = self.B
+        clone.starts = self.starts
+        clone.x = new_x
+        clone.doc = self.doc
+        clone.nonempty = self.nonempty
+        clone._ne_starts = self._ne_starts
+        return clone
+
     def reduceat(self, arr, ufunc=np.add):
         """Per-doc reduction of a concat-aligned array (0 for empty docs)."""
         out = np.zeros(self.B)
@@ -86,6 +98,61 @@ def discretize_batch(r: Ragged, bin_width: float) -> np.ndarray:
     fl = np.floor(r.x / bin_width)
     fmin = r.segmin(fl)
     return (fl - fmin[r.doc] + 1).astype(np.int64)
+
+
+# ----------------------------------------------------- derived image types
+
+#: image types with a batched transform (wavelets/LoG need per-doc circular
+#: convolution and stay on the per-doc path)
+BATCH_TRANSFORMS = (
+    "original", "square", "squareroot", "logarithm", "exponential", "gradient",
+)
+
+
+def transform_batch(r: Ragged, kind: str) -> np.ndarray:
+    """Per-doc global-rescale transforms (imageoperations.py:973-1091
+    semantics) vectorized over the ragged batch; returns a concat-aligned
+    array (same layout as ``r.x``)."""
+    x = r.x
+    if kind == "original":
+        return x.astype(np.float64)
+    if kind == "square":
+        m = r.segmax(np.abs(x))[r.doc]
+        return np.where(m == 0, x, (np.where(m > 0, 1.0 / np.sqrt(np.where(m > 0, m, 1)), 0.0) * x) ** 2)
+    if kind == "squareroot":
+        m = r.segmax(np.abs(x))[r.doc]
+        return np.where(x > 0, np.sqrt(np.abs(x) * m),
+                        np.where(x < 0, -np.sqrt(np.abs(x) * m), x))
+    if kind == "logarithm":
+        m = r.segmax(np.abs(x))
+        out = np.where(x > 0, np.log(np.abs(x) + 1),
+                       np.where(x < 0, -np.log(np.abs(x) + 1), x))
+        om = r.segmax(np.abs(out))
+        scale = np.where(om != 0, m / np.where(om != 0, om, 1), 1.0)
+        return out * scale[r.doc]
+    if kind == "exponential":
+        m = r.segmax(np.abs(x))
+        coeff = np.where(m > 0, np.log(np.where(m > 0, m, 1)) / np.where(m > 0, m, 1), 0.0)
+        out = np.exp(coeff[r.doc] * x)
+        # per-doc kernel returns all-ones when max==0
+        return np.where(m[r.doc] == 0, 1.0, out)
+    if kind == "gradient":
+        n = x.size
+        grad = np.zeros(n)
+        if n > 1:
+            left_ok = np.zeros(n, bool)
+            right_ok = np.zeros(n, bool)
+            same = r.doc[:-1] == r.doc[1:]
+            left_ok[1:] = same
+            right_ok[:-1] = same
+            xl = np.roll(x, 1)
+            xr = np.roll(x, -1)
+            grad = np.where(
+                left_ok & right_ok, (xr - xl) / 2.0,
+                np.where(right_ok & ~left_ok, xr - x,
+                         np.where(left_ok & ~right_ok, x - xl, 0.0)))
+        return np.abs(grad)
+    raise ValueError(f"no batched transform for {kind}")
 
 
 # -------------------------------------------------------------- firstorder
@@ -115,7 +182,9 @@ def firstorder_batch(r: Ragged, levels: np.ndarray, voxel_array_shift: float = 0
         if xs.size == 0:
             percs[q] = np.full(B, np.nan)
         else:
-            percs[q] = xs[lo_idx] * (1 - frac) + xs[hi_idx] * frac
+            # numpy's own linear form a[lo] + (a[hi]−a[lo])·frac — EXACT on
+            # tied neighbors (the (1−frac)+frac form can overshoot by 1 ulp)
+            percs[q] = xs[lo_idx] + (xs[hi_idx] - xs[lo_idx]) * frac
 
     mn = r.segmin(r.x)
     mx = r.segmax(r.x)
@@ -124,6 +193,13 @@ def firstorder_batch(r: Ragged, levels: np.ndarray, voxel_array_shift: float = 0
     m2 = r.segsum(d * d) / safe_n
     m3 = r.segsum(d * d * d) / safe_n
     m4 = r.segsum(d * d * d * d) / safe_n
+    # truly-flat docs must hit the m2==0 fixup exactly; sequential reduceat
+    # sums can leave a ~1e-32 residue where numpy's pairwise mean gives an
+    # exact 0 (e.g. 8 × the same irrational transform value)
+    truly_flat = mn == mx
+    m2 = np.where(truly_flat, 0.0, m2)
+    m3 = np.where(truly_flat, 0.0, m3)
+    m4 = np.where(truly_flat, 0.0, m4)
     flat = m2 == 0
     m2s = np.where(flat, 1.0, m2)
     skew = np.where(flat, 0.0, m3 / m2s ** 1.5)

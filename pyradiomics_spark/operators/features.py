@@ -160,21 +160,21 @@ def _batch_fast_path(settings: ExtractionSettings) -> bool:
     """Whole-batch vectorized kernels apply for the common envelope; other
     configs use the per-doc kernels (identical results, more numpy-call
     overhead)."""
-    from pyradiomics_spark.kernels.batch import batch_supported
+    from pyradiomics_spark.kernels.batch import BATCH_TRANSFORMS, batch_supported
 
     return (
         batch_supported(settings)
-        and tuple(settings.image_types) == ("original",)
+        and all(it in BATCH_TRANSFORMS for it in settings.image_types)
         and not settings.normalize
     )
 
 
-def _extract_batch(texts, settings: ExtractionSettings) -> dict:
-    """All features for a batch of documents at once (kernels.batch).
-    Returns {column: (B,) array} including diagnostics."""
+def _extract_batch(texts, settings: ExtractionSettings, image_type: str = "original") -> dict:
+    """All features of one image type for a batch of documents at once
+    (kernels.batch). Returns {column: (B,) array} including diagnostics."""
     from pyradiomics_spark.kernels.batch import (
         Ragged, discretize_batch, firstorder_batch, glcm_batch,
-        gldm_batch, ngtdm_batch, runs_batch_features)
+        gldm_batch, ngtdm_batch, runs_batch_features, transform_batch)
 
     arrays = [
         text_to_intensity(t or "", settings.tokenizer,
@@ -182,7 +182,8 @@ def _extract_batch(texts, settings: ExtractionSettings) -> dict:
                           settings.intensity_buckets).astype(np.float64)
         for t in texts
     ]
-    r = Ragged(arrays)
+    r0 = Ragged(arrays)
+    r = r0 if image_type == "original" else r0.with_x(transform_batch(r0, image_type))
     levels = discretize_batch(r, settings.bin_width)
 
     cols: dict = {
@@ -210,7 +211,11 @@ def _extract_batch(texts, settings: ExtractionSettings) -> dict:
     if "gldm" in want:
         for f, v in gldm_batch(r, levels, settings.gldm_a).items():
             cols[f"gldm_{f}"] = v
-    if "seqshape" in want:
+    if "seqshape" in want and image_type != "original":
+        # shape analog is emitted only on the original image type
+        for f in SEQSHAPE_FEATURES:
+            cols[f"seqshape_{f}"] = np.full(r.B, np.nan)
+    elif "seqshape" in want:
         n = r.lens.astype(np.float64)
         one = np.ones_like(n)
         nm1 = np.maximum(n - 1, 1)
@@ -285,14 +290,19 @@ def extract_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if fast:
-                cols = _extract_batch(pdf[text_col].tolist(), settings)
-                out = pd.DataFrame({k: pdf[k].to_numpy() for k in keys})
-                out["image_type"] = "original"
-                out["diag_n_tokens"] = cols["diag_n_tokens"]
-                out["diag_n_valid"] = cols["diag_n_valid"]
-                for c in fcols:
-                    out[c] = cols.get(c, np.nan)
-                yield out[out_cols]
+                frames = []
+                texts = pdf[text_col].tolist()
+                for it in image_types:
+                    cols = _extract_batch(texts, settings, image_type=it)
+                    out = pd.DataFrame({k: pdf[k].to_numpy() for k in keys})
+                    out["image_type"] = it
+                    out["diag_n_tokens"] = cols["diag_n_tokens"]
+                    out["diag_n_valid"] = cols["diag_n_valid"]
+                    for c in fcols:
+                        out[c] = cols.get(c, np.nan)
+                    frames.append(out[out_cols])
+                yield frames[0] if len(frames) == 1 else pd.concat(
+                    frames, ignore_index=True)
                 continue
             rows = []
             for tup in pdf.itertuples(index=False):
