@@ -166,6 +166,10 @@ def _batch_fast_path(settings: ExtractionSettings) -> bool:
         batch_supported(settings)
         and all(it in BATCH_TRANSFORMS for it in settings.image_types)
         and not settings.normalize
+        # the batched discretizer uses the floor identity, exactly equal to
+        # the per-doc arange+digitize path on integer widths; fractional
+        # widths can diverge in FP corners → per-doc path
+        and float(settings.bin_width).is_integer()
     )
 
 
