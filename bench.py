@@ -95,6 +95,7 @@ def main() -> None:
         "asof_join", "sessionize", "ffill", "lag_lead",
         "glcm_pairs", "glrlm_runs", "fo_doc_stats",
         "tpch_q1", "top_customers", "dedup_exact", "text_quality",
+        "minhash_signatures", "knn_cosine", "voxel_entropy",
     ]
     for name in headline:
         if name not in qs:
