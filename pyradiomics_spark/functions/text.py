@@ -112,7 +112,10 @@ def token_intensity(
     DuckDB/any SQL engine can reproduce it for oracle checks.
     """
     if mode == "token_len":
-        return np.array([len(t.encode("utf-8")) for t in tokens], dtype=np.int64)
+        # isascii fast path: byte length == char length, no encode alloc
+        return np.array(
+            [len(t) if t.isascii() else len(t.encode("utf-8")) for t in tokens],
+            dtype=np.int64)
     if mode == "hash_bucket":
         return np.array(
             [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % buckets + 1
