@@ -78,3 +78,36 @@ def stream_extract(df: DataFrame, keys, text_col: str = "text", settings=None) -
     from pyradiomics_spark.operators.features import extract_features
 
     return extract_features(df, tuple(keys), text_col, settings)
+
+
+def stream_asof_sink(
+    stream_left: DataFrame,
+    static_right: DataFrame,
+    on,
+    left_ts: str,
+    right_ts: str,
+    out_path: str,
+    checkpoint: str,
+    allow_exact_matches: bool = True,
+):
+    """Streaming point-in-time serving: every micro-batch of left events is
+    as-of joined against the static (snapshot) right table and appended —
+    Structured Streaming forbids window functions on streams, so the join
+    runs per micro-batch via foreachBatch (each batch is bounded, the static
+    side is the full history ⇒ identical semantics to the batch as-of).
+    Exactly-once via the checkpointLocation + append-only parquet sink.
+
+    Returns the DataStreamWriter (caller `.start()`s it).
+    """
+    from pyradiomics_spark.operators.asof import asof_join
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        joined = asof_join(
+            batch_df, static_right, on=on, left_ts=left_ts, right_ts=right_ts,
+            allow_exact_matches=allow_exact_matches)
+        joined.write.mode("append").parquet(out_path)
+
+    return (
+        stream_left.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+    )

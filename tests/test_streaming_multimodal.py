@@ -143,3 +143,45 @@ def test_stateful_running_stats(spark, tmp_path):
         assert final.loc[ent, "cnt"] == expect.loc[ent, "cnt"]
         assert final.loc[ent, "mean"] == pytest.approx(expect.loc[ent, "mean"])
         assert final.loc[ent, "m2"] == pytest.approx(expect.loc[ent, "m2"])
+
+
+def test_stream_asof_matches_batch(spark, tmp_path):
+    """Stream-static point-in-time serving == the batch as-of join."""
+    import numpy as np
+    import pandas as pd
+    from pyradiomics_spark.operators.asof import asof_join
+    from pyradiomics_spark.streaming.sessions import stream_asof_sink
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({
+        "ent": rng.choice(["x", "y", "z"], 200),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, 200), unit="s"),
+        "lval": rng.normal(size=200)})
+    right = pd.DataFrame({
+        "ent": rng.choice(["x", "y", "z"], 60),
+        "rts": pd.to_datetime(rng.integers(0, 10**6, 60), unit="s"),
+        "rval": rng.normal(size=60)})
+    src = str(tmp_path / "asof_stream_src")
+    # two files → two micro-batches with maxFilesPerTrigger=1
+    spark.createDataFrame(left.iloc[:120]).write.parquet(src)
+    spark.createDataFrame(left.iloc[120:]).write.mode("append").parquet(src)
+    rdf = spark.createDataFrame(right)
+
+    stream = (spark.readStream
+              .schema("ent string, ts timestamp, lval double")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = str(tmp_path / "asof_out")
+    ckpt = str(tmp_path / "asof_ckpt")
+    q = stream_asof_sink(
+        stream, rdf, on="ent", left_ts="ts", right_ts="rts",
+        out_path=out, checkpoint=ckpt).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).toPandas()
+    expect = asof_join(
+        spark.createDataFrame(left), rdf, on="ent", left_ts="ts",
+        right_ts="rts").toPandas()
+    key = ["ent", "ts", "lval"]
+    a = got.sort_values(key).reset_index(drop=True)[expect.columns]
+    b = expect.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_like=True)
