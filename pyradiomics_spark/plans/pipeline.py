@@ -135,6 +135,12 @@ class FeaturePipeline:
     def run(
         self, df: DataFrame, keys=("url", "warc_ts"), text_col: str = "text"
     ) -> DataFrame:
+        # raw-crawl tables may carry only html: run the byte-identical
+        # extraction stage first (featureextractor loadImage analog)
+        if text_col not in df.columns and "html" in df.columns:
+            from pyradiomics_spark.functions.text import with_extracted_text
+
+            df = with_extracted_text(df, html_col="html", out_col=text_col)
         return extract_features(df, tuple(keys), text_col, self.settings)
 
     def run_resumable(

@@ -117,3 +117,15 @@ def test_full_pipeline_demo(spark, pages, tmp_path):
     assert m["n_cuts"] > 0
     assert m["n_sessions"] >= pages.select("url").distinct().count()
     assert m["leak_violations"] == 0
+
+
+def test_run_extracts_text_from_html_when_missing(spark, pages):
+    pipe = FeaturePipeline(ExtractionSettings(
+        bin_width=1.0, feature_classes=("firstorder",)))
+    html_only = pages.drop("text")
+    out = pipe.run(html_only).toPandas()
+    ref = pipe.run(pages).toPandas()
+    key = ["url", "warc_ts"]
+    a = out.sort_values(key).reset_index(drop=True)
+    b = ref.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)  # byte-identical extraction ⇒ equal
