@@ -104,13 +104,36 @@ def main() -> None:
         _count(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
-    # full pipeline (BASELINE.md protocol): pages scan → extract → as-of
-    # cuts → sessionize → committed parquet snapshot
+    # sustained extraction throughput: the sf0.1 documents table (5k rows)
+    # is fixed-overhead-bound; measure the same job on a generated corpus
+    # large enough to be compute-bound (deterministic seed, Zipf hosts)
     import shutil
     import tempfile
 
+    from pyradiomics_spark.config import ExtractionSettings
+    from pyradiomics_spark.operators.features import extract_features
     from pyradiomics_spark.plans.demo import full_pipeline
     from pyradiomics_spark.sources.pages import pages_df
+
+    sus_urls = int(os.environ.get("SPARK_GRAFT_SUSTAINED_URLS", "32000"))
+    big = pages_df(spark, n_urls=sus_urls,
+                   partitions=spark.sparkContext.defaultParallelism * 2
+                   ).select("url", "warc_ts", "text").cache()
+    n_big = big.count()  # materialize generation outside the timer
+    sus_secs = None
+    for _ in range(2):  # best-of-2: steady-state, not first-touch
+        t0 = time.time()
+        n_sus = extract_features(
+            big, keys=("url", "warc_ts"), text_col="text",
+            settings=ExtractionSettings(bin_width=1.0)).count()
+        secs = time.time() - t0
+        sus_secs = secs if sus_secs is None else min(sus_secs, secs)
+    timings["feature_extraction_sustained"] = round(sus_secs, 3)
+    result_sustained = {
+        "fv_rows_sustained": n_sus,
+        "fv_per_sec_sustained": round(n_sus / sus_secs, 1),
+    }
+    big.unpersist()
 
     tmp = tempfile.mkdtemp(prefix="bench_pipe_")
     try:
@@ -135,6 +158,7 @@ def main() -> None:
         "fv_rows": n_fv,
         "fv_per_sec": round(fv_per_sec, 1),
         "cores": cpus,
+        **result_sustained,
         **result_pipe,
     }
 
