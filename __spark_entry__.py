@@ -780,6 +780,34 @@ def q_ngtdm_coarseness_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_glszm_zp_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL GLSZM ZonePercentage per doc, relationally: zones ≡ 1-D runs,
+    ZP = Nz / Np (glszm.py:232-247)."""
+    lv = _doc_levels(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = lv.withColumn(
+        "chg",
+        F.when(F.lag("level", 1).over(w).isNull()
+               | (F.lag("level", 1).over(w) != F.col("level")), 1).otherwise(0))
+    return flagged.groupBy("doc_id").agg(
+        _rnd(F.sum("chg") / F.count("*"), 6).alias("glszm_zone_percentage")
+    ).orderBy("doc_id")
+
+
+def q_gldm_sde_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL GLDM SmallDependenceEmphasis per doc, relationally:
+    dep = #neighbors with |Δlevel| ≤ 0 → SDE = Σ pd(j)/j² / Nz, j = dep+1
+    (gldm.py:138-152)."""
+    from pyradiomics_spark.operators.windows import gldm_window
+
+    lv = _doc_levels(spark, sf_dir)
+    dep = gldm_window(lv, "doc_id", "pos", "level", radius=1, alpha=0.0)
+    j = F.col("dependence") + 1
+    return dep.groupBy("doc_id").agg(
+        _rnd(F.sum(1.0 / (j * j)) / F.count("*"), 6).alias("gldm_sde")
+    ).orderBy("doc_id")
+
+
 def q_voxel_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Voxel-mode analog (per-position feature map, base.py:200-245): rolling
     histogram entropy over a ±2 token window, fully relational —
@@ -865,6 +893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "glcm_contrast_doc": q_glcm_contrast_doc,
         "glrlm_sre_doc": q_glrlm_sre_doc,
         "ngtdm_coarseness_doc": q_ngtdm_coarseness_doc,
+        "glszm_zp_doc": q_glszm_zp_doc,
+        "gldm_sde_doc": q_gldm_sde_doc,
         "embedding_dedup": q_embedding_dedup,
         "simhash": q_simhash,
         "tpch_q1": q_tpch_q1,
@@ -1338,6 +1368,43 @@ def oracle_sql() -> dict[str, str]:
                    floor((CASE WHEN denom <> 0 THEN 1.0 / denom ELSE 1e6 END) * 1e6 + 0.50000095367431640625) / 1e6
                      AS ngtdm_coarseness
             FROM agg ORDER BY doc_id
+        """,
+        "glszm_zp_doc": f"""
+            WITH lv AS (
+              SELECT doc_id, pos,
+                     tok_len - min(tok_len) OVER (PARTITION BY doc_id) + 1 AS level
+              FROM ({tokens})
+            ), flagged AS (
+              SELECT doc_id,
+                     CASE WHEN lag(level) OVER w IS NULL
+                               OR lag(level) OVER w <> level
+                          THEN 1 ELSE 0 END AS chg
+              FROM lv WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            )
+            SELECT doc_id,
+                   floor((sum(chg) * 1.0 / count(*)) * 1e6 + 0.50000095367431640625) / 1e6
+                     AS glszm_zone_percentage
+            FROM flagged GROUP BY doc_id ORDER BY doc_id
+        """,
+        "gldm_sde_doc": f"""
+            WITH lv AS (
+              SELECT doc_id, pos,
+                     tok_len - min(tok_len) OVER (PARTITION BY doc_id) + 1 AS level
+              FROM ({tokens})
+            ), dep AS (
+              SELECT doc_id,
+                     (CASE WHEN lag(level) OVER w IS NOT NULL
+                                AND abs(level - lag(level) OVER w) <= 0
+                           THEN 1 ELSE 0 END
+                      + CASE WHEN lead(level) OVER w IS NOT NULL
+                                  AND abs(level - lead(level) OVER w) <= 0
+                             THEN 1 ELSE 0 END) + 1 AS j
+              FROM lv WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            )
+            SELECT doc_id,
+                   floor((sum(1.0 / (j * j)) / count(*)) * 1e6 + 0.50000095367431640625) / 1e6
+                     AS gldm_sde
+            FROM dep GROUP BY doc_id ORDER BY doc_id
         """,
         "embedding_dedup": """
             WITH emb AS (

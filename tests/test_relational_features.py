@@ -60,3 +60,25 @@ def test_relational_ngtdm_coarseness_matches_kernel(spark, docs_pdf):
     for doc_id, v in list(kern.items()):
         # query rounds to 6 dp → absolute tolerance (values can be 1e6 flat)
         assert got[doc_id] == pytest.approx(v, abs=1e-6, rel=1e-9), doc_id
+
+
+def test_relational_glszm_zp_matches_kernel(spark, docs_pdf):
+    from pyradiomics_spark.kernels import glszm_features
+
+    rel = entrymod.q_glszm_zp_doc(spark, SF_DIR).toPandas()
+    kern = _kernel_per_doc(docs_pdf, glszm_features, "ZonePercentage")
+    got = dict(zip(rel.doc_id, rel.glszm_zone_percentage))
+    for doc_id, v in kern.items():
+        assert got[doc_id] == pytest.approx(v, abs=1e-6), doc_id
+
+
+def test_relational_gldm_sde_matches_kernel(spark, docs_pdf):
+    from pyradiomics_spark.kernels import gldm_features
+
+    rel = entrymod.q_gldm_sde_doc(spark, SF_DIR).toPandas()
+    kern = _kernel_per_doc(
+        docs_pdf, lambda lv: gldm_features(lv, distances=(1,), alpha=0.0),
+        "SmallDependenceEmphasis")
+    got = dict(zip(rel.doc_id, rel.gldm_sde))
+    for doc_id, v in kern.items():
+        assert got[doc_id] == pytest.approx(v, abs=1e-6), doc_id
