@@ -668,6 +668,19 @@ def q_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE multi-granularity aggregate (all 4 grouping-set combinations
+    of event_type × user bucket)."""
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "user_bucket", F.pmod(F.col("user_id"), F.lit(3)))
+    return (
+        ev.cube("event_type", "user_bucket")
+        .agg(F.count("*").alias("n"), _rnd(F.sum("value"), 4).alias("sum_value"))
+        .orderBy(F.col("event_type").asc_nulls_first(),
+                 F.col("user_bucket").asc_nulls_first())
+    )
+
+
 def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP multi-granularity aggregate (SURVEY §2.4 note)."""
     ev = _read(spark, sf_dir, "events")
@@ -887,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "bfill": q_bfill,
         "rollup_events": q_rollup_events,
+        "cube_events": q_cube_events,
         "union_sources": q_union_sources,
         "seqshape": q_seqshape,
         "voxel_entropy": q_voxel_entropy,
@@ -1254,6 +1268,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n, floor((sum(value)) * 1e4 + 0.50000095367431640625) / 1e4 AS sum_value
             FROM events GROUP BY ROLLUP (event_type)
             ORDER BY event_type NULLS FIRST
+        """,
+        "cube_events": """
+            SELECT event_type, user_id % 3 AS user_bucket,
+                   count(*) AS n,
+                   floor((sum(value)) * 1e4 + 0.50000095367431640625) / 1e4 AS sum_value
+            FROM events
+            GROUP BY CUBE (event_type, user_bucket)
+            ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST
         """,
         "union_sources": """
             SELECT lang, count(*) AS n_docs, 'src0' AS source
