@@ -34,7 +34,7 @@ from pyradiomics_spark.config import EPS
 def batch_supported(settings) -> bool:
     return (
         settings.bin_count is None
-        and tuple(settings.distances) == (1,)
+        and all(int(d) >= 1 for d in settings.distances)
         and settings.symmetrical_glcm
         and settings.weighting_norm is None
         and settings.resegment_range is None
@@ -253,14 +253,49 @@ def firstorder_batch(r: Ragged, levels: np.ndarray, voxel_array_shift: float = 0
 
 # -------------------------------------------------------------- GLCM
 
-def glcm_batch(r: Ragged, levels: np.ndarray) -> dict:
-    """Symmetric GLCM, distance 1, full 1..G grid per batch."""
+def glcm_batch(r: Ragged, levels: np.ndarray, distances: tuple = (1,)) -> dict:
+    """Symmetric GLCM on the full 1..G grid per batch. Multi-distance =
+    per-angle features then nanmean over angles (empty angles NaN — exactly
+    the reference's delete-empty-angles-then-mean, glcm.py:187-198)."""
+    if len(distances) == 1:
+        return _glcm_one_distance(r, levels, int(distances[0]))
+    # multi-angle: per-angle features with empty angles as NaN, then nanmean
+    # (delete-empty-angles-then-mean, glcm.py:187-198)
+    per_angle = [
+        _glcm_one_distance(r, levels, int(d), mask_empty=True)
+        for d in distances
+    ]
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        out = {
+            k: np.nanmean(np.stack([a[k] for a in per_angle]), axis=0)
+            for k in per_angle[0]
+        }
+    # the <2-gray-levels MCC guard is PRE-angle in the reference
+    # (glcm.py:702-703): docs with a single present level get MCC=1 even
+    # when every angle is empty
     B = r.B
     G = int(levels.max()) if levels.size else 1
-    same = r.doc[:-1] == r.doc[1:] if levels.size > 1 else np.empty(0, bool)
-    li = levels[:-1][same] - 1
-    lj = levels[1:][same] - 1
-    dd = r.doc[:-1][same]
+    n_pres = (np.bincount(
+        r.doc * G + (levels - 1), minlength=B * G).reshape(B, G) > 0).sum(axis=1)
+    out["MCC"] = np.where(n_pres < 2, 1.0, out["MCC"])
+    return out
+
+
+def _glcm_one_distance(r: Ragged, levels: np.ndarray, dist: int,
+                       mask_empty: bool = False) -> dict:
+    B = r.B
+    G = int(levels.max()) if levels.size else 1
+    n = levels.size
+    if n > dist:
+        same = r.doc[:-dist] == r.doc[dist:]
+        li = levels[:-dist][same] - 1
+        lj = levels[dist:][same] - 1
+        dd = r.doc[:-dist][same]
+    else:
+        li = lj = dd = np.empty(0, dtype=np.int64)
     P = np.bincount(dd * G * G + li * G + lj, minlength=B * G * G).reshape(
         B, G, G).astype(np.float64)
     P = P + P.transpose(0, 2, 1)  # symmetrize
@@ -376,7 +411,7 @@ def glcm_batch(r: Ragged, levels: np.ndarray) -> dict:
     # per-doc NaN semantics for that (dead-in-practice) corner
     mcc[~finite & (n_pres >= 2)] = np.nan
 
-    return {
+    out = {
         "Autocorrelation": autoc, "JointAverage": ux,
         "ClusterProminence": cprom, "ClusterShade": cshade,
         "ClusterTendency": ctend, "Contrast": contrast,
@@ -388,6 +423,17 @@ def glcm_batch(r: Ragged, levels: np.ndarray) -> dict:
         "MaximumProbability": maxprob, "SumAverage": sumavg,
         "SumEntropy": sument, "SumSquares": sumsq,
     }
+    # multi-angle only: pair-less docs at this distance → the whole angle
+    # is NaN so the nanmean skips it (delete-empty-angle semantics); the
+    # guards above gave MCC=1 / Imc=0 / invvar=0 which would wrongly
+    # survive the nanmean. Single-angle keeps those per-doc guard values.
+    empty = ~(mass > 0)
+    if mask_empty and empty.any():
+        for k in out:
+            v = np.asarray(out[k], dtype=np.float64).copy()
+            v[empty] = np.nan
+            out[k] = v
+    return out
 
 
 # -------------------------------------------------- runs (GLRLM + GLSZM)
@@ -487,19 +533,21 @@ def runs_batch_features(r: Ragged, levels: np.ndarray):
 
 # -------------------------------------------------------------- NGTDM
 
-def ngtdm_batch(r: Ragged, levels: np.ndarray) -> dict:
+def ngtdm_batch(r: Ragged, levels: np.ndarray, distances: tuple = (1,)) -> dict:
     B = r.B
     G = int(levels.max()) if levels.size else 1
     n = levels.size
     lv = levels.astype(np.float64)
     nbr_sum = np.zeros(n)
     nbr_cnt = np.zeros(n)
-    if n > 1:
-        same = r.doc[:-1] == r.doc[1:]
-        nbr_sum[:-1] += np.where(same, lv[1:], 0.0)
-        nbr_cnt[:-1] += same
-        nbr_sum[1:] += np.where(same, lv[:-1], 0.0)
-        nbr_cnt[1:] += same
+    for d in distances:
+        d = int(d)
+        if n > d:
+            same = r.doc[:-d] == r.doc[d:]
+            nbr_sum[:-d] += np.where(same, lv[d:], 0.0)
+            nbr_cnt[:-d] += same
+            nbr_sum[d:] += np.where(same, lv[:-d], 0.0)
+            nbr_cnt[d:] += same
     counted = nbr_cnt > 0
     with np.errstate(invalid="ignore", divide="ignore"):
         mean_nbr = np.where(counted, nbr_sum / np.maximum(nbr_cnt, 1), 0.0)
@@ -557,17 +605,20 @@ def ngtdm_batch(r: Ragged, levels: np.ndarray) -> dict:
 
 # -------------------------------------------------------------- GLDM
 
-def gldm_batch(r: Ragged, levels: np.ndarray, alpha: float = 0.0) -> dict:
+def gldm_batch(r: Ragged, levels: np.ndarray, alpha: float = 0.0,
+               distances: tuple = (1,)) -> dict:
     B = r.B
     G = int(levels.max()) if levels.size else 1
     n = levels.size
     dep = np.zeros(n, dtype=np.int64)
-    if n > 1:
-        same = r.doc[:-1] == r.doc[1:]
-        ok = same & (np.abs(levels[:-1] - levels[1:]) <= alpha)
-        dep[:-1] += ok
-        dep[1:] += ok
-    D = 3  # dep ∈ {0,1,2} at distance 1
+    for d in distances:
+        d = int(d)
+        if n > d:
+            same = r.doc[:-d] == r.doc[d:]
+            ok = same & (np.abs(levels[:-d] - levels[d:]) <= alpha)
+            dep[:-d] += ok
+            dep[d:] += ok
+    D = 2 * len(distances) + 1  # dep ∈ {0..2·Nd}
     P = np.bincount(
         r.doc * G * D + (levels - 1) * D + dep, minlength=B * G * D
     ).reshape(B, G, D).astype(np.float64)

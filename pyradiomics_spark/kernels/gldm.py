@@ -50,6 +50,10 @@ def gldm_matrix(
         raise ValueError("empty ROI")
 
     offsets = sorted({int(s * d) for d in distances for s in (-1, 1) if int(d) > 0})
+    # offsets beyond the sequence length have no neighbors (the C scanner's
+    # per-voxel bounds check, cmatrices.c) — and would corrupt the negative
+    # slice arithmetic below
+    offsets = [o for o in offsets if abs(o) < n]
     dep = np.zeros(n, dtype=np.int64)
     for off in offsets:
         if off > 0:

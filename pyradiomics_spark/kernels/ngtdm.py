@@ -41,6 +41,10 @@ def ngtdm_matrix(levels: np.ndarray, distances: tuple = (1,), valid: np.ndarray 
         raise ValueError("empty ROI")
 
     offsets = sorted({int(s * d) for d in distances for s in (-1, 1) if int(d) > 0})
+    # offsets beyond the sequence length have no neighbors (the C scanner's
+    # per-voxel bounds check, cmatrices.c) — and would corrupt the negative
+    # slice arithmetic below
+    offsets = [o for o in offsets if abs(o) < n]
     lv = levels.astype(np.float64)
     nbr_sum = np.zeros(n, dtype=np.float64)
     nbr_cnt = np.zeros(n, dtype=np.int64)

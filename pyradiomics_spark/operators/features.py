@@ -199,7 +199,7 @@ def _extract_batch(texts, settings: ExtractionSettings, image_type: str = "origi
         for f, v in firstorder_batch(r, levels, settings.voxel_array_shift).items():
             cols[f"firstorder_{f}"] = v
     if "glcm" in want:
-        for f, v in glcm_batch(r, levels).items():
+        for f, v in glcm_batch(r, levels, settings.distances).items():
             cols[f"glcm_{f}"] = v
     if "glrlm" in want or "glszm" in want:
         rl, sz = runs_batch_features(r, levels)
@@ -210,10 +210,11 @@ def _extract_batch(texts, settings: ExtractionSettings, image_type: str = "origi
             for f, v in sz.items():
                 cols[f"glszm_{f}"] = v
     if "ngtdm" in want:
-        for f, v in ngtdm_batch(r, levels).items():
+        for f, v in ngtdm_batch(r, levels, settings.distances).items():
             cols[f"ngtdm_{f}"] = v
     if "gldm" in want:
-        for f, v in gldm_batch(r, levels, settings.gldm_a).items():
+        for f, v in gldm_batch(r, levels, settings.gldm_a,
+                               settings.distances).items():
             cols[f"gldm_{f}"] = v
     if "seqshape" in want and image_type != "original":
         # shape analog is emitted only on the original image type
