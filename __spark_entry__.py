@@ -862,12 +862,15 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit simhash signatures (xxhash64-based — no SQL twin, rows-only
-    driver check; correctness covered by tests/test_dedup_similarity.py)."""
-    from pyradiomics_spark.operators.dedup import simhash_signatures
+    """16-bit md5-based simhash signatures — the engine-agnostic variant of
+    operators.dedup.simhash_signatures (same plan shape: explode → one
+    groupBy with per-bit conditional sums) whose every step has an exact
+    DuckDB twin. The production 64-bit xxhash64 variant is covered by
+    tests/test_dedup_similarity.py brute-force parity."""
+    from pyradiomics_spark.operators.dedup import simhash_signatures_md5
 
     docs = _read(spark, sf_dir, "documents")
-    return simhash_signatures(docs, "doc_id", "text").orderBy("doc_id")
+    return simhash_signatures_md5(docs, "doc_id", "text", bits=16).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -928,15 +931,38 @@ def oracle_sql() -> dict[str, str]:
         " FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"
         ") WHERE tok <> ''"
     )
+    # 16-bit md5 simhash twin (see operators.dedup.simhash_signatures_md5):
+    # per-bit signed sums over hex digits of md5(tok), then bit reassembly.
+    simhash_sums = ",\n                     ".join(
+        "sum(CASE WHEN (((instr('0123456789abcdef', substring(h, "
+        f"{k // 4 + 1}, 1)) - 1) >> {k % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS s{k}"
+        for k in range(16)
+    )
+    simhash_val = " + ".join(
+        f"(CASE WHEN s{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(16)
+    )
+    simhash_sql = f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+            ), h AS (
+              SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> ''
+            ), sums AS (
+              SELECT doc_id, {simhash_sums}
+              FROM h GROUP BY doc_id
+            )
+            SELECT doc_id, CAST({simhash_val} AS BIGINT) AS simhash
+            FROM sums ORDER BY doc_id
+        """
     return {
+        "simhash": simhash_sql,
         "fo_doc_stats": f"""
             SELECT doc_id,
                    count(*) AS n_tokens,
                    min(tok_len) AS min_len,
                    max(tok_len) AS max_len,
-                   sum(tok_len) AS sum_len,
+                   CAST(sum(tok_len) AS BIGINT) AS sum_len,
                    floor((avg(tok_len)) * 1e6 + 0.50000095367431640625) / 1e6 AS mean_len,
-                   sum(tok_len * tok_len) AS energy,
+                   CAST(sum(tok_len * tok_len) AS BIGINT) AS energy,
                    floor((sqrt(avg(tok_len * tok_len))) * 1e6 + 0.50000095367431640625) / 1e6 AS rms,
                    floor((var_pop(tok_len)) * 1e6 + 0.50000095367431640625) / 1e6 AS variance
             FROM ({tokens}) GROUP BY doc_id ORDER BY doc_id
@@ -944,7 +970,7 @@ def oracle_sql() -> dict[str, str]:
         "fo_binned_hist": f"""
             WITH lv AS (
               SELECT t.doc_id,
-                     floor(tok_len / 4) - floor(min(tok_len) OVER (PARTITION BY t.doc_id) / 4) + 1 AS level
+                     CAST(floor(tok_len / 4) - floor(min(tok_len) OVER (PARTITION BY t.doc_id) / 4) + 1 AS BIGINT) AS level
               FROM ({tokens}) t
             )
             SELECT d.lang, lv.level, count(*) AS cnt
@@ -964,7 +990,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "glcm_pairs": f"""
             WITH lv AS (
-              SELECT doc_id, pos, least(floor(tok_len / 2) + 1, 8) AS level
+              SELECT doc_id, pos, CAST(least(floor(tok_len / 2) + 1, 8) AS BIGINT) AS level
               FROM ({tokens})
             ), pairs AS (
               SELECT doc_id, level,
@@ -979,7 +1005,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "glrlm_runs": f"""
             WITH lv AS (
-              SELECT doc_id, pos, least(floor(tok_len / 2) + 1, 8) AS level
+              SELECT doc_id, pos, CAST(least(floor(tok_len / 2) + 1, 8) AS BIGINT) AS level
               FROM ({tokens})
             ), flagged AS (
               SELECT doc_id, pos, level,
@@ -1083,7 +1109,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngtdm_terms": f"""
             WITH lv AS (
-              SELECT doc_id, pos, least(floor(tok_len / 2) + 1, 8) AS level
+              SELECT doc_id, pos, CAST(least(floor(tok_len / 2) + 1, 8) AS BIGINT) AS level
               FROM ({tokens})
             ), terms AS (
               SELECT doc_id, level,
@@ -1101,7 +1127,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "gldm_dependence": f"""
             WITH lv AS (
-              SELECT doc_id, pos, least(floor(tok_len / 2) + 1, 8) AS level
+              SELECT doc_id, pos, CAST(least(floor(tok_len / 2) + 1, 8) AS BIGINT) AS level
               FROM ({tokens})
             ), dep AS (
               SELECT doc_id, level,
@@ -1221,7 +1247,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, floor((sum(zc)) * 1e6 + 0.50000095367431640625) / 1e6 + 0.0 AS sum_z,
                    floor((max(zc)) * 1e6 + 0.50000095367431640625) / 1e6 + 0.0 AS max_z,
-                   sum(CASE WHEN z <> zc THEN 1 ELSE 0 END) AS n_clamped
+                   CAST(sum(CASE WHEN z <> zc THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
             FROM c GROUP BY doc_id ORDER BY doc_id
         """,
         "resegment": f"""
@@ -1298,7 +1324,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_valid,
                    min(pos) AS span_start, max(pos) AS span_end,
                    floor((count(*) / (max(pos) - min(pos) + 1.0)) * 1e6 + 0.50000095367431640625) / 1e6 AS compactness,
-                   sum(chg) AS n_runs
+                   CAST(sum(chg) AS BIGINT) AS n_runs
             FROM runs GROUP BY doc_id ORDER BY doc_id
         """,
         "voxel_entropy": f"""

@@ -116,8 +116,20 @@ def ngram_jaccard_pairs(
     pairs (fine at test scale, every pair sharing ≥1 shingle)."""
     sh = _shingles(df, id_col, text_col, shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    pair_sh = sh
+    if candidates is not None:
+        # Restrict shingles to candidate docs BEFORE the self-join: a
+        # stop-word-like hot shingle shared by millions of non-candidate
+        # docs would otherwise explode quadratically inside the join, and
+        # the pair filter after the aggregate would never see it.
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        pair_sh = sh.join(cand_ids, id_col, "left_semi")
+    a = pair_sh.alias("a")
+    b = pair_sh.alias("b")
     common = (
         a.join(
             b,
@@ -130,6 +142,7 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("common"))
     )
     if candidates is not None:
+        # still needed: candidate PAIRS, not all pairs among candidate docs
         common = common.join(candidates, ["id_a", "id_b"], "inner")
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
@@ -200,6 +213,37 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return out
 
 
+def simhash_signatures_md5(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """Engine-agnostic ``bits``-wide simhash (md5-based): every step — md5
+    hex, hex-digit value via instr('0123456789abcdef', d) − 1, shift/mask,
+    signed per-bit sums — has an exact ANSI-SQL twin, so a DuckDB oracle
+    reproduces the signature bit-for-bit (unlike the xxhash64 64-bit
+    variant above, which has no cross-engine hash twin). Token weight =
+    multiplicity. Same plan shape: explode → ONE groupBy with ``bits``
+    conditional sums."""
+    assert bits % 4 == 0 and bits <= 64
+    toks = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .withColumn("h", F.md5("tok"))
+    )
+    aggs = []
+    for k in range(bits):
+        j = k // 4 + 1   # 1-based hex digit index in the md5 string
+        b = k % 4        # bit within that digit
+        digit = F.expr(f"instr('0123456789abcdef', substring(h, {j}, 1)) - 1")
+        bit = F.shiftright(digit, b).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{k}"))
+    sums = toks.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for k in range(bits):
+        sim = sim + F.when(F.col(f"s{k}") > 0, F.lit(1 << k).cast("long")).otherwise(
+            F.lit(0).cast("long"))
+    return sums.select(F.col(id_col), sim.alias("simhash"))
+
+
 def hamming64(a, b):
     """Hamming distance between two long columns (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
@@ -237,17 +281,25 @@ def simhash_candidates(
 
 def embedding_cosine_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
-    candidates: DataFrame | None = None,
+    candidates: DataFrame | None = None, dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs by exact cosine (builtin array ops —
     F.zip_with + F.aggregate, JVM-side). Pair generation bounded by
-    ``candidates`` or LSH buckets from ``similarity.hyperplane_buckets``."""
+    ``candidates`` or LSH buckets from ``similarity.hyperplane_buckets``.
+
+    ``dim`` (embedding dimensionality) is required when ``candidates`` is
+    None: plan construction must never run a Spark action (a ``first()``
+    here would execute a job on the driver before the query is even built).
+    """
     from pyradiomics_spark.operators.similarity import cosine_expr
 
     if candidates is None:
         from pyradiomics_spark.operators.similarity import hyperplane_buckets
 
-        dim = len(df.select(vec_col).first()[0])
+        if dim is None:
+            raise ValueError(
+                "embedding_cosine_pairs requires dim= when candidates is None "
+                "(no driver-side action during plan construction)")
         bucketed = hyperplane_buckets(df, id_col, vec_col, n_planes=8, dim=dim)
         a = bucketed.alias("a")
         b = bucketed.alias("b")

@@ -115,8 +115,63 @@ def test_embedding_cosine_pairs_finds_duplicate(spark, rng):
     vecs[7] /= np.linalg.norm(vecs[7])
     df = spark.createDataFrame(pd.DataFrame({
         "vec_id": range(10), "embedding": [list(map(float, v)) for v in vecs]}))
-    out = embedding_cosine_pairs(df, "vec_id", "embedding", threshold=0.99).toPandas()
+    out = embedding_cosine_pairs(
+        df, "vec_id", "embedding", threshold=0.99, dim=16).toPandas()
     assert (3, 7) in set(zip(out.id_a, out.id_b))
+
+
+def test_jaccard_hot_shingle_bounded_by_candidates(spark):
+    """Join-order guard: with a hot shingle shared by every doc, the shingle
+    self-join must be restricted to candidate docs BEFORE it runs (semi-join
+    in the plan), or a web-scale stop-word shingle explodes quadratically."""
+    from pyradiomics_spark.operators.dedup import ngram_jaccard_pairs
+
+    n = 2000
+    # every doc contains the same hot 3-gram; only docs 0/1 are near-dups
+    texts = [f"common hot shingle unique{i} tail{i}" for i in range(n)]
+    texts[1] = texts[0]
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(n), "text": texts}))
+    cand = spark.createDataFrame(pd.DataFrame({"id_a": [0], "id_b": [1]}))
+    out_df = ngram_jaccard_pairs(df, "doc_id", "text", 3, candidates=cand)
+    plan = out_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan, "candidate semi-join must precede the self-join"
+    out = out_df.toPandas()
+    assert len(out) == 1 and out.jaccard.iloc[0] == 1.0
+
+
+def test_embedding_cosine_pairs_requires_dim(spark, rng):
+    """Plan construction must not run a Spark action: without candidates,
+    dim= is mandatory (no first() to infer it)."""
+    import pytest as _pytest
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [0], "embedding": [[1.0, 0.0]]}))
+    with _pytest.raises(ValueError, match="dim"):
+        embedding_cosine_pairs(df, "vec_id", "embedding")
+
+
+def test_simhash_md5_matches_bruteforce(spark):
+    """simhash_signatures_md5 == per-doc numpy brute force over md5 bits."""
+    import hashlib
+    from pyradiomics_spark.operators.dedup import simhash_signatures_md5
+
+    texts = ["the quick brown fox", "the quick brown fox", "lorem ipsum dolor",
+             "a b a b a", "single"]
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(len(texts)), "text": texts}))
+    out = (simhash_signatures_md5(df, "doc_id", "text", bits=16)
+           .toPandas().set_index("doc_id")["simhash"].to_dict())
+    for i, txt in enumerate(texts):
+        sums = [0] * 16
+        for tok in txt.split(" "):
+            if not tok:
+                continue
+            h = hashlib.md5(tok.encode()).hexdigest()
+            for k in range(16):
+                d = int(h[k // 4], 16)
+                sums[k] += 1 if (d >> (k % 4)) & 1 else -1
+        expect = sum(1 << k for k in range(16) if sums[k] > 0)
+        assert out[i] == expect, (i, out[i], expect)
+    assert out[0] == out[1]  # identical docs → identical signatures
 
 
 def test_ivf_topk_reasonable_recall(spark, rng):

@@ -70,6 +70,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     if sc != oc:
         problems.append(f"columns spark={sc} oracle={oc}")
         return problems
+    # The driver's value-hash is dtype-sensitive (int64 1 vs float64 1.0
+    # hash differently): require the same dtype KIND per column, pre-canon.
+    for c in sc:
+        ka = spark_pdf[c].dtype.kind
+        kb = oracle_pdf[c].dtype.kind
+        if ka != kb and not (len(spark_pdf) == 0 and len(oracle_pdf) == 0):
+            problems.append(
+                f"dtype col `{c}`: spark={spark_pdf[c].dtype} oracle={oracle_pdf[c].dtype}")
     a, b = canon(spark_pdf), canon(oracle_pdf)
     if len(a) == len(b):
         for c in a.columns:
