@@ -78,6 +78,15 @@ class ExtractionSettings:
             raise ValueError("bin_count must be >= 1")
         if self.bin_width <= 0:
             raise ValueError("bin_width must be > 0")
+        if not self.distances:
+            raise ValueError("distances must be non-empty")
+        if any((not float(d).is_integer()) or d < 1 for d in self.distances):
+            raise ValueError(f"distances must be integers >= 1: {self.distances}")
+        if len(set(self.distances)) != len(self.distances):
+            # per-doc kernels dedupe offsets via a set while batched kernels
+            # loop over distances as-is — a duplicate would silently change
+            # GLDM dependence counts on one path only. Reject it.
+            raise ValueError(f"duplicate distances: {self.distances}")
         if self.resegment_mode not in ("absolute", "relative", "sigma"):
             raise ValueError(f"bad resegment_mode: {self.resegment_mode}")
         if self.tokenizer not in ("whitespace", "bpe_regex"):

@@ -93,9 +93,12 @@ IMAGE_TRANSFORMS = {
 
 def normalize(x: np.ndarray, scale: float = 1.0, remove_outliers: float | None = None) -> np.ndarray:
     """Z-score normalize ×scale, then optional ±nσ clamp (in normalized
-    units ×scale), per imageoperations.py:615-654."""
+    units ×scale), per imageoperations.py:615-654. sitk.Normalize delegates
+    to ITK's NormalizeImageFilter whose statistics use the UNBIASED N−1
+    sigma, so we match that (ddof=1), not numpy's default population std.
+    (Clamp-then-scale vs scale-then-clamp±nσ·s are identical for s>0.)"""
     x = np.asarray(x, dtype=np.float64)
-    sigma = x.std()
+    sigma = x.std(ddof=1) if x.size > 1 else 0.0
     mean = x.mean()
     if sigma == 0:
         out = np.zeros_like(x)

@@ -33,29 +33,34 @@ _SCRIPT_RE = re.compile(
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 _TAG_RE = re.compile(r"<[^>]+>")
 _WS_RE = re.compile(r"\s+")
-_NUM_ENT_RE = re.compile(r"&#(x[0-9a-fA-F]+|[0-9]+);")
 _NAMED_ENTITIES = {
     "&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"',
-    "&#39;": "'", "&apos;": "'", "&nbsp;": " ",
+    "&apos;": "'", "&nbsp;": " ",
 }
+# ONE pattern for named + numeric entities so decoding is a single
+# left-to-right pass: '&amp;lt;' decodes to the literal '&lt;' (HTML
+# semantics), never double-decodes to '<' the way sequential str.replace
+# passes would.
+_ENT_RE = re.compile(r"&(?:amp|lt|gt|quot|apos|nbsp|#(?:x[0-9a-fA-F]+|[0-9]+));")
 _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+")
 
 
 def _decode_entities(s: str) -> str:
-    for k, v in _NAMED_ENTITIES.items():
-        s = s.replace(k, v)
-
-    def _num(m: re.Match) -> str:
-        body = m.group(1)
+    def _one(m: re.Match) -> str:
+        tok = m.group(0)
+        named = _NAMED_ENTITIES.get(tok)
+        if named is not None:
+            return named
+        body = tok[2:-1]  # strip '&#' and ';'
         try:
             cp = int(body[1:], 16) if body[0] in "xX" else int(body)
             if 0 < cp < 0x110000:
                 return chr(cp)
         except ValueError:
             pass
-        return m.group(0)
+        return tok
 
-    return _NUM_ENT_RE.sub(_num, s)
+    return _ENT_RE.sub(_one, s)
 
 
 def extract_text(html: bytes | str) -> str:

@@ -97,9 +97,16 @@ def asof_join(
     )
 
     unioned = l_tagged.unionByName(r_tagged)
+    # Deterministic tie-break among right rows sharing (key, ts): order by
+    # the right payload columns too, so the attached row is the MAX payload
+    # tuple — stable across runs/partitionings and identical to the rule
+    # asof_join_merge applies (it sorts its right side the same way).
+    # Left rows carry nulls in these columns; their relative order at equal
+    # ts is irrelevant (each left row is its own output row).
+    tie_cols = [F.col(f"__r_{c}") for c in right_payload]
     w = (
         Window.partitionBy(*keys)
-        .orderBy(_TS, _TAG)
+        .orderBy(_TS, _TAG, *tie_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned
@@ -160,9 +167,13 @@ def asof_join_merge(
             for c in right_payload:
                 out[c] = None
             return out[left_cols + [right_ts] + right_payload]
+        # sort ties by payload too (ascending, NaN first) so merge_asof's
+        # "last row at equal ts" is the MAX payload tuple — the same
+        # deterministic tie-break as the window strategy above
         r_sorted = (
             r_pdf[keys + [right_ts] + right_payload]
-            .sort_values(right_ts, kind="mergesort")
+            .sort_values([right_ts] + right_payload, kind="mergesort",
+                         na_position="first")
             .rename(columns={right_ts: "__rts"})
         )
         merged = pd.merge_asof(

@@ -95,7 +95,12 @@ def stream_asof_sink(
     Structured Streaming forbids window functions on streams, so the join
     runs per micro-batch via foreachBatch (each batch is bounded, the static
     side is the full history ⇒ identical semantics to the batch as-of).
-    Exactly-once via the checkpointLocation + append-only parquet sink.
+
+    Exactly-once OUTPUT despite foreachBatch's at-least-once execution: each
+    batch writes to its own ``batch_id=<n>`` partition with dynamic partition
+    overwrite, so a batch retried after a post-write/pre-commit crash
+    overwrites its own partition instead of appending duplicates. (A blind
+    ``mode("append")`` here would only be at-least-once.)
 
     Returns the DataStreamWriter (caller `.start()`s it).
     """
@@ -105,7 +110,11 @@ def stream_asof_sink(
         joined = asof_join(
             batch_df, static_right, on=on, left_ts=left_ts, right_ts=right_ts,
             allow_exact_matches=allow_exact_matches)
-        joined.write.mode("append").parquet(out_path)
+        (joined.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id")
+         .parquet(out_path))
 
     return (
         stream_left.writeStream.foreachBatch(process)

@@ -36,6 +36,37 @@ def test_settings_from_params():
     assert s.feature_classes == ("firstorder",)
 
 
+def test_settings_reject_malformed():
+    """Schema-validation breadth (paramSchema.yaml/schemaFuncs.py analog):
+    malformed configs must raise, not silently misbehave."""
+    from pyradiomics_spark.config import ExtractionSettings
+
+    with pytest.raises(ValueError):
+        ExtractionSettings(distances=())
+    with pytest.raises(ValueError):
+        ExtractionSettings(distances=(0,))
+    with pytest.raises(ValueError):
+        ExtractionSettings(distances=(-1, 2))
+    with pytest.raises(ValueError):
+        ExtractionSettings(distances=(1, 1))  # dup → kernel-path divergence
+    with pytest.raises(ValueError):
+        ExtractionSettings(distances=(1.5,))
+    with pytest.raises(ValueError):
+        ExtractionSettings(bin_width=0)
+    with pytest.raises(ValueError):
+        ExtractionSettings(bin_count=0)
+    with pytest.raises(ValueError):
+        ExtractionSettings(resegment_mode="bogus")
+    with pytest.raises(ValueError):
+        ExtractionSettings(image_types=("original", "nope"))
+    with pytest.raises(ValueError):
+        ExtractionSettings(feature_classes=("glcm", "nope"))
+    with pytest.raises(TypeError):
+        ExtractionSettings.from_dict({"unknown_key": 1})
+    # valid multi-distance config still accepted
+    assert ExtractionSettings(distances=(1, 3)).distances == (1, 3)
+
+
 def test_yaml_loading(tmp_path):
     f = tmp_path / "params.yaml"
     f.write_text(PARAMS_YAML)

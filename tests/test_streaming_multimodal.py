@@ -185,3 +185,15 @@ def test_stream_asof_matches_batch(spark, tmp_path):
     a = got.sort_values(key).reset_index(drop=True)[expect.columns]
     b = expect.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_like=True)
+
+    # Idempotency (exactly-once output under at-least-once execution):
+    # replay the whole stream into the SAME output path with a fresh
+    # checkpoint — every batch is redelivered with the same batch_id and
+    # must overwrite its own partition, not append duplicates.
+    ckpt2 = str(tmp_path / "asof_ckpt_replay")
+    q2 = stream_asof_sink(
+        stream, rdf, on="ent", left_ts="ts", right_ts="rts",
+        out_path=out, checkpoint=ckpt2).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    replayed = spark.read.parquet(out).toPandas()
+    assert len(replayed) == len(expect), "batch replay duplicated rows"

@@ -14,6 +14,15 @@ def test_extract_text_strips_and_decodes():
     assert extract_text(html) == "Hello & world \xe9 A"
 
 
+def test_entity_decode_single_pass():
+    """Nested encodings decode exactly once (HTML semantics): '&amp;lt;'
+    is the ESCAPED string '&lt;', not '<'."""
+    assert extract_text(b"<p>&amp;lt;</p>") == "&lt;"
+    assert extract_text(b"<p>&amp;amp;</p>") == "&amp;"
+    assert extract_text(b"<p>&amp;#65;</p>") == "&#65;"
+    assert extract_text(b"<p>a &amp; b &lt; c</p>") == "a & b < c"
+
+
 def test_extract_text_deterministic_bytes():
     html = "<p>café &nbsp; straße</p>".encode("utf-8")
     t1 = extract_text(html)
