@@ -16,9 +16,12 @@ feature is a vectorized reduction over padded per-batch tensors:
   interpolation indexing (pure arithmetic on a batch-sorted array) and the
   GLCM MCC eigendecomposition (compacted per doc, like the reference).
 
-Supported settings envelope (callers fall back to the per-doc kernels
-outside it): bin_width mode, distances=(1,), symmetrical GLCM, no
-weighting, full-validity ROI (no resegmentation), any gldm_a.
+Supported settings envelope (round 2): the FULL validated settings surface —
+FBW (any width, FP-exact digitize parity) and FBN discretization, normalize
+(±nσ clamp), resegmentation masks (absolute/relative/sigma), symmetric and
+directed GLCM, distance weighting, multi-distance, every image type
+including the wavelet subbands and LoG (batched per-tap circular
+convolution). The per-doc kernels remain as the ground-truth twin.
 
 Parity with the per-doc kernels is asserted to 1e-9 in
 tests/test_batch_kernels.py over the golden fixture corpus.
@@ -32,13 +35,10 @@ from pyradiomics_spark.config import EPS
 
 
 def batch_supported(settings) -> bool:
-    return (
-        settings.bin_count is None
-        and all(int(d) >= 1 for d in settings.distances)
-        and settings.symmetrical_glcm
-        and settings.weighting_norm is None
-        and settings.resegment_range is None
-    )
+    """Round 2: the batched kernels cover the full validated settings
+    surface (ExtractionSettings.__post_init__ already rejects anything the
+    kernels can't see identically on both paths)."""
+    return True
 
 
 # ----------------------------------------------------------------- layout
@@ -72,6 +72,21 @@ class Ragged:
         clone._ne_starts = self._ne_starts
         return clone
 
+    def masked(self, valid: np.ndarray) -> "Ragged":
+        """Ragged of only the valid positions (per-doc ROI compaction);
+        same doc count, shorter segments."""
+        clone = object.__new__(Ragged)
+        clone.B = self.B
+        clone.lens = np.bincount(
+            self.doc[valid], minlength=self.B).astype(np.int64)
+        clone.starts = np.zeros(self.B, dtype=np.int64)
+        np.cumsum(clone.lens[:-1], out=clone.starts[1:])
+        clone.x = self.x[valid]
+        clone.doc = self.doc[valid]
+        clone.nonempty = clone.lens > 0
+        clone._ne_starts = clone.starts[clone.nonempty]
+        return clone
+
     def reduceat(self, arr, ufunc=np.add):
         """Per-doc reduction of a concat-aligned array (0 for empty docs)."""
         out = np.zeros(self.B)
@@ -90,23 +105,181 @@ class Ragged:
         return self.reduceat(arr, np.minimum)
 
 
-def discretize_batch(r: Ragged, bin_width: float) -> np.ndarray:
-    """Fixed-bin-width levels: floor(x/W) − floor(min_doc/W) + 1 — the exact
-    arange+digitize semantics on any grid (the FP corner where they diverge
-    needs fractional widths AND values straddling a representability
-    boundary; asserted equal to the per-doc kernel in tests)."""
-    fl = np.floor(r.x / bin_width)
-    fmin = r.segmin(fl)
-    return (fl - fmin[r.doc] + 1).astype(np.int64)
+def discretize_batch(r: Ragged, bin_width: float,
+                     bin_count: int | None = None) -> np.ndarray:
+    """Levels with EXACT np.digitize(bin_edges()) parity (kernels.binning),
+    vectorized — valid for any float values (fractional widths, normalized
+    intensities, wavelet outputs) and both FBW and FBN modes.
+
+    Strategy: arithmetic candidate level, then a short correction loop that
+    checks the candidate against the EXACT edge values the per-doc path
+    materializes (np.arange fills start + i·step; np.linspace fills
+    i·step + start with the endpoint pinned) — a 1-ulp disagreement between
+    floor-division and the edge array moves the candidate by at most one
+    bin per pass.
+    """
+    x = r.x
+    if x.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    doc = r.doc
+    mn = r.segmin(x)
+    mx = r.segmax(x)
+
+    if bin_count is None:
+        w = float(bin_width)
+        low = mn - (mn % w)          # same op as binning.bin_edges:39
+        lowd = low[doc]
+        t = np.floor((x - lowd) / w) + 1.0
+        for _ in range(3):
+            bad_lo = x < lowd + (t - 1.0) * w   # np.arange: start + i*step
+            bad_hi = x >= lowd + t * w
+            if not bad_lo.any() and not bad_hi.any():
+                break  # integer grids exit after one check
+            t = np.where(bad_lo, t - 1.0, np.where(bad_hi, t + 1.0, t))
+        return t.astype(np.int64)
+
+    k = int(bin_count)
+    # np.histogram expands a zero-width range to (v−.5, v+.5); binning then
+    # bumps the LAST edge +1 so the max joins the top half-open bin
+    flat = mn == mx
+    first = np.where(flat, mn - 0.5, mn)
+    last = np.where(flat, mn + 0.5, mx)
+    step = (last - first) / k
+    t = np.floor((x - first[doc]) / step[doc]).astype(np.int64) + 1
+
+    def edge(i):
+        # np.linspace fills i·step + start and pins edges[k] = last (+1)
+        return np.where(i >= k, last[doc] + 1.0, i * step[doc] + first[doc])
+
+    for _ in range(3):
+        bad_lo = x < edge(t - 1)
+        bad_hi = x >= edge(t)
+        if not bad_lo.any() and not bad_hi.any():
+            break
+        t = np.where(bad_lo, t - 1, np.where(bad_hi, t + 1, t))
+    return t.astype(np.int64)
+
+
+def normalize_batch(r: Ragged, scale: float = 1.0,
+                    remove_outliers: float | None = None) -> np.ndarray:
+    """functions.intensity.normalize vectorized over the ragged batch:
+    z-score with the UNBIASED N−1 sigma (ITK semantics), ×scale, optional
+    ±nσ·scale clamp. Returns a concat-aligned array."""
+    n = r.lens.astype(np.float64)
+    safe_n = np.maximum(n, 1.0)
+    mean = r.segsum(r.x) / safe_n
+    d = r.x - mean[r.doc]
+    var = r.segsum(d * d) / np.maximum(n - 1.0, 1.0)
+    sigma = np.sqrt(var)
+    # flat docs must hit the sigma==0 branch exactly (reduceat residue guard)
+    sigma = np.where((r.segmin(r.x) == r.segmax(r.x)) | (n <= 1), 0.0, sigma)
+    sd = sigma[r.doc]
+    out = np.where(sd > 0, d / np.where(sd > 0, sd, 1.0), 0.0)
+    out = out * scale
+    if remove_outliers is not None:
+        bound = remove_outliers * scale
+        out = np.clip(out, -bound, bound)
+    return out
+
+
+def resegment_batch(r: Ragged, rng: tuple, mode: str = "absolute") -> np.ndarray:
+    """functions.intensity.resegment_bounds vectorized → per-position
+    validity mask (bounds derived per doc from the post-normalize
+    'original' intensities, like the per-doc path)."""
+    lo, hi = (rng[0], rng[1]) if len(rng) == 2 else (rng[0], None)
+    B = r.B
+    if mode == "absolute":
+        lo_v = np.full(B, lo if lo is not None else -np.inf)
+        hi_v = np.full(B, hi if hi is not None else np.inf)
+    elif mode == "relative":
+        m = r.segmax(r.x)
+        lo_v = lo * m if lo is not None else np.full(B, -np.inf)
+        hi_v = hi * m if hi is not None else np.full(B, np.inf)
+    elif mode == "sigma":
+        n = np.maximum(r.lens, 1).astype(np.float64)
+        mean = r.segsum(r.x) / n
+        d = r.x - mean[r.doc]
+        sd = np.sqrt(r.segsum(d * d) / n)  # population σ, like np.std
+        lo_v = mean + lo * sd if lo is not None else np.full(B, -np.inf)
+        hi_v = mean + hi * sd if hi is not None else np.full(B, np.inf)
+    else:  # pragma: no cover — config validates
+        raise ValueError(f"bad resegment mode {mode}")
+    return (r.x >= lo_v[r.doc]) & (r.x <= hi_v[r.doc])
 
 
 # ----------------------------------------------------- derived image types
 
-#: image types with a batched transform (wavelets/LoG need per-doc circular
-#: convolution and stay on the per-doc path)
+#: image types with a batched transform — round 2: ALL of them (wavelet
+#: subbands + LoG run as batched per-tap circular convolutions below)
 BATCH_TRANSFORMS = (
     "original", "square", "squareroot", "logarithm", "exponential", "gradient",
+    "wavelet-L", "wavelet-H", "log-sigma-2",
 )
+
+
+def _circ_conv_layout(x, starts, lens, doc, h, shift: int = 0):
+    """y[p] = Σ_k h[k] · x[start_doc + ((i_in + shift − k) mod len_doc)] —
+    per-doc circular convolution over a concatenated layout, one fancy-
+    indexed gather per filter tap (taps ≤ 17, so ≤ 17 passes instead of a
+    per-doc (n, m) index matrix)."""
+    n = x.size
+    y = np.zeros(n)
+    if n == 0:
+        return y
+    i_in = np.arange(n) - starts[doc]
+    ln = lens[doc]
+    base = starts[doc]
+    for k, w in enumerate(h):
+        src = (i_in + shift - k) % ln
+        y += w * x[base + src]
+    return y
+
+
+def wavelet_batch(r: Ragged, which: str, wavelet: str = "coif1") -> np.ndarray:
+    """Batched single-level SWT subband (functions.wavelets.swt1 semantics):
+    odd docs padded to even length by wrapping the first sample, periodic
+    convolution, cropped back. Returns a concat-aligned array."""
+    from pyradiomics_spark.functions.wavelets import DEC_LO, _dec_hi
+
+    lo = DEC_LO[wavelet]
+    h = lo if which == "L" else _dec_hi(lo)
+    odd = (r.lens % 2 == 1)
+    plens = r.lens + odd
+    pstarts = np.zeros(r.B, dtype=np.int64)
+    np.cumsum(plens[:-1], out=pstarts[1:])
+    pN = int(plens.sum())
+    if pN == 0:
+        return np.zeros(0)
+    pdoc = np.repeat(np.arange(r.B), plens)
+    p_i_in = np.arange(pN) - pstarts[pdoc]
+    keep = p_i_in < r.lens[pdoc]
+    src_in = np.where(keep, p_i_in, 0)          # wrap-pad with x[0]
+    px = r.x[r.starts[pdoc] + src_in]
+    y = _circ_conv_layout(px, pstarts, plens, pdoc, h)
+    return y[keep]
+
+
+def log_batch(r: Ragged, sigma: float = 2.0) -> np.ndarray:
+    """Batched Laplacian-of-Gaussian (functions.wavelets.log_filter
+    semantics): standard truncated kernel for docs ≥ kernel size via the
+    per-tap gather; rare short docs (< 17 tokens at σ=2) take the per-doc
+    shrunk-kernel path — trivially small arrays."""
+    from pyradiomics_spark.functions.wavelets import log_filter, log_kernel
+
+    k = log_kernel(sigma)
+    rad = (k.size - 1) // 2
+    out = np.zeros(r.x.size)
+    long_doc = r.lens >= k.size
+    if long_doc.any():
+        sel = long_doc[r.doc]
+        rl = r.masked(sel)
+        # log_filter centers via np.roll(conv, -rad): y[n] = conv[(n+rad) mod N]
+        out[sel] = _circ_conv_layout(rl.x, rl.starts, rl.lens, rl.doc, k,
+                                     shift=rad)
+    for b in np.flatnonzero(~long_doc & r.nonempty):
+        s, ln = r.starts[b], r.lens[b]
+        out[s:s + ln] = log_filter(r.x[s:s + ln], sigma)
+    return out
 
 
 def transform_batch(r: Ragged, kind: str) -> np.ndarray:
@@ -152,6 +325,12 @@ def transform_batch(r: Ragged, kind: str) -> np.ndarray:
                 np.where(right_ok & ~left_ok, xr - x,
                          np.where(left_ok & ~right_ok, x - xl, 0.0)))
         return np.abs(grad)
+    if kind == "wavelet-L":
+        return wavelet_batch(r, "L")
+    if kind == "wavelet-H":
+        return wavelet_batch(r, "H")
+    if kind == "log-sigma-2":
+        return log_batch(r, sigma=2.0)
     raise ValueError(f"no batched transform for {kind}")
 
 
@@ -200,7 +379,9 @@ def firstorder_batch(r: Ragged, levels: np.ndarray, voxel_array_shift: float = 0
     m2 = np.where(truly_flat, 0.0, m2)
     m3 = np.where(truly_flat, 0.0, m3)
     m4 = np.where(truly_flat, 0.0, m4)
-    flat = m2 == 0
+    # flat INCLUDING denormal variance (m2² underflows to 0 → the kurtosis
+    # denominator vanishes); mirror of the per-doc kernel's fixup
+    flat = m2 * m2 == 0
     m2s = np.where(flat, 1.0, m2)
     skew = np.where(flat, 0.0, m3 / m2s ** 1.5)
     kurt = np.where(flat, 0.0, m4 / m2s ** 2.0)
@@ -253,16 +434,47 @@ def firstorder_batch(r: Ragged, levels: np.ndarray, voxel_array_shift: float = 0
 
 # -------------------------------------------------------------- GLCM
 
-def glcm_batch(r: Ragged, levels: np.ndarray, distances: tuple = (1,)) -> dict:
-    """Symmetric GLCM on the full 1..G grid per batch. Multi-distance =
+def _present_counts(r: Ragged, levels: np.ndarray, G: int,
+                    valid: np.ndarray | None):
+    """(B, G) present-level histogram restricted to valid positions."""
+    if valid is None:
+        idx = r.doc * G + (levels - 1)
+    else:
+        idx = (r.doc * G + np.where(valid, levels - 1, 0))[valid]
+    return np.bincount(idx, minlength=r.B * G).reshape(r.B, G)
+
+
+def glcm_batch(r: Ragged, levels: np.ndarray, distances: tuple = (1,),
+               symmetric: bool = True, weighting_norm: str | None = None,
+               valid: np.ndarray | None = None) -> dict:
+    """GLCM on the full 1..G grid per batch, directed or symmetric, with
+    optional distance weighting. Multi-distance without weighting =
     per-angle features then nanmean over angles (empty angles NaN — exactly
-    the reference's delete-empty-angles-then-mean, glcm.py:187-198)."""
+    the reference's delete-empty-angles-then-mean, glcm.py:187-198);
+    with weighting = weighted SUM of the per-angle count tensors, then one
+    feature pass (glcm.py:160-182)."""
+    if weighting_norm is not None:
+        # 1-D: manhattan/euclidean/infinity all weight by exp(-δ²)
+        if weighting_norm == "no_weighting":
+            w = np.ones(len(distances))
+        else:
+            w = np.exp(-np.asarray(distances, dtype=np.float64) ** 2)
+        G = max(int(levels.max()) if levels.size else 1, 1)
+        P = None
+        for wi, d in zip(w, distances):
+            Pd = _glcm_raw(r, levels, int(d), G, valid)
+            if symmetric:
+                Pd = Pd + Pd.transpose(0, 2, 1)
+            P = wi * Pd if P is None else P + wi * Pd
+        return _glcm_features_from_counts(r, levels, P, G, valid)
     if len(distances) == 1:
-        return _glcm_one_distance(r, levels, int(distances[0]))
+        return _glcm_one_distance(r, levels, int(distances[0]),
+                                  symmetric=symmetric, valid=valid)
     # multi-angle: per-angle features with empty angles as NaN, then nanmean
     # (delete-empty-angles-then-mean, glcm.py:187-198)
     per_angle = [
-        _glcm_one_distance(r, levels, int(d), mask_empty=True)
+        _glcm_one_distance(r, levels, int(d), mask_empty=True,
+                           symmetric=symmetric, valid=valid)
         for d in distances
     ]
     import warnings
@@ -276,29 +488,46 @@ def glcm_batch(r: Ragged, levels: np.ndarray, distances: tuple = (1,)) -> dict:
     # the <2-gray-levels MCC guard is PRE-angle in the reference
     # (glcm.py:702-703): docs with a single present level get MCC=1 even
     # when every angle is empty
-    B = r.B
-    G = int(levels.max()) if levels.size else 1
-    n_pres = (np.bincount(
-        r.doc * G + (levels - 1), minlength=B * G).reshape(B, G) > 0).sum(axis=1)
+    G = max(int(levels.max()) if levels.size else 1, 1)
+    n_pres = (_present_counts(r, levels, G, valid) > 0).sum(axis=1)
     out["MCC"] = np.where(n_pres < 2, 1.0, out["MCC"])
     return out
 
 
-def _glcm_one_distance(r: Ragged, levels: np.ndarray, dist: int,
-                       mask_empty: bool = False) -> dict:
-    B = r.B
-    G = int(levels.max()) if levels.size else 1
+def _glcm_raw(r: Ragged, levels: np.ndarray, dist: int, G: int,
+              valid: np.ndarray | None) -> np.ndarray:
+    """(B, G, G) directed pair counts at one distance; pairs need both ends
+    in the same doc AND valid (masked positions break adjacency like
+    out-of-ROI voxels, cmatrices.c:4-92 bounds/mask checks)."""
     n = levels.size
     if n > dist:
         same = r.doc[:-dist] == r.doc[dist:]
+        if valid is not None:
+            same = same & valid[:-dist] & valid[dist:]
         li = levels[:-dist][same] - 1
         lj = levels[dist:][same] - 1
         dd = r.doc[:-dist][same]
     else:
         li = lj = dd = np.empty(0, dtype=np.int64)
-    P = np.bincount(dd * G * G + li * G + lj, minlength=B * G * G).reshape(
-        B, G, G).astype(np.float64)
-    P = P + P.transpose(0, 2, 1)  # symmetrize
+    return np.bincount(dd * G * G + li * G + lj, minlength=r.B * G * G).reshape(
+        r.B, G, G).astype(np.float64)
+
+
+def _glcm_one_distance(r: Ragged, levels: np.ndarray, dist: int,
+                       mask_empty: bool = False, symmetric: bool = True,
+                       valid: np.ndarray | None = None) -> dict:
+    G = max(int(levels.max()) if levels.size else 1, 1)
+    P = _glcm_raw(r, levels, dist, G, valid)
+    if symmetric:
+        P = P + P.transpose(0, 2, 1)  # symmetrize
+    return _glcm_features_from_counts(r, levels, P, G, valid,
+                                      mask_empty=mask_empty)
+
+
+def _glcm_features_from_counts(r: Ragged, levels: np.ndarray, P: np.ndarray,
+                               G: int, valid: np.ndarray | None,
+                               mask_empty: bool = False) -> dict:
+    B = r.B
     mass = P.sum(axis=(1, 2))
     norm = np.where(mass > 0, mass, np.nan)
     P = P / norm[:, None, None]
@@ -367,24 +596,29 @@ def _glcm_one_distance(r: Ragged, levels: np.ndarray, dist: int,
     idn = np.sum(p_sub / (1 + k_diff[None, :] / ng[:, None]), axis=1)
     with np.errstate(divide="ignore"):
         invvar = np.sum(p_sub[:, 1:] / k_diff[None, 1:] ** 2, axis=1)
-    # reference: k range is 1..Ng_doc−1, an EMPTY slice when Ng_doc == 1 →
-    # sum over empty = 0.0 (even for pairless docs where other features NaN)
-    invvar = np.where(ng == 1, 0.0, invvar)
+    # reference: with a single PRESENT level every k ≥ 1 cell of p(x−y) is an
+    # exact 0 (all mass sits at k=0, even when that mass is the NaN of a
+    # pairless doc), so the k=1.. sum is 0.0 — per-doc bincount keeps those
+    # zeros but the dense matmul here smears the NaN across all k. Guard on
+    # present-level count, not ng==1 (FBN can put a flat doc at a mid bin).
+    present_early = _present_counts(r, levels, G, valid) > 0
+    n_pres_early = present_early.sum(axis=1)
+    invvar = np.where(n_pres_early <= 1, 0.0, invvar)
     maxprob = P.reshape(B, -1).max(axis=1)
     sumavg = p_add @ k_sum
     sument = -np.sum(p_add * np.log2(p_add + EPS), axis=1)
     sumsq = np.sum(P * (i - uxb) ** 2, axis=(1, 2))
 
-    # MCC: eigen on the compacted present-level submatrix. Most docs have
-    # CONTIGUOUS present levels 1..ng (token lengths are dense), so we group
-    # them by ng and run ONE stacked eigvals per group; non-contiguous docs
-    # fall back to the per-doc loop.
+    # MCC: eigen on the compacted present-level submatrix. Docs are grouped
+    # by their EXACT present-level pattern (np.unique over the (B, G) bool
+    # mask) and each group runs ONE stacked eigvals — a web corpus has very
+    # few distinct patterns, so this stays O(#patterns) eig calls even when
+    # levels are non-contiguous (e.g. a vocabulary with no 2-char tokens
+    # leaves a hole at level 2 in EVERY doc; the previous contiguous-only
+    # grouping degraded to a per-doc python loop there, ~60 µs × B).
     mcc = np.full(B, 1.0)
-    present = np.bincount(
-        r.doc * G + (levels - 1), minlength=B * G).reshape(B, G) > 0
-    n_pres = present.sum(axis=1)
-    first_n_all = np.array(
-        [present[b, : n_pres[b]].all() for b in range(B)])
+    present = present_early
+    n_pres = n_pres_early
     finite = np.isfinite(mass) & (mass > 0)
 
     def _mcc_from_stack(Ps: np.ndarray) -> np.ndarray:
@@ -396,17 +630,14 @@ def _glcm_one_distance(r: Ragged, levels: np.ndarray, dist: int,
         ev.sort(axis=1)
         return np.real(np.sqrt(ev[:, -2]))
 
-    for ng_doc in np.unique(n_pres):
-        sel = (n_pres == ng_doc) & first_n_all & finite
-        if ng_doc < 2 or not sel.any():
-            continue  # <2 levels → MCC 1.0 (already)
-        idx = np.flatnonzero(sel)
-        mcc[idx] = _mcc_from_stack(P[idx][:, :ng_doc, :ng_doc])
-    # stragglers: non-contiguous present levels (rare) → per-doc compaction
-    for b in np.flatnonzero(~first_n_all & (n_pres >= 2) & finite):
-        pres = np.flatnonzero(present[b])
-        Pb = P[b][np.ix_(pres, pres)]
-        mcc[b] = _mcc_from_stack(Pb[None, :, :])[0]
+    eligible = (n_pres >= 2) & finite
+    if eligible.any():
+        idx_all = np.flatnonzero(eligible)
+        pats, inv = np.unique(present[idx_all], axis=0, return_inverse=True)
+        for p in range(pats.shape[0]):
+            sel = idx_all[inv == p]
+            pres = np.flatnonzero(pats[p])
+            mcc[sel] = _mcc_from_stack(P[np.ix_(sel, pres, pres)])
     # pairless docs can't have ≥2 present levels at distance 1, but keep the
     # per-doc NaN semantics for that (dead-in-practice) corner
     mcc[~finite & (n_pres >= 2)] = np.nan
@@ -438,18 +669,30 @@ def _glcm_one_distance(r: Ragged, levels: np.ndarray, dist: int,
 
 # -------------------------------------------------- runs (GLRLM + GLSZM)
 
-def _runs_batch(r: Ragged, levels: np.ndarray):
-    """RLE across the concatenated batch; doc boundaries break runs.
+def _runs_batch(r: Ragged, levels: np.ndarray, valid: np.ndarray | None = None):
+    """RLE across the concatenated batch; doc boundaries AND invalid
+    positions break runs (kernels.glrlm.run_lengths semantics).
     Returns (run_doc, run_level, run_len)."""
     n = levels.size
     if n == 0:
         z = np.empty(0, dtype=np.int64)
         return z, z, z
+    if valid is None:
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (levels[1:] != levels[:-1]) | (r.doc[1:] != r.doc[:-1])
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.append(starts, n))
+        return r.doc[starts], levels[starts], lens
     brk = np.ones(n, dtype=bool)
-    brk[1:] = (levels[1:] != levels[:-1]) | (r.doc[1:] != r.doc[:-1])
+    brk[1:] = (levels[1:] != levels[:-1]) | (r.doc[1:] != r.doc[:-1]) | ~valid[:-1]
+    brk &= valid
     starts = np.flatnonzero(brk)
-    lens = np.diff(np.append(starts, n))
-    return r.doc[starts], levels[starts], lens
+    if starts.size == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    run_ids = np.cumsum(brk) - 1
+    lens = np.bincount(run_ids[valid], minlength=starts.size)
+    return r.doc[starts], levels[starts], lens.astype(np.int64)
 
 
 def _rlm_features(P, iv, jv, kind: str) -> dict:
@@ -515,11 +758,12 @@ def _rlm_features(P, iv, jv, kind: str) -> dict:
     }
 
 
-def runs_batch_features(r: Ragged, levels: np.ndarray):
+def runs_batch_features(r: Ragged, levels: np.ndarray,
+                        valid: np.ndarray | None = None):
     """GLRLM + GLSZM feature dicts (identical matrices in 1-D)."""
-    run_doc, run_level, run_len = _runs_batch(r, levels)
+    run_doc, run_level, run_len = _runs_batch(r, levels, valid)
     B = r.B
-    G = int(levels.max()) if levels.size else 1
+    G = max(int(levels.max()) if levels.size else 1, 1)
     jvals = np.unique(run_len) if run_len.size else np.array([1], dtype=np.int64)
     J = jvals.size
     ji = np.searchsorted(jvals, run_len)
@@ -533,9 +777,10 @@ def runs_batch_features(r: Ragged, levels: np.ndarray):
 
 # -------------------------------------------------------------- NGTDM
 
-def ngtdm_batch(r: Ragged, levels: np.ndarray, distances: tuple = (1,)) -> dict:
+def ngtdm_batch(r: Ragged, levels: np.ndarray, distances: tuple = (1,),
+                valid: np.ndarray | None = None) -> dict:
     B = r.B
-    G = int(levels.max()) if levels.size else 1
+    G = max(int(levels.max()) if levels.size else 1, 1)
     n = levels.size
     lv = levels.astype(np.float64)
     nbr_sum = np.zeros(n)
@@ -544,16 +789,21 @@ def ngtdm_batch(r: Ragged, levels: np.ndarray, distances: tuple = (1,)) -> dict:
         d = int(d)
         if n > d:
             same = r.doc[:-d] == r.doc[d:]
+            if valid is not None:
+                same = same & valid[:-d] & valid[d:]
             nbr_sum[:-d] += np.where(same, lv[d:], 0.0)
             nbr_cnt[:-d] += same
             nbr_sum[d:] += np.where(same, lv[:-d], 0.0)
             nbr_cnt[d:] += same
     counted = nbr_cnt > 0
+    if valid is not None:
+        counted = counted & valid
     with np.errstate(invalid="ignore", divide="ignore"):
         mean_nbr = np.where(counted, nbr_sum / np.maximum(nbr_cnt, 1), 0.0)
     diffs = np.where(counted, np.abs(lv - mean_nbr), 0.0)
 
-    idx = r.doc * G + (levels - 1)
+    # invalid positions have level 0: route them to slot 0 with zero weight
+    idx = r.doc * G + np.maximum(levels - 1, 0)
     n_i = np.bincount(idx, weights=counted.astype(float), minlength=B * G
                       ).reshape(B, G)
     s_i = np.bincount(idx, weights=diffs, minlength=B * G).reshape(B, G)
@@ -606,22 +856,26 @@ def ngtdm_batch(r: Ragged, levels: np.ndarray, distances: tuple = (1,)) -> dict:
 # -------------------------------------------------------------- GLDM
 
 def gldm_batch(r: Ragged, levels: np.ndarray, alpha: float = 0.0,
-               distances: tuple = (1,)) -> dict:
+               distances: tuple = (1,), valid: np.ndarray | None = None) -> dict:
     B = r.B
-    G = int(levels.max()) if levels.size else 1
+    G = max(int(levels.max()) if levels.size else 1, 1)
     n = levels.size
     dep = np.zeros(n, dtype=np.int64)
     for d in distances:
         d = int(d)
         if n > d:
             same = r.doc[:-d] == r.doc[d:]
+            if valid is not None:
+                same = same & valid[:-d] & valid[d:]
             ok = same & (np.abs(levels[:-d] - levels[d:]) <= alpha)
             dep[:-d] += ok
             dep[d:] += ok
     D = 2 * len(distances) + 1  # dep ∈ {0..2·Nd}
-    P = np.bincount(
-        r.doc * G * D + (levels - 1) * D + dep, minlength=B * G * D
-    ).reshape(B, G, D).astype(np.float64)
+    flat_idx = r.doc * G * D + np.maximum(levels - 1, 0) * D + dep
+    if valid is not None:
+        flat_idx = flat_idx[valid]
+    P = np.bincount(flat_idx, minlength=B * G * D).reshape(
+        B, G, D).astype(np.float64)
     iv = np.arange(1, G + 1, dtype=np.float64)
     jv = np.arange(1, D + 1, dtype=np.float64)  # dep d ↔ j = d+1
 
@@ -655,4 +909,76 @@ def gldm_batch(r: Ragged, levels: np.ndarray, alpha: float = 0.0,
     out["SmallDependenceHighGrayLevelEmphasis"] = (P * ii / jj).sum(axis=(1, 2)) / nz_safe
     out["LargeDependenceLowGrayLevelEmphasis"] = (P * jj / ii).sum(axis=(1, 2)) / nz_safe
     out["LargeDependenceHighGrayLevelEmphasis"] = (P * ii * jj).sum(axis=(1, 2)) / nz_safe
+    return out
+
+
+# -------------------------------------------------------------- seqshape
+
+def seqshape_batch(r: Ragged, valid: np.ndarray | None = None) -> dict:
+    """kernels.seqshape.seqshape_features vectorized over the batch (mask
+    extent/compactness/run moments); NaN row for empty docs / empty ROI."""
+    B = r.B
+    n = r.lens.astype(np.float64)
+    N = r.x.size
+    if valid is None:
+        valid = np.ones(N, dtype=bool)
+    i_in = np.arange(N) - r.starts[r.doc]
+
+    vdoc = r.doc[valid]
+    vpos = i_in[valid].astype(np.float64)
+    nv = np.bincount(vdoc, minlength=B).astype(np.float64)
+    has = nv > 0
+
+    # first/last valid position per doc: vpos is position-ordered within doc
+    vstarts = np.zeros(B, dtype=np.int64)
+    np.cumsum(np.bincount(vdoc, minlength=B)[:-1], out=vstarts[1:])
+    start = np.full(B, np.nan)
+    end = np.full(B, np.nan)
+    if vpos.size:
+        start[has] = vpos[vstarts[has]]
+        end[has] = vpos[vstarts[has] + np.bincount(vdoc, minlength=B)[has] - 1]
+    span = end - start + 1
+
+    # runs of the validity mask: a run starts at a valid position whose
+    # predecessor (same doc) is invalid or absent
+    rbrk = valid.copy()
+    if N > 1:
+        prev_ok = valid[:-1] & (r.doc[1:] == r.doc[:-1])
+        rbrk[1:] = valid[1:] & ~prev_ok
+    run_doc = r.doc[rbrk]
+    n_runs = np.bincount(run_doc, minlength=B).astype(np.float64)
+    run_ids = np.cumsum(rbrk) - 1
+    rlens = np.bincount(run_ids[valid], minlength=int(rbrk.sum())).astype(np.float64)
+    max_run = np.zeros(B)
+    if rlens.size:
+        # runs are doc-ordered → reduceat over per-doc first-run offsets
+        rstarts = np.zeros(B, dtype=np.int64)
+        np.cumsum(np.bincount(run_doc, minlength=B)[:-1], out=rstarts[1:])
+        hr = n_runs > 0
+        max_run[hr] = np.maximum.reduceat(rlens, rstarts[hr])
+
+    denom = np.maximum(n - 1, 1)
+    q = vpos / denom[vdoc]
+    qsum = np.bincount(vdoc, weights=q, minlength=B)
+    qmean = qsum / np.maximum(nv, 1)
+    qvar = np.bincount(vdoc, weights=(q - qmean[vdoc]) ** 2, minlength=B) / np.maximum(nv, 1)
+    psum = np.bincount(vdoc, weights=vpos, minlength=B)
+    com = (psum / np.maximum(nv, 1)) / denom
+
+    out = {
+        "NTokens": n,
+        "ValidFraction": nv / np.maximum(n, 1),
+        "SpanStart": start,
+        "SpanEnd": end,
+        "SpanLength": span,
+        "Compactness": nv / np.where(span > 0, span, 1),
+        "NRuns": n_runs,
+        "MeanRunLength": nv / np.maximum(n_runs, 1),
+        "MaxRunLength": max_run,
+        "CenterOfMass": com,
+        "PositionVariance": qvar,
+    }
+    bad = ~has | (n == 0)
+    for k in out:
+        out[k] = np.where(bad, np.nan, out[k])
     return out

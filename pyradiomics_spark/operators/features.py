@@ -157,28 +157,30 @@ def _extract_one(values: np.ndarray, settings: ExtractionSettings) -> dict:
 
 
 def _batch_fast_path(settings: ExtractionSettings) -> bool:
-    """Whole-batch vectorized kernels apply for the common envelope; other
-    configs use the per-doc kernels (identical results, more numpy-call
-    overhead)."""
+    """Round 2: the batched kernels cover the full validated settings
+    surface (normalize, FBW/FBN, resegmentation, weighting, every image
+    type). The per-doc kernels remain the ground-truth parity twin and the
+    fallback for anything a future setting adds outside the envelope."""
     from pyradiomics_spark.kernels.batch import BATCH_TRANSFORMS, batch_supported
 
     return (
         batch_supported(settings)
         and all(it in BATCH_TRANSFORMS for it in settings.image_types)
-        and not settings.normalize
-        # the batched discretizer uses the floor identity, exactly equal to
-        # the per-doc arange+digitize path on integer widths; fractional
-        # widths can diverge in FP corners → per-doc path
-        and float(settings.bin_width).is_integer()
     )
 
 
 def _extract_batch(texts, settings: ExtractionSettings, image_type: str = "original") -> dict:
     """All features of one image type for a batch of documents at once
-    (kernels.batch). Returns {column: (B,) array} including diagnostics."""
+    (kernels.batch). Returns {column: (B,) array} including diagnostics.
+
+    Pipeline order mirrors _extract_one / featureextractor.execute:
+    normalize → resegment mask (from post-normalize ORIGINAL intensities)
+    → transform whole sequence → discretize ROI → kernels.
+    """
     from pyradiomics_spark.kernels.batch import (
         Ragged, discretize_batch, firstorder_batch, glcm_batch,
-        gldm_batch, ngtdm_batch, runs_batch_features, transform_batch)
+        gldm_batch, ngtdm_batch, normalize_batch, resegment_batch,
+        runs_batch_features, seqshape_batch, transform_batch)
 
     arrays = [
         text_to_intensity(t or "", settings.tokenizer,
@@ -187,22 +189,42 @@ def _extract_batch(texts, settings: ExtractionSettings, image_type: str = "origi
         for t in texts
     ]
     r0 = Ragged(arrays)
+    if settings.normalize and r0.x.size:
+        r0 = r0.with_x(normalize_batch(
+            r0, settings.normalize_scale, settings.remove_outliers))
+
+    valid = None
+    if settings.resegment_range is not None and r0.x.size:
+        valid = resegment_batch(
+            r0, settings.resegment_range, settings.resegment_mode)
+        n_valid = np.bincount(r0.doc[valid], minlength=r0.B).astype(np.int64)
+    else:
+        n_valid = r0.lens.astype(np.int64)
+
     r = r0 if image_type == "original" else r0.with_x(transform_batch(r0, image_type))
-    levels = discretize_batch(r, settings.bin_width)
+    rv = r if valid is None else r.masked(valid)
+    levels_v = discretize_batch(rv, settings.bin_width, settings.bin_count)
+    if valid is None:
+        levels_full = levels_v
+    else:
+        levels_full = np.zeros(r.x.size, dtype=np.int64)
+        levels_full[valid] = levels_v
 
     cols: dict = {
         "diag_n_tokens": r.lens.astype(np.int64),
-        "diag_n_valid": r.lens.astype(np.int64),
+        "diag_n_valid": n_valid,
     }
     want = set(settings.feature_classes)
     if "firstorder" in want:
-        for f, v in firstorder_batch(r, levels, settings.voxel_array_shift).items():
+        for f, v in firstorder_batch(rv, levels_v, settings.voxel_array_shift).items():
             cols[f"firstorder_{f}"] = v
     if "glcm" in want:
-        for f, v in glcm_batch(r, levels, settings.distances).items():
+        for f, v in glcm_batch(r, levels_full, settings.distances,
+                               settings.symmetrical_glcm,
+                               settings.weighting_norm, valid).items():
             cols[f"glcm_{f}"] = v
     if "glrlm" in want or "glszm" in want:
-        rl, sz = runs_batch_features(r, levels)
+        rl, sz = runs_batch_features(r, levels_full, valid)
         if "glrlm" in want:
             for f, v in rl.items():
                 cols[f"glrlm_{f}"] = v
@@ -210,36 +232,22 @@ def _extract_batch(texts, settings: ExtractionSettings, image_type: str = "origi
             for f, v in sz.items():
                 cols[f"glszm_{f}"] = v
     if "ngtdm" in want:
-        for f, v in ngtdm_batch(r, levels, settings.distances).items():
+        for f, v in ngtdm_batch(r, levels_full, settings.distances, valid).items():
             cols[f"ngtdm_{f}"] = v
     if "gldm" in want:
-        for f, v in gldm_batch(r, levels, settings.gldm_a,
-                               settings.distances).items():
+        for f, v in gldm_batch(r, levels_full, settings.gldm_a,
+                               settings.distances, valid).items():
             cols[f"gldm_{f}"] = v
     if "seqshape" in want and image_type != "original":
         # shape analog is emitted only on the original image type
         for f in SEQSHAPE_FEATURES:
             cols[f"seqshape_{f}"] = np.full(r.B, np.nan)
     elif "seqshape" in want:
-        n = r.lens.astype(np.float64)
-        one = np.ones_like(n)
-        nm1 = np.maximum(n - 1, 1)
-        # solid full-validity mask: closed forms of seqshape_features
-        pos_mean = (n - 1) / 2.0
-        com = pos_mean / nm1
-        # var of (0..n-1)/nm1 = ((n²−1)/12)/nm1²
-        pvar = (n * n - 1) / 12.0 / (nm1 * nm1)
-        shape_cols = {
-            "NTokens": n, "ValidFraction": one, "SpanStart": 0.0 * n,
-            "SpanEnd": n - 1, "SpanLength": n, "Compactness": one,
-            "NRuns": one, "MeanRunLength": n, "MaxRunLength": n,
-            "CenterOfMass": com, "PositionVariance": pvar,
-        }
-        for f, v in shape_cols.items():
+        for f, v in seqshape_batch(r0, valid).items():
             cols[f"seqshape_{f}"] = v
 
     # per-doc semantics: ROI below minimum size → NaN feature row
-    too_small = r.lens < max(settings.minimum_roi_size, 1)
+    too_small = n_valid < max(settings.minimum_roi_size, 1)
     if too_small.any():
         for c, v in cols.items():
             if c.startswith("diag_"):
@@ -299,13 +307,15 @@ def extract_features(
                 texts = pdf[text_col].tolist()
                 for it in image_types:
                     cols = _extract_batch(texts, settings, image_type=it)
-                    out = pd.DataFrame({k: pdf[k].to_numpy() for k in keys})
-                    out["image_type"] = it
-                    out["diag_n_tokens"] = cols["diag_n_tokens"]
-                    out["diag_n_valid"] = cols["diag_n_valid"]
+                    # one dict → one DataFrame (no column-by-column inserts:
+                    # avoids pandas block fragmentation + its copy churn)
+                    data = {k: pdf[k].to_numpy() for k in keys}
+                    data["image_type"] = it
+                    data["diag_n_tokens"] = cols["diag_n_tokens"]
+                    data["diag_n_valid"] = cols["diag_n_valid"]
                     for c in fcols:
-                        out[c] = cols.get(c, np.nan)
-                    frames.append(out[out_cols])
+                        data[c] = cols.get(c, np.nan)
+                    frames.append(pd.DataFrame(data, columns=out_cols))
                 yield frames[0] if len(frames) == 1 else pd.concat(
                     frames, ignore_index=True)
                 continue

@@ -114,11 +114,38 @@ def test_asof_zero_leakage(frames, spark):
 
 def test_asof_plan_single_shuffle(frames):
     _, _, ldf, rdf = frames
-    out = asof_join(ldf, rdf, on="ent", left_ts="ts", right_ts="rts")
+    out = asof_join(ldf, rdf, on="ent", left_ts="ts", right_ts="rts",
+                    deterministic_ties=False)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # union + one window partitioning: exactly one Exchange
+    # union + one window partitioning: exactly one Exchange when the caller
+    # declares the right side tie-free
     assert plan.count("Exchange hashpartitioning") == 1
     assert "ArrowEvalPython" not in plan  # fully JVM-side
+
+    out2 = asof_join(ldf, rdf, on="ent", left_ts="ts", right_ts="rts")
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    # default: + one map-side-combined exchange for the tie dedupe
+    assert plan2.count("Exchange hashpartitioning") == 2
+    assert "ArrowEvalPython" not in plan2
+
+
+def test_asof_tie_determinism(spark):
+    """Right rows sharing an exact (key, ts) resolve to the MAX payload
+    tuple, identically in both physical strategies."""
+    import numpy as np
+    left = pd.DataFrame({"ent": ["a"], "ts": [_ts("2020-01-02")], "lval": [1.0]})
+    right = pd.DataFrame({
+        "ent": ["a", "a", "a"],
+        "rts": [_ts("2020-01-01")] * 3,
+        "rval": [5.0, 9.0, 7.0],
+        "raux": ["x", "y", "z"],
+    })
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right).repartition(3)  # scramble order
+    for fn in (asof_join, asof_join_merge):
+        out = fn(ldf, rdf, on="ent", left_ts="ts", right_ts="rts").toPandas()
+        assert len(out) == 1
+        assert out.rval.iloc[0] == 9.0 and out.raux.iloc[0] == "y", fn.__name__
 
 
 def test_asof_tolerance(frames, spark):

@@ -62,8 +62,12 @@ def test_firstorder_invariants(x):
     assert 0 <= f["Uniformity"] <= 1 + 1e-12
     assert f["Entropy"] >= -1e-9
     m2 = ((x - x.mean()) ** 2).mean()
-    if x.size > 1 and m2 > 0:  # m2 can underflow to 0 for subnormal spreads
+    # m2² can underflow to 0 for subnormal spreads → kernels apply the
+    # deterministic flat fixup (Kurtosis 0) instead of an inf/nan division
+    if x.size > 1 and m2 ** 2 > 0:
         assert f["Kurtosis"] >= 1 - 1e-9  # population kurtosis ≥ 1 always
+    elif x.size > 1:
+        assert f["Kurtosis"] == 0.0 and f["Skewness"] == 0.0
 
 
 @given(level_arrays, st.lists(st.booleans(), min_size=1, max_size=200))
