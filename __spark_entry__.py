@@ -873,6 +873,59 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures_md5(docs, "doc_id", "text", bits=16).orderBy("doc_id")
 
 
+def q_lbp_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D LBP image type (intensity.lbp_transform, radius 1) relationally:
+    code = #neighbors(±1) with tok_len >= center; histogram per (lang, code).
+    Mirrors the kernel exactly (tests/test_wavelets.py hand cases)."""
+    t = _tokens(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    coded = t.withColumn(
+        "code",
+        F.when(F.lag("tok_len").over(w) >= F.col("tok_len"), 1).otherwise(0)
+        + F.when(F.lead("tok_len").over(w) >= F.col("tok_len"), 1).otherwise(0),
+    )
+    return (
+        coded.join(docs, "doc_id")
+        .groupBy("lang", "code")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("lang", "code")
+    )
+
+
+def q_wavelet_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar SWT detail-subband energy per doc, fully relational and EXACTLY
+    equal to kernels' swt1(x,'haar') detail energy (wrap padding included):
+    Σ_{n≥1} (x[n]−x[n−1])²/2, plus the circular boundary term
+    (x[0]−x[N−1])²/2 only when N is even (odd docs wrap-pad with x[0], so
+    their cropped boundary detail is 0). Parity vs the numpy kernel is
+    asserted in tests/test_wavelets.py."""
+    t = _tokens(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    d = t.withColumn("prev", F.lag("tok_len").over(w))
+    inner = d.where(F.col("prev").isNotNull()).groupBy("doc_id").agg(
+        (F.sum((F.col("tok_len") - F.col("prev")) ** 2) / 2.0).alias("inner_e"))
+    ends = t.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        F.min_by("tok_len", "pos").alias("first_len"),
+        F.max_by("tok_len", "pos").alias("last_len"),
+    )
+    return (
+        ends.join(inner, "doc_id", "left")
+        .select(
+            "doc_id",
+            _rnd(
+                F.coalesce(F.col("inner_e"), F.lit(0.0))
+                + F.when(F.col("n") % 2 == 0,
+                         (F.col("first_len") - F.col("last_len")) ** 2 / 2.0)
+                .otherwise(0.0),
+                6,
+            ).alias("haar_detail_energy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -921,6 +974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
+        "lbp_codes": q_lbp_codes,
+        "wavelet_haar": q_wavelet_haar,
     }
 
 
@@ -955,6 +1010,42 @@ def oracle_sql() -> dict[str, str]:
         """
     return {
         "simhash": simhash_sql,
+        "lbp_codes": f"""
+            WITH coded AS (
+              SELECT doc_id,
+                     (CASE WHEN lag(tok_len) OVER w >= tok_len THEN 1 ELSE 0 END
+                      + CASE WHEN lead(tok_len) OVER w >= tok_len THEN 1 ELSE 0 END)
+                       AS code
+              FROM ({tokens}) WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            )
+            SELECT d.lang, c.code, count(*) AS cnt
+            FROM coded c JOIN documents d ON c.doc_id = d.doc_id
+            GROUP BY d.lang, c.code ORDER BY d.lang, c.code
+        """,
+        "wavelet_haar": f"""
+            WITH t AS (SELECT * FROM ({tokens})), d AS (
+              SELECT doc_id, tok_len,
+                     lag(tok_len) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM t
+            ), inner_e AS (
+              SELECT doc_id,
+                     sum((tok_len - prev) * (tok_len - prev)) / 2.0 AS inner_e
+              FROM d WHERE prev IS NOT NULL GROUP BY doc_id
+            ), ends AS (
+              SELECT doc_id, count(*) AS n,
+                     arg_min(tok_len, pos) AS first_len,
+                     arg_max(tok_len, pos) AS last_len
+              FROM t GROUP BY doc_id
+            )
+            SELECT e.doc_id,
+                   floor((coalesce(i.inner_e, 0.0)
+                          + CASE WHEN e.n % 2 = 0
+                                 THEN (e.first_len - e.last_len) * (e.first_len - e.last_len) / 2.0
+                                 ELSE 0.0 END) * 1e6 + 0.50000095367431640625) / 1e6
+                     AS haar_detail_energy
+            FROM ends e LEFT JOIN inner_e i ON e.doc_id = i.doc_id
+            ORDER BY e.doc_id
+        """,
         "fo_doc_stats": f"""
             SELECT doc_id,
                    count(*) AS n_tokens,

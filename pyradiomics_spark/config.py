@@ -23,10 +23,12 @@ ALL_FEATURE_CLASSES = (
 
 #: Derived "image types": elementwise transforms with global rescale
 #: (reference imageoperations.py:973-1073), gradient magnitude (:1076-1091),
-#: single-level SWT subbands (:839-970 analog), and LoG (:756-836 analog).
+#: SWT subbands at levels 1 and 2 (:839-970 analog, à trous cascade),
+#: LoG (:756-836 analog), and the 1-D LBP analog (:1094-1166 analog).
 ALL_IMAGE_TYPES = (
     "original", "square", "squareroot", "logarithm", "exponential",
-    "gradient", "wavelet-L", "wavelet-H", "log-sigma-2",
+    "gradient", "wavelet-L", "wavelet-H", "wavelet-L2", "wavelet-H2",
+    "log-sigma-2", "lbp-r1", "lbp-r2",
 )
 
 

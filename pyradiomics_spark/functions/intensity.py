@@ -63,6 +63,27 @@ def gradient_transform(x: np.ndarray) -> np.ndarray:
     return np.abs(np.gradient(x))
 
 
+def lbp_transform(x: np.ndarray, radius: int = 1) -> np.ndarray:
+    """1-D local-binary-pattern analog of the reference's LBP2D/LBP3D image
+    types (imageoperations.py:1094-1166; skimage 'uniform' riu2 maps uniform
+    patterns to their set-bit COUNT — the natural rotation-invariant code).
+    Here: value at p = number of neighbors in ±radius with intensity >= the
+    center (neighbors beyond the sequence edge don't count), giving integer
+    codes 0..2·radius — reflection-invariant by construction, deterministic,
+    and exactly expressible relationally (lag/lead comparisons) for the
+    DuckDB oracle twin."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.size
+    out = np.zeros(n)
+    for d in range(1, radius + 1):
+        if n > d:
+            ge = x[d:] >= x[:-d]       # right neighbor >= center
+            out[:-d] += ge
+            le = x[:-d] >= x[d:]       # left neighbor >= center
+            out[d:] += le
+    return out
+
+
 def _wavelet_L(x: np.ndarray) -> np.ndarray:
     from pyradiomics_spark.functions.wavelets import wavelet_L
     return wavelet_L(x)
@@ -78,6 +99,16 @@ def _log_sigma2(x: np.ndarray) -> np.ndarray:
     return log_filter(x, sigma=2.0)
 
 
+def _wavelet_L2(x: np.ndarray) -> np.ndarray:
+    from pyradiomics_spark.functions.wavelets import swt_level
+    return swt_level(x, level=2)[0]
+
+
+def _wavelet_H2(x: np.ndarray) -> np.ndarray:
+    from pyradiomics_spark.functions.wavelets import swt_level
+    return swt_level(x, level=2)[1]
+
+
 IMAGE_TRANSFORMS = {
     "original": lambda x: np.asarray(x, dtype=np.float64),
     "square": square_transform,
@@ -87,7 +118,11 @@ IMAGE_TRANSFORMS = {
     "gradient": gradient_transform,
     "wavelet-L": _wavelet_L,
     "wavelet-H": _wavelet_H,
+    "wavelet-L2": _wavelet_L2,
+    "wavelet-H2": _wavelet_H2,
     "log-sigma-2": _log_sigma2,
+    "lbp-r1": lambda x: lbp_transform(x, radius=1),
+    "lbp-r2": lambda x: lbp_transform(x, radius=2),
 }
 
 

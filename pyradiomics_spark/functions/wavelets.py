@@ -39,9 +39,61 @@ DEC_LO = {
 }
 
 
+def daubechies_dec_lo(N: int) -> np.ndarray:
+    """Daubechies-N decomposition low-pass filter (2N taps), computed by the
+    standard spectral factorization (roots of the Daubechies polynomial
+    P(y) = Σ C(N−1+k, k)·yᵏ mapped to the inside-unit-circle z-roots of
+    z² − (2−4y)z + 1, times the (1+z)^N binomial part) — machine precision
+    without pywt; the computed db2 equals the published bank to 1e-12
+    (pinned in tests/test_wavelets.py)."""
+    if N == 1:
+        return np.array([1.0, 1.0]) / _SQRT2
+    from math import comb
+
+    # P(y) coefficients, highest power first
+    P = np.array([comb(N - 1 + k, k) for k in range(N - 1, -1, -1)], dtype=float)
+    yroots = np.roots(P)
+    poly = np.array([1.0 + 0j])
+    for _ in range(N):
+        poly = np.convolve(poly, [1.0, 1.0])
+    for y in yroots:
+        c = 1.0 - 2.0 * y
+        r = np.sqrt(c * c - 1.0 + 0j)
+        z = c + r if abs(c + r) < 1.0 else c - r
+        poly = np.convolve(poly, [1.0, -z])
+    h = np.real(poly)
+    h *= _SQRT2 / h.sum()
+    return h[::-1]  # dec_lo is the reversed rec_lo
+
+
+def get_dec_lo(wavelet: str) -> np.ndarray:
+    """Filter bank lookup: the hardcoded banks plus any 'dbN' computed on
+    demand (cached into DEC_LO)."""
+    bank = DEC_LO.get(wavelet)
+    if bank is not None:
+        return bank
+    if wavelet.startswith("db") and wavelet[2:].isdigit():
+        n = int(wavelet[2:])
+        if 1 <= n <= 20:
+            DEC_LO[wavelet] = daubechies_dec_lo(n)
+            return DEC_LO[wavelet]
+    raise ValueError(f"unsupported wavelet {wavelet!r} "
+                     f"(supported: haar, db1..db20, coif1)")
+
+
 def _dec_hi(lo: np.ndarray) -> np.ndarray:
     n = lo.size
     return np.array([((-1) ** k) * lo[n - 1 - k] for k in range(n)])
+
+
+def _upsample(h: np.ndarray, j: int) -> np.ndarray:
+    """À trous upsampling: insert 2ʲ−1 zeros between taps (the SWT level-j
+    filter; pywt.swt cascade equivalent)."""
+    if j == 0:
+        return h
+    u = np.zeros((h.size - 1) * (2 ** j) + 1)
+    u[:: 2 ** j] = h
+    return u
 
 
 def _circular_conv(x: np.ndarray, h: np.ndarray) -> np.ndarray:
@@ -57,16 +109,33 @@ def swt1(x: np.ndarray, wavelet: str = "coif1"):
 
     Returns (approx, detail), both same length as the input.
     """
+    return swt_level(x, wavelet, level=1)
+
+
+def swt_level(x: np.ndarray, wavelet: str = "coif1", level: int = 1,
+              start_level: int = 0):
+    """(approx, detail) at SWT level ``level`` via the à trous cascade:
+    approx chains through levels start_level..level−1 with upsampled lo
+    filters, then the final (lo, hi) pair — the 1-D mirror of
+    pywt.swtn(..., level=..., start_level=...) as the reference drives it
+    (imageoperations.py:899-970). Wrap padding to even length, output
+    cropped back; both outputs are input-length."""
     x = np.asarray(x, dtype=np.float64)
+    if level < 1 or start_level < 0:
+        raise ValueError("level >= 1 and start_level >= 0 required")
     if x.size == 0:
         return x.copy(), x.copy()
     odd = x.size % 2 == 1
     if odd:  # pad to even with wrap (imageoperations.py:914-919 analog)
         x = np.concatenate([x, x[:1]])
-    lo = DEC_LO[wavelet]
+    lo = get_dec_lo(wavelet)
     hi = _dec_hi(lo)
-    a = _circular_conv(x, lo)
-    d = _circular_conv(x, hi)
+    a = x
+    for j in range(start_level, start_level + level - 1):
+        a = _circular_conv(a, _upsample(lo, j))
+    jf = start_level + level - 1
+    d = _circular_conv(a, _upsample(hi, jf))
+    a = _circular_conv(a, _upsample(lo, jf))
     if odd:
         a, d = a[:-1], d[:-1]
     return a, d
@@ -78,6 +147,35 @@ def wavelet_L(x: np.ndarray, wavelet: str = "coif1") -> np.ndarray:
 
 def wavelet_H(x: np.ndarray, wavelet: str = "coif1") -> np.ndarray:
     return swt1(x, wavelet)[1]
+
+
+def swt1_fft(x: np.ndarray, wavelet: str = "coif1"):
+    """Independent FFT-based twin of ``swt1`` (circular convolution via the
+    convolution theorem) — a genuinely different numerical path used as the
+    parity oracle in tests, the way the reference pins wavelet output to
+    pywt goldens (/root/reference/tests/test_wavelet.py:77-81)."""
+    x = np.asarray(x, dtype=np.float64)
+    if x.size == 0:
+        return x.copy(), x.copy()
+    odd = x.size % 2 == 1
+    if odd:
+        x = np.concatenate([x, x[:1]])
+    n = x.size
+    lo = get_dec_lo(wavelet)
+    hi = _dec_hi(lo)
+    X = np.fft.rfft(x)
+
+    def conv(h):
+        hp = np.zeros(n)
+        # y[k] = Σ h[j] x[(k−j) mod n] ⇒ kernel laid out at indices j mod n
+        for j in range(h.size):
+            hp[j % n] += h[j]
+        return np.fft.irfft(X * np.fft.rfft(hp), n=n)
+
+    a, d = conv(lo), conv(hi)
+    if odd:
+        a, d = a[:-1], d[:-1]
+    return a, d
 
 
 def log_kernel(sigma: float) -> np.ndarray:

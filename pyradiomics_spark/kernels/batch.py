@@ -213,8 +213,23 @@ def resegment_batch(r: Ragged, rng: tuple, mode: str = "absolute") -> np.ndarray
 #: subbands + LoG run as batched per-tap circular convolutions below)
 BATCH_TRANSFORMS = (
     "original", "square", "squareroot", "logarithm", "exponential", "gradient",
-    "wavelet-L", "wavelet-H", "log-sigma-2",
+    "wavelet-L", "wavelet-H", "wavelet-L2", "wavelet-H2", "log-sigma-2",
+    "lbp-r1", "lbp-r2",
 )
+
+
+def lbp_batch(r: Ragged, radius: int = 1) -> np.ndarray:
+    """functions.intensity.lbp_transform vectorized: per-position count of
+    same-doc neighbors in ±radius with value >= the center."""
+    x = r.x
+    n = x.size
+    out = np.zeros(n)
+    for d in range(1, radius + 1):
+        if n > d:
+            same = r.doc[:-d] == r.doc[d:]
+            out[:-d] += same & (x[d:] >= x[:-d])
+            out[d:] += same & (x[:-d] >= x[d:])
+    return out
 
 
 def _circ_conv_layout(x, starts, lens, doc, h, shift: int = 0):
@@ -235,14 +250,16 @@ def _circ_conv_layout(x, starts, lens, doc, h, shift: int = 0):
     return y
 
 
-def wavelet_batch(r: Ragged, which: str, wavelet: str = "coif1") -> np.ndarray:
-    """Batched single-level SWT subband (functions.wavelets.swt1 semantics):
-    odd docs padded to even length by wrapping the first sample, periodic
-    convolution, cropped back. Returns a concat-aligned array."""
-    from pyradiomics_spark.functions.wavelets import DEC_LO, _dec_hi
+def wavelet_batch(r: Ragged, which: str, wavelet: str = "coif1",
+                  level: int = 1) -> np.ndarray:
+    """Batched SWT subband (functions.wavelets.swt_level semantics): odd
+    docs padded to even length by wrapping the first sample, à trous
+    periodic convolution cascade, cropped back. Concat-aligned output."""
+    from pyradiomics_spark.functions.wavelets import (
+        _dec_hi, _upsample, get_dec_lo)
 
-    lo = DEC_LO[wavelet]
-    h = lo if which == "L" else _dec_hi(lo)
+    lo = get_dec_lo(wavelet)
+    hi = _dec_hi(lo)
     odd = (r.lens % 2 == 1)
     plens = r.lens + odd
     pstarts = np.zeros(r.B, dtype=np.int64)
@@ -254,8 +271,11 @@ def wavelet_batch(r: Ragged, which: str, wavelet: str = "coif1") -> np.ndarray:
     p_i_in = np.arange(pN) - pstarts[pdoc]
     keep = p_i_in < r.lens[pdoc]
     src_in = np.where(keep, p_i_in, 0)          # wrap-pad with x[0]
-    px = r.x[r.starts[pdoc] + src_in]
-    y = _circ_conv_layout(px, pstarts, plens, pdoc, h)
+    a = r.x[r.starts[pdoc] + src_in]
+    for j in range(level - 1):
+        a = _circ_conv_layout(a, pstarts, plens, pdoc, _upsample(lo, j))
+    hf = _upsample(hi if which == "H" else lo, level - 1)
+    y = _circ_conv_layout(a, pstarts, plens, pdoc, hf)
     return y[keep]
 
 
@@ -329,8 +349,16 @@ def transform_batch(r: Ragged, kind: str) -> np.ndarray:
         return wavelet_batch(r, "L")
     if kind == "wavelet-H":
         return wavelet_batch(r, "H")
+    if kind == "wavelet-L2":
+        return wavelet_batch(r, "L", level=2)
+    if kind == "wavelet-H2":
+        return wavelet_batch(r, "H", level=2)
     if kind == "log-sigma-2":
         return log_batch(r, sigma=2.0)
+    if kind == "lbp-r1":
+        return lbp_batch(r, radius=1)
+    if kind == "lbp-r2":
+        return lbp_batch(r, radius=2)
     raise ValueError(f"no batched transform for {kind}")
 
 

@@ -54,8 +54,13 @@ def test_binning_floor_formula_integer_grid(x, w):
 @hsettings(max_examples=100, deadline=None)
 def test_firstorder_invariants(x):
     f = firstorder_features(x, bin_width=25.0)
-    assert f["Minimum"] <= f["Mean"] <= f["Maximum"]
-    assert f["Minimum"] <= f["Median"] <= f["Maximum"]
+
+    def le(a, b):  # ordered up to 1-ulp-ish FP slack: numpy's pairwise mean
+        return a <= b or abs(a - b) <= 1e-12 * max(1.0, abs(a), abs(b))
+        # can land 1 ulp outside [min, max] for near-identical values
+
+    assert le(f["Minimum"], f["Mean"]) and le(f["Mean"], f["Maximum"])
+    assert le(f["Minimum"], f["Median"]) and le(f["Median"], f["Maximum"])
     assert f["Variance"] >= 0
     assert f["Range"] >= 0
     assert f["InterquartileRange"] >= -1e-9

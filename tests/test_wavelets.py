@@ -1,23 +1,111 @@
-"""Wavelet/LoG filter invariants (no pywt in env, so we test mathematical
-properties of the published filter banks instead of cross-library parity —
-the analog of /root/reference/tests/test_wavelet.py's golden check)."""
+"""Wavelet/LoG filter parity + invariants (no pywt in env): the golden
+check of /root/reference/tests/test_wavelet.py:77-81 is mirrored by (a) an
+analytic hand-computed haar golden, (b) an INDEPENDENT FFT-convolution twin
+matched to 1e-10 across families/lengths, (c) the computed-vs-published
+db2 bank equality, and (d) orthonormality/energy/QMF invariants."""
 
 import numpy as np
 import pytest
 
 from pyradiomics_spark.functions.wavelets import (
-    DEC_LO, _dec_hi, swt1, log_filter, log_kernel)
+    DEC_LO, _dec_hi, daubechies_dec_lo, get_dec_lo, log_filter, log_kernel,
+    swt1, swt1_fft, swt_level, _upsample)
 from pyradiomics_spark.functions.intensity import IMAGE_TRANSFORMS
 
 
-@pytest.mark.parametrize("w", ["haar", "db2", "coif1"])
+@pytest.mark.parametrize("w", ["haar", "db2", "coif1", "db3", "db4", "db8"])
 def test_filterbank_orthogonality(w):
-    lo = DEC_LO[w]
+    lo = get_dec_lo(w)
     hi = _dec_hi(lo)
     assert lo @ lo == pytest.approx(1.0)          # unit energy
     assert lo.sum() == pytest.approx(np.sqrt(2))  # DC gain √2
-    assert hi.sum() == pytest.approx(0.0, abs=1e-12)  # highpass kills DC
-    assert lo @ hi == pytest.approx(0.0, abs=1e-12)   # orthogonal pair
+    assert hi.sum() == pytest.approx(0.0, abs=1e-10)  # highpass kills DC
+    assert lo @ hi == pytest.approx(0.0, abs=1e-10)   # orthogonal pair
+    # orthonormal even shifts: Σ lo[k]·lo[k+2m] = 0 for m ≠ 0
+    for m in range(1, lo.size // 2):
+        assert lo[2 * m:] @ lo[:-2 * m or None] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_computed_daubechies_matches_published_bank():
+    """Spectral factorization reproduces the published db2 coefficients to
+    1e-12 — the strongest available cross-check without pywt."""
+    np.testing.assert_allclose(daubechies_dec_lo(2), DEC_LO["db2"],
+                               atol=1e-12)
+    np.testing.assert_allclose(daubechies_dec_lo(1), DEC_LO["haar"],
+                               atol=1e-15)
+
+
+def test_haar_analytic_golden():
+    """Hand-computed haar SWT on [1,2,3,4] under the documented convention
+    y[n] = Σ h[k]·x[(n−k) mod N]: a[n] = (x[n]+x[n−1])/√2,
+    d[n] = (x[n]−x[n−1])/√2."""
+    x = np.array([1.0, 2.0, 3.0, 4.0])
+    a, d = swt1(x, "haar")
+    s2 = np.sqrt(2.0)
+    np.testing.assert_allclose(a, np.array([5.0, 3.0, 5.0, 7.0]) / s2,
+                               atol=1e-14)
+    np.testing.assert_allclose(d, np.array([-3.0, 1.0, 1.0, 1.0]) / s2,
+                               atol=1e-14)
+
+
+@pytest.mark.parametrize("w", ["haar", "db2", "db3", "coif1"])
+@pytest.mark.parametrize("n", [4, 17, 63, 128])
+def test_swt_matches_fft_twin(w, n, rng):
+    """Direct gather convolution == FFT convolution (independent numerical
+    path) to 1e-10 — the pywt-golden analog."""
+    x = rng.normal(size=n) * 10
+    a1, d1 = swt1(x, w)
+    a2, d2 = swt1_fft(x, w)
+    np.testing.assert_allclose(a1, a2, atol=1e-10)
+    np.testing.assert_allclose(d1, d2, atol=1e-10)
+
+
+def test_swt_level2_atrous_semantics(rng):
+    """Level-2 subbands == convolving the level-1 approx with the 1-zero
+    upsampled filters (à trous definition), and flat signals scale by 2."""
+    from pyradiomics_spark.functions.wavelets import _circular_conv
+
+    x = rng.normal(size=32)
+    a1, _ = swt1(x, "db2")
+    lo = get_dec_lo("db2")
+    hi = _dec_hi(lo)
+    a2, d2 = swt_level(x, "db2", level=2)
+    np.testing.assert_allclose(a2, _circular_conv(a1, _upsample(lo, 1)),
+                               atol=1e-12)
+    np.testing.assert_allclose(d2, _circular_conv(a1, _upsample(hi, 1)),
+                               atol=1e-12)
+    af, df = swt_level(np.full(16, 3.0), "coif1", level=2)
+    np.testing.assert_allclose(af, np.full(16, 6.0), atol=1e-10)
+    np.testing.assert_allclose(df, np.zeros(16), atol=1e-10)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 8, 17, 40])
+def test_wavelet_haar_relational_formula(n, rng):
+    """The q_wavelet_haar oracle formula (interior lag terms + even-length
+    circular boundary term) == the kernel's swt1 haar detail energy."""
+    x = rng.integers(1, 12, size=n).astype(float)
+    _, d = swt1(x, "haar")
+    kernel_e = float(d @ d)
+    formula = float(((x[1:] - x[:-1]) ** 2).sum() / 2.0)
+    if n % 2 == 0:
+        formula += (x[0] - x[-1]) ** 2 / 2.0
+    assert formula == pytest.approx(kernel_e, rel=1e-12, abs=1e-12)
+
+
+def test_lbp_transform_hand_case():
+    from pyradiomics_spark.functions.intensity import lbp_transform
+
+    x = np.array([3.0, 1.0, 4.0, 4.0, 2.0])
+    # neighbors >= center within ±1:
+    # p0: right(1>=3)no → 0 ; p1: left(3>=1)+right(4>=1) → 2
+    # p2: left(1>=4)no + right(4>=4)yes → 1 ; p3: left(4>=4)+right(2>=4)no → 1
+    # p4: left(4>=2) → 1
+    np.testing.assert_array_equal(lbp_transform(x, 1), [0, 2, 1, 1, 1])
+    # radius 2 adds the ±2 comparisons:
+    # p0: +x2(4>=3) → 1 ; p1: +x3(4>=1) → 3 ; p2: +x0(3>=4)n +x4(2>=4)n → 1
+    # p3: +x1(1>=4)n → 1 ; p4: +x2(4>=2) → 2
+    np.testing.assert_array_equal(
+        lbp_transform(x, 2), [1, 3, 1, 1, 2])
 
 
 @pytest.mark.parametrize("w", ["haar", "db2", "coif1"])

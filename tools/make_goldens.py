@@ -53,6 +53,10 @@ CASES: dict = {
         image_types=("original", "square", "squareroot", "logarithm",
                      "exponential", "gradient", "wavelet-L", "wavelet-H",
                      "log-sigma-2")),
+    "doc_lbp": ExtractionSettings(
+        bin_width=1.0, image_types=("lbp-r1", "lbp-r2")),
+    "doc_wavelet2": ExtractionSettings(
+        bin_width=0.5, image_types=("wavelet-L2", "wavelet-H2")),
 }
 
 #: synthetic special documents exercising edge cases
