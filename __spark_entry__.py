@@ -873,6 +873,34 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures_md5(docs, "doc_id", "text", bits=16).orderBy("doc_id")
 
 
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN end-to-end vs exact brute force: recall@5 per query (5
+    queries, 8 deterministic md5-seeded centroids, nprobe=2). The DuckDB
+    twin re-derives the SAME centroids (inlined as literals by oracle_sql)
+    and replays cell assignment, probing, and ranking relationally —
+    checking the whole approximate-search pipeline across engines."""
+    from pyradiomics_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    ivf = ivf_topk(emb, queries, k=5, n_cells=8, nprobe=2, dim=64).select(
+        "query_id", "vec_id")
+    bf = brute_force_topk(emb, queries, k=5).select("query_id", "vec_id")
+    hits = bf.join(ivf, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").alias("hits"))
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            _rnd(F.coalesce(F.col("hits"), F.lit(0)) / 5.0, 6).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def q_lbp_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-D LBP image type (intensity.lbp_transform, radius 1) relationally:
     code = #neighbors(±1) with tok_len >= center; histogram per (lang, code).
@@ -976,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lbp_codes": q_lbp_codes,
         "wavelet_haar": q_wavelet_haar,
+        "ivf_recall": q_ivf_recall,
     }
 
 
@@ -996,6 +1025,63 @@ def oracle_sql() -> dict[str, str]:
     simhash_val = " + ".join(
         f"(CASE WHEN s{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(16)
     )
+    # IVF twin: same deterministic centroids as operators.similarity.ivf_topk
+    # (md5-expanded planes, L2-normalized), inlined as DOUBLE[] literals via
+    # repr() (shortest-round-trip — parses back to the identical double).
+    import numpy as _np
+    from pyradiomics_spark.operators.similarity import _planes as _ivf_planes
+    _cents = _ivf_planes(8, 64, seed="ivf-centroids")
+    _cents = _cents / _np.linalg.norm(_cents, axis=1, keepdims=True)
+    _cent_rows = ",\n              ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            c, ", ".join(repr(float(v)) for v in _cents[c]))
+        for c in range(8)
+    )
+    ivf_recall_sql = f"""
+            WITH emb AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+            ), q AS (
+              SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5
+            ), cents AS (
+              SELECT * FROM (VALUES
+              {_cent_rows}
+              ) t(cell, cv)
+            ), corpus_assign AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell DESC) AS rn
+                FROM emb e CROSS JOIN cents c) WHERE rn = 1
+            ), query_probe AS (
+              SELECT query_id, qv, cell FROM (
+                SELECT q.query_id, q.qv, c.cell,
+                       row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell DESC) AS rn
+                FROM q CROSS JOIN cents c) WHERE rn <= 2
+            ), ivf AS (
+              SELECT query_id, vec_id FROM (
+                SELECT p.query_id, a.vec_id,
+                       row_number() OVER (PARTITION BY p.query_id
+                         ORDER BY list_cosine_similarity(a.v, p.qv) DESC, a.vec_id) AS rank
+                FROM corpus_assign a JOIN query_probe p ON a.cell = p.cell) WHERE rank <= 5
+            ), bf AS (
+              SELECT query_id, vec_id FROM (
+                SELECT q.query_id, e.vec_id,
+                       row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id) AS rank
+                FROM emb e CROSS JOIN q) WHERE rank <= 5
+            ), hits AS (
+              SELECT b.query_id, count(*) AS hits
+              FROM bf b JOIN ivf i ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+              GROUP BY b.query_id
+            )
+            SELECT q.query_id,
+                   floor((coalesce(h.hits, 0) / 5.0) * 1e6 + 0.50000095367431640625) / 1e6
+                     AS recall_at_5
+            FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+            ORDER BY q.query_id
+        """
     simhash_sql = f"""
             WITH toks AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -1010,6 +1096,7 @@ def oracle_sql() -> dict[str, str]:
         """
     return {
         "simhash": simhash_sql,
+        "ivf_recall": ivf_recall_sql,
         "lbp_codes": f"""
             WITH coded AS (
               SELECT doc_id,

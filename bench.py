@@ -115,7 +115,9 @@ def main() -> None:
     from pyradiomics_spark.plans.demo import full_pipeline
     from pyradiomics_spark.sources.pages import pages_df
 
-    sus_urls = int(os.environ.get("SPARK_GRAFT_SUSTAINED_URLS", "32000"))
+    # round 2: kernels got ~2× faster — corpus must grow with engine speed
+    # or the measurement becomes schedule-noise-bound (BENCH.md protocol)
+    sus_urls = int(os.environ.get("SPARK_GRAFT_SUSTAINED_URLS", "64000"))
     big = pages_df(spark, n_urls=sus_urls,
                    partitions=spark.sparkContext.defaultParallelism * 2
                    ).select("url", "warc_ts", "text").cache()
@@ -149,11 +151,18 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # HEADLINE (round 2): sustained extraction throughput on the ~210k-doc
+    # generated corpus — the sf0.1 documents table (5k rows) is fixed-
+    # overhead-bound and understates the engine (BENCH.md "protocol").
+    # Per-query wall seconds stay under "queries" for the breakdown.
     result = {
-        "metric": "headline query wall-clock (flagship extraction + temporal + relational) at sf",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
+        "metric": "sustained 93-feature extraction throughput "
+                  "(feature-vectors/sec over a ~210k-doc corpus); "
+                  "per-query wall secs under 'queries'",
+        "value": result_sustained["fv_per_sec_sustained"],
+        "unit": "fv/sec",
         "queries": timings,
+        "total_wall_sec": round(sum(timings.values()), 3),
         "sf": sf,
         "fv_rows": n_fv,
         "fv_per_sec": round(fv_per_sec, 1),
@@ -165,7 +174,7 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SCALING"):
         spark.stop()
         result["scaling"] = run_scaling(
-            n_urls=int(os.environ.get("SPARK_GRAFT_SCALING_URLS", "64000")),
+            n_urls=int(os.environ.get("SPARK_GRAFT_SCALING_URLS", "200000")),
             lo=int(os.environ.get("SPARK_GRAFT_SCALING_LO", "4")),
             hi=int(os.environ.get("SPARK_GRAFT_SCALING_HI", "16")),
         )

@@ -47,6 +47,30 @@ def write_table(df: DataFrame, target: str, mode: str = "append") -> None:
         df.write.mode(mode).parquet(target)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols,
+    num_buckets: int = 64,
+    sort_cols=None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table — the CO-LOCATED join strategy at 100 TB
+    (SURVEY.md §2.3): two tables bucketed by the same key and bucket count
+    sort-merge-join with NO Exchange on either side (asserted in
+    tests/test_plans.py::test_bucketed_join_is_shuffle_free). ``sort_cols``
+    additionally pre-sorts each bucket file so the SMJ skips its Sort.
+
+    This sandbox uses the session-local metastore (spark-warehouse dir); a
+    real deployment points the same code at HMS/Glue/Unity."""
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def read_table(spark: SparkSession, target: str) -> DataFrame:
     return spark.table(target) if is_catalog_table(target) else spark.read.parquet(target)
 

@@ -63,6 +63,35 @@ def test_asof_whole_stage_codegen(spark):
     assert "Window" in plan and "Exchange hashpartitioning" in plan
 
 
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed by the same key/count sort-merge-join with NO
+    Exchange — the co-located join strategy big joins need at 100 TB."""
+    from pyspark.sql import functions as F
+    from pyradiomics_spark.sources.sinks import write_bucketed
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select(
+        "c_custkey", "c_name")
+    write_bucketed(orders, "bkt_orders", "o_custkey", num_buckets=4,
+                   sort_cols="o_custkey")
+    write_bucketed(cust.withColumnRenamed("c_custkey", "o_custkey"),
+                   "bkt_cust", "o_custkey", num_buckets=4,
+                   sort_cols="o_custkey")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bkt_orders").join(spark.table("bkt_cust"), "o_custkey")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_cust")
+
+
 def test_minhash_single_aggregate_stage(spark):
     """The k min-hashes must be ONE groupBy (k aggregates), not k passes."""
     from pyradiomics_spark.operators.dedup import minhash_signatures
