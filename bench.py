@@ -157,7 +157,7 @@ def main() -> None:
     # Per-query wall seconds stay under "queries" for the breakdown.
     result = {
         "metric": "sustained 93-feature extraction throughput "
-                  "(feature-vectors/sec over a ~210k-doc corpus); "
+                  "(feature-vectors/sec; corpus size = fv_rows_sustained); "
                   "per-query wall secs under 'queries'",
         "value": result_sustained["fv_per_sec_sustained"],
         "unit": "fv/sec",
