@@ -31,6 +31,24 @@ ALL_IMAGE_TYPES = (
     "log-sigma-2", "lbp-r1", "lbp-r2",
 )
 
+#: Parameterized image-type name patterns (the reference enumerates
+#: wavelet subbands / LoG sigmas / LBP radii dynamically from settings —
+#: imageoperations.py getWaveletImage/getLoGImage kwargs): any
+#: ``wavelet-L<k>``/``wavelet-H<k>`` level, ``log-sigma-<s>`` sigma,
+#: ``lbp-r<n>`` radius is a valid enabled type.
+import re as _re
+
+_IMAGE_TYPE_PATTERNS = (
+    _re.compile(r"^wavelet-[LH][0-9]*$"),
+    _re.compile(r"^log-sigma-[0-9]+(?:\.[0-9]+)?$"),
+    _re.compile(r"^lbp-r[1-9][0-9]*$"),
+)
+
+
+def is_valid_image_type(name: str) -> bool:
+    return name in ALL_IMAGE_TYPES or any(
+        p.match(name) for p in _IMAGE_TYPE_PATTERNS)
+
 
 @dataclass(frozen=True)
 class ExtractionSettings:
@@ -70,6 +88,12 @@ class ExtractionSettings:
     feature_classes: tuple = ALL_FEATURE_CLASSES
     image_types: tuple = ("original",)
 
+    # --- convolutional filter settings (imageoperations.py:899-970 kwargs:
+    # 'wavelet', 'start_level'; LoG sigma and LBP radius are encoded in the
+    # image-type NAME like the reference's derived-image naming) ---
+    wavelet: str = "coif1"             # haar | db1..db20 | coif1
+    wavelet_start_level: int = 0       # à trous cascade offset
+
     # --- tokenizer / intensity derivation (our engine's "image load") ---
     tokenizer: str = "whitespace"      # whitespace | bpe_regex
     intensity_mode: str = "token_len"  # token_len | hash_bucket
@@ -98,9 +122,13 @@ class ExtractionSettings:
         bad = set(self.feature_classes) - set(ALL_FEATURE_CLASSES)
         if bad:
             raise ValueError(f"unknown feature classes: {bad}")
-        bad = set(self.image_types) - set(ALL_IMAGE_TYPES)
+        bad = {it for it in self.image_types if not is_valid_image_type(it)}
         if bad:
             raise ValueError(f"unknown image types: {bad}")
+        from pyradiomics_spark.functions.wavelets import get_dec_lo
+        get_dec_lo(self.wavelet)  # raises on unsupported wavelet
+        if self.wavelet_start_level < 0:
+            raise ValueError("wavelet_start_level must be >= 0")
 
     def to_dict(self) -> dict:
         return asdict(self)

@@ -12,6 +12,8 @@ GradientMagnitudeImageFilter with unit spacing).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 
@@ -124,6 +126,49 @@ IMAGE_TRANSFORMS = {
     "lbp-r1": lambda x: lbp_transform(x, radius=1),
     "lbp-r2": lambda x: lbp_transform(x, radius=2),
 }
+
+_WAVELET_NAME = re.compile(r"^wavelet-([LH])([0-9]*)$")
+_LOG_NAME = re.compile(r"^log-sigma-([0-9]+(?:\.[0-9]+)?)$")
+_LBP_NAME = re.compile(r"^lbp-r([1-9][0-9]*)$")
+
+
+def parse_image_type(name: str):
+    """Decompose a parameterized image-type name →
+    ("wavelet", which, level) | ("log", sigma) | ("lbp", radius) | None."""
+    m = _WAVELET_NAME.match(name)
+    if m:
+        return ("wavelet", m.group(1), int(m.group(2) or 1))
+    m = _LOG_NAME.match(name)
+    if m:
+        return ("log", float(m.group(1)))
+    m = _LBP_NAME.match(name)
+    if m:
+        return ("lbp", int(m.group(1)))
+    return None
+
+
+def apply_transform(name: str, x: np.ndarray, settings=None) -> np.ndarray:
+    """Settings-aware transform dispatch: wavelet subbands honor the
+    ``wavelet`` family and ``wavelet_start_level`` settings
+    (imageoperations.py:899-970 kwargs analog); LoG sigma / LBP radius are
+    parsed from the type name. Fixed names fall back to IMAGE_TRANSFORMS."""
+    parsed = parse_image_type(name)
+    if parsed is not None:
+        kind = parsed[0]
+        if kind == "wavelet":
+            from pyradiomics_spark.functions.wavelets import swt_level
+
+            wavelet = getattr(settings, "wavelet", "coif1") if settings else "coif1"
+            start = getattr(settings, "wavelet_start_level", 0) if settings else 0
+            a, d = swt_level(x, wavelet, level=parsed[2], start_level=start)
+            return a if parsed[1] == "L" else d
+        if kind == "log":
+            from pyradiomics_spark.functions.wavelets import log_filter
+
+            return log_filter(np.asarray(x, dtype=np.float64), sigma=parsed[1])
+        if kind == "lbp":
+            return lbp_transform(x, radius=parsed[1])
+    return IMAGE_TRANSFORMS[name](x)
 
 
 def normalize(x: np.ndarray, scale: float = 1.0, remove_outliers: float | None = None) -> np.ndarray:

@@ -251,7 +251,7 @@ def _circ_conv_layout(x, starts, lens, doc, h, shift: int = 0):
 
 
 def wavelet_batch(r: Ragged, which: str, wavelet: str = "coif1",
-                  level: int = 1) -> np.ndarray:
+                  level: int = 1, start_level: int = 0) -> np.ndarray:
     """Batched SWT subband (functions.wavelets.swt_level semantics): odd
     docs padded to even length by wrapping the first sample, à trous
     periodic convolution cascade, cropped back. Concat-aligned output."""
@@ -272,9 +272,10 @@ def wavelet_batch(r: Ragged, which: str, wavelet: str = "coif1",
     keep = p_i_in < r.lens[pdoc]
     src_in = np.where(keep, p_i_in, 0)          # wrap-pad with x[0]
     a = r.x[r.starts[pdoc] + src_in]
-    for j in range(level - 1):
+    for j in range(start_level, start_level + level - 1):
         a = _circ_conv_layout(a, pstarts, plens, pdoc, _upsample(lo, j))
-    hf = _upsample(hi if which == "H" else lo, level - 1)
+    jf = start_level + level - 1
+    hf = _upsample(hi if which == "H" else lo, jf)
     y = _circ_conv_layout(a, pstarts, plens, pdoc, hf)
     return y[keep]
 
@@ -302,10 +303,25 @@ def log_batch(r: Ragged, sigma: float = 2.0) -> np.ndarray:
     return out
 
 
-def transform_batch(r: Ragged, kind: str) -> np.ndarray:
+def transform_batch(r: Ragged, kind: str, settings=None) -> np.ndarray:
     """Per-doc global-rescale transforms (imageoperations.py:973-1091
     semantics) vectorized over the ragged batch; returns a concat-aligned
-    array (same layout as ``r.x``)."""
+    array (same layout as ``r.x``). Parameterized names (wavelet-L<k>,
+    log-sigma-<s>, lbp-r<n>) honor the settings like
+    functions.intensity.apply_transform."""
+    from pyradiomics_spark.functions.intensity import parse_image_type
+
+    parsed = parse_image_type(kind)
+    if parsed is not None:
+        if parsed[0] == "wavelet":
+            wavelet = getattr(settings, "wavelet", "coif1") if settings else "coif1"
+            start = getattr(settings, "wavelet_start_level", 0) if settings else 0
+            return wavelet_batch(r, parsed[1], wavelet=wavelet,
+                                 level=parsed[2], start_level=start)
+        if parsed[0] == "log":
+            return log_batch(r, sigma=parsed[1])
+        if parsed[0] == "lbp":
+            return lbp_batch(r, radius=parsed[1])
     x = r.x
     if kind == "original":
         return x.astype(np.float64)
@@ -345,20 +361,8 @@ def transform_batch(r: Ragged, kind: str) -> np.ndarray:
                 np.where(right_ok & ~left_ok, xr - x,
                          np.where(left_ok & ~right_ok, x - xl, 0.0)))
         return np.abs(grad)
-    if kind == "wavelet-L":
-        return wavelet_batch(r, "L")
-    if kind == "wavelet-H":
-        return wavelet_batch(r, "H")
-    if kind == "wavelet-L2":
-        return wavelet_batch(r, "L", level=2)
-    if kind == "wavelet-H2":
-        return wavelet_batch(r, "H", level=2)
-    if kind == "log-sigma-2":
-        return log_batch(r, sigma=2.0)
-    if kind == "lbp-r1":
-        return lbp_batch(r, radius=1)
-    if kind == "lbp-r2":
-        return lbp_batch(r, radius=2)
+    # wavelet-*/log-sigma-*/lbp-r* are handled by the parameterized
+    # dispatch at the top of this function
     raise ValueError(f"no batched transform for {kind}")
 
 

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 
 from pyradiomics_spark.config import ExtractionSettings
 from pyradiomics_spark.functions.intensity import (
-    IMAGE_TRANSFORMS,
+    apply_transform,
     normalize,
     resegment_bounds,
 )
@@ -103,7 +103,7 @@ def _extract_one(values: np.ndarray, settings: ExtractionSettings) -> dict:
         shape_feats = seqshape_features(np_total, valid)
 
     for it in settings.image_types:
-        img = IMAGE_TRANSFORMS[it](values)
+        img = apply_transform(it, values, settings)
         roi = img[valid]
         levels = discretize(roi, settings.bin_width, settings.bin_count)
         # kernels see the compacted ROI sequence; masked positions already
@@ -161,11 +161,13 @@ def _batch_fast_path(settings: ExtractionSettings) -> bool:
     surface (normalize, FBW/FBN, resegmentation, weighting, every image
     type). The per-doc kernels remain the ground-truth parity twin and the
     fallback for anything a future setting adds outside the envelope."""
+    from pyradiomics_spark.functions.intensity import parse_image_type
     from pyradiomics_spark.kernels.batch import BATCH_TRANSFORMS, batch_supported
 
     return (
         batch_supported(settings)
-        and all(it in BATCH_TRANSFORMS for it in settings.image_types)
+        and all(it in BATCH_TRANSFORMS or parse_image_type(it) is not None
+                for it in settings.image_types)
     )
 
 
@@ -201,7 +203,8 @@ def _extract_batch(texts, settings: ExtractionSettings, image_type: str = "origi
     else:
         n_valid = r0.lens.astype(np.int64)
 
-    r = r0 if image_type == "original" else r0.with_x(transform_batch(r0, image_type))
+    r = r0 if image_type == "original" else r0.with_x(
+        transform_batch(r0, image_type, settings))
     rv = r if valid is None else r.masked(valid)
     levels_v = discretize_batch(rv, settings.bin_width, settings.bin_count)
     if valid is None:

@@ -37,6 +37,9 @@ _SETTING_MAP = {
     "tokenizer": "tokenizer",
     "intensityMode": "intensity_mode",
     "intensityBuckets": "intensity_buckets",
+    # convolutional-filter settings (paramSchema.yaml names)
+    "wavelet": "wavelet",
+    "startLevel": "wavelet_start_level",
 }
 
 

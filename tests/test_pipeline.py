@@ -63,8 +63,33 @@ def test_settings_reject_malformed():
         ExtractionSettings(feature_classes=("glcm", "nope"))
     with pytest.raises(TypeError):
         ExtractionSettings.from_dict({"unknown_key": 1})
-    # valid multi-distance config still accepted
+    with pytest.raises(ValueError):
+        ExtractionSettings(wavelet="nope")
+    with pytest.raises(ValueError):
+        ExtractionSettings(wavelet="db99")
+    with pytest.raises(ValueError):
+        ExtractionSettings(wavelet_start_level=-1)
+    with pytest.raises(ValueError):
+        ExtractionSettings(image_types=("wavelet-X",))
+    with pytest.raises(ValueError):
+        ExtractionSettings(image_types=("lbp-r0",))
+    # valid configs still accepted
     assert ExtractionSettings(distances=(1, 3)).distances == (1, 3)
+    ok = ExtractionSettings(
+        wavelet="db4", wavelet_start_level=1,
+        image_types=("wavelet-H3", "log-sigma-3.5", "lbp-r4"))
+    assert ok.wavelet == "db4"
+
+
+def test_settings_from_params_wavelet_keys():
+    from pyradiomics_spark.plans.pipeline import settings_from_params
+
+    s = settings_from_params({
+        "setting": {"wavelet": "db2", "startLevel": 1, "binWidth": 1},
+        "imageType": {"wavelet-L2": None, "original": None}})
+    assert s.wavelet == "db2"
+    assert s.wavelet_start_level == 1
+    assert s.image_types == ("wavelet-L2", "original")
 
 
 def test_yaml_loading(tmp_path):

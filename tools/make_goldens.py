@@ -57,6 +57,9 @@ CASES: dict = {
         bin_width=1.0, image_types=("lbp-r1", "lbp-r2")),
     "doc_wavelet2": ExtractionSettings(
         bin_width=0.5, image_types=("wavelet-L2", "wavelet-H2")),
+    "doc_db3": ExtractionSettings(
+        bin_width=0.5, wavelet="db3",
+        image_types=("wavelet-L", "wavelet-H")),
 }
 
 #: synthetic special documents exercising edge cases
