@@ -901,6 +901,19 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucket histogram: operators.similarity.
+    hyperplane_buckets (sign pattern of 8 deterministic md5-seeded planes)
+    over the embeddings table, counted per bucket — the DuckDB twin inlines
+    the identical plane literals and replays the sign pattern."""
+    from pyradiomics_spark.operators.similarity import hyperplane_buckets
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    b = hyperplane_buckets(emb, "vec_id", "embedding", n_planes=8, dim=64)
+    return b.groupBy("bucket").agg(F.count("*").alias("n_vecs")).orderBy("bucket")
+
+
 def q_lbp_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-D LBP image type (intensity.lbp_transform, radius 1) relationally:
     code = #neighbors(±1) with tok_len >= center; histogram per (lang, code).
@@ -1005,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lbp_codes": q_lbp_codes,
         "wavelet_haar": q_wavelet_haar,
         "ivf_recall": q_ivf_recall,
+        "lsh_buckets": q_lsh_buckets,
     }
 
 
@@ -1037,6 +1051,24 @@ def oracle_sql() -> dict[str, str]:
             c, ", ".join(repr(float(v)) for v in _cents[c]))
         for c in range(8)
     )
+    # LSH twin: same deterministic md5-expanded hyperplanes as
+    # operators.similarity.hyperplane_buckets, inlined as literals
+    _pl = _ivf_planes(8, 64)
+    _bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{}]::DOUBLE[]) > 0 THEN {} ELSE 0 END)".format(
+            ", ".join(repr(float(x)) for x in _pl[p]), 1 << p)
+        for p in range(8)
+    )
+    lsh_buckets_sql = f"""
+            WITH emb AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+            ), b AS (
+              SELECT vec_id, {_bucket_terms} AS bucket FROM emb
+            )
+            SELECT bucket, count(*) AS n_vecs
+            FROM b GROUP BY bucket ORDER BY bucket
+        """
     ivf_recall_sql = f"""
             WITH emb AS (
               SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -1097,6 +1129,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "simhash": simhash_sql,
         "ivf_recall": ivf_recall_sql,
+        "lsh_buckets": lsh_buckets_sql,
         "lbp_codes": f"""
             WITH coded AS (
               SELECT doc_id,

@@ -25,25 +25,33 @@ from pyradiomics_spark.kernels import discretize
 
 
 def _rolling_maps(levels: np.ndarray, radius: int):
-    """Per-position (entropy, uniformity, glcm_contrast) over ±radius."""
+    """Per-position (entropy, uniformity, glcm_contrast) over ±radius,
+    fully vectorized: per-gray-level prefix sums give every window's count
+    in O(n) per level (G is small after discretization), and the contrast
+    map is a prefix sum over squared adjacent diffs — no per-position
+    python loop (the voxelBatch analog, base.py:214-237, but vectorized
+    instead of chunked)."""
     n = levels.size
-    ent = np.empty(n)
-    uni = np.empty(n)
-    con = np.empty(n)
-    for p in range(n):
-        lo = max(0, p - radius)
-        hi = min(n, p + radius + 1)
-        w = levels[lo:hi]
-        cnt = np.bincount(w)
-        cnt = cnt[cnt > 0]
-        prob = cnt / cnt.sum()
-        ent[p] = -np.sum(prob * np.log2(prob + EPS))
-        uni[p] = np.sum(prob ** 2)
-        if w.size > 1:
-            d = np.diff(w.astype(np.float64))
-            con[p] = np.mean(d * d)
-        else:
-            con[p] = 0.0
+    G = int(levels.max()) if n else 0
+    pos = np.arange(n)
+    lo = np.maximum(0, pos - radius)
+    hi = np.minimum(n, pos + radius + 1)
+    size = (hi - lo).astype(np.float64)
+    ent = np.zeros(n)
+    uni = np.zeros(n)
+    for g in range(1, G + 1):
+        c = np.concatenate(([0], np.cumsum(levels == g)))
+        p = (c[hi] - c[lo]) / size
+        # zero-count levels contribute an exact 0 (−0·log2(eps) == 0)
+        ent -= p * np.log2(p + EPS)
+        uni += p * p
+    if n > 1:
+        d = np.diff(levels.astype(np.float64))
+        D = np.concatenate(([0.0], np.cumsum(d * d)))
+        m = np.maximum(hi - lo - 1, 1)
+        con = np.where(hi - lo > 1, (D[np.maximum(hi - 1, 0)] - D[lo]) / m, 0.0)
+    else:
+        con = np.zeros(n)
     return ent, uni, con
 
 

@@ -103,9 +103,17 @@ def append_stage(
     path: str,
     ts_col: str | None = None,
     write_lineage: bool = True,
+    partition_by=None,
 ) -> None:
-    """Append a stage output + its lineage snapshot."""
-    df.write.mode("append").parquet(path)
+    """Append a stage output + its lineage snapshot. ``partition_by``
+    hive-partitions the layout (e.g. by lang or date) so downstream reads
+    with a predicate on those columns prune whole directories — asserted in
+    tests/test_plans.py::test_partition_pruning."""
+    w = df.write.mode("append")
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        w = w.partitionBy(*cols)
+    w.parquet(path)
     if write_lineage:
         metrics = partition_metrics(df, ts_col).withColumn(
             "committed_at", F.lit(int(time.time())).cast("long")

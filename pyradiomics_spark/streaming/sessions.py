@@ -80,6 +80,35 @@ def stream_extract(df: DataFrame, keys, text_col: str = "text", settings=None) -
     return extract_features(df, tuple(keys), text_col, settings)
 
 
+def stream_dedup_exact(
+    df: DataFrame,
+    key_cols,
+    ts_col: str,
+    watermark: str = "1 hour",
+    by_content: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup — the training-data dedup operator lifted to
+    streams: duplicates arriving within the watermark horizon are dropped
+    with BOUNDED state (dropDuplicatesWithinWatermark evicts key state once
+    the event time passes the watermark — an unbounded dropDuplicates would
+    grow state forever on an infinite stream).
+
+    ``by_content``: optionally dedup on a sha2 content hash of this column
+    instead of carrying the full text in state (the exact_dedup analog)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    src = df
+    if by_content is not None:
+        src = src.withColumn(
+            "__content_h", F.sha2(F.col(by_content).cast("binary"), 256))
+        keys = ["__content_h"]
+    src = watermarked(src, ts_col, watermark)
+    if src.isStreaming:
+        out = src.dropDuplicatesWithinWatermark(keys)
+    else:  # batch twin: plain dropDuplicates on the same keys
+        out = src.dropDuplicates(keys)
+    return out.drop("__content_h") if by_content is not None else out
+
+
 def stream_asof_sink(
     stream_left: DataFrame,
     static_right: DataFrame,

@@ -63,6 +63,21 @@ def test_asof_whole_stage_codegen(spark):
     assert "Window" in plan and "Exchange hashpartitioning" in plan
 
 
+def test_partition_pruning(spark, tmp_path):
+    """A predicate on the partition column must prune at planning time
+    (PartitionFilters), not scan every directory — table layout strategy
+    for the lang/date-partitioned corpora at scale."""
+    from pyradiomics_spark.sources.sinks import append_stage
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "part_docs")
+    append_stage(docs, path, write_lineage=False, partition_by="lang")
+    q = spark.read.parquet(path).where("lang = 'en'").select("doc_id")
+    plan = _plan(q)
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert q.count() > 0
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     """Two tables bucketed by the same key/count sort-merge-join with NO
     Exchange — the co-located join strategy big joins need at 100 TB."""

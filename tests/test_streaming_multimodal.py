@@ -145,6 +145,41 @@ def test_stateful_running_stats(spark, tmp_path):
         assert final.loc[ent, "m2"] == pytest.approx(expect.loc[ent, "m2"])
 
 
+def test_stream_dedup_exact(spark, tmp_path):
+    """Streaming exact dedup: duplicate content across micro-batches within
+    the watermark is dropped; survivor count matches the batch twin."""
+    from pyradiomics_spark.streaming.sessions import stream_dedup_exact
+
+    src = str(tmp_path / "dedup_src")
+    pdf1 = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "ts": pd.to_datetime(["2024-01-01 00:00"] * 3),
+        "text": ["alpha", "beta", "alpha"]})
+    pdf2 = pd.DataFrame({
+        "doc_id": [3, 4],
+        "ts": pd.to_datetime(["2024-01-01 00:20", "2024-01-01 00:30"]),
+        "text": ["beta", "gamma"]})
+    spark.createDataFrame(pdf1).write.parquet(src)
+    spark.createDataFrame(pdf2).write.mode("append").parquet(src)
+
+    stream = (spark.readStream
+              .schema("doc_id long, ts timestamp, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stream_dedup_exact(stream, "doc_id", "ts", watermark="1 hour",
+                             by_content="text")
+    q = (out.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from dedup_out").toPandas()
+    # distinct contents: alpha, beta, gamma
+    assert sorted(got.text.tolist()) == ["alpha", "beta", "gamma"]
+
+    batch = stream_dedup_exact(
+        spark.read.parquet(src), "doc_id", "ts", by_content="text").toPandas()
+    assert sorted(batch.text.tolist()) == sorted(got.text.tolist())
+    assert "__content_h" not in got.columns
+
+
 def test_stream_asof_matches_batch(spark, tmp_path):
     """Stream-static point-in-time serving == the batch as-of join."""
     import numpy as np
