@@ -306,6 +306,27 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (earliest future row): for each purchase, the
+    NEXT signup of the same user with ts >= purchase ts — checked against
+    DuckDB's native forward ASOF (p.ts <= s.ts)."""
+    from pyradiomics_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        F.col("user_id"), F.col("ts").alias("signup_ts"),
+        F.col("value").alias("signup_value"))
+    joined = asof_join(
+        purchases, signups, on="user_id", left_ts="ts", right_ts="signup_ts",
+        direction="forward")
+    return joined.select(
+        "event_id", "user_id", F.col("signup_ts"),
+        _rnd("signup_value", 6).alias("signup_value"),
+    ).orderBy("event_id")
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-filter-agg with pushdown (SURVEY §2.2/§2.4)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -983,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ffill": q_ffill,
         "asof_join": q_asof_join,
         "asof_join_salted": q_asof_join_salted,
+        "asof_join_forward": q_asof_join_forward,
         "tumbling_window": q_tumbling_window,
         "rolling_stats": q_rolling_stats,
         "ngtdm_terms": q_ngtdm_terms,
@@ -1283,6 +1305,20 @@ def oracle_sql() -> dict[str, str]:
             FROM purchases p
             ASOF LEFT JOIN signups s
               ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+            ORDER BY p.event_id
+        """,
+        "asof_join_forward": """
+            WITH purchases AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+            ), signups AS (
+              SELECT user_id, ts AS signup_ts, value AS signup_value
+              FROM events WHERE event_type = 'signup'
+            )
+            SELECT p.event_id, p.user_id, s.signup_ts,
+                   floor((s.signup_value) * 1e6 + 0.50000095367431640625) / 1e6 AS signup_value
+            FROM purchases p
+            ASOF LEFT JOIN signups s
+              ON p.user_id = s.user_id AND p.ts <= s.signup_ts
             ORDER BY p.event_id
         """,
         "asof_join_salted": """

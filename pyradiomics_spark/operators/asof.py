@@ -117,20 +117,36 @@ def asof_join(
     allow_exact_matches: bool = True,
     tolerance_seconds: float | None = None,
     deterministic_ties: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of left join, pure DataFrame ops (no Python UDF).
+    """As-of left join, pure DataFrame ops (no Python UDF).
+
+    ``direction``: 'backward' (default — latest right row with
+    right_ts <= ts) or 'forward' (earliest right row with right_ts >= ts;
+    same single window pass, future-looking frame + first() fill — the
+    bfill of joins, NOT leakage-safe for feature cuts and documented as
+    such in operators.leakage).
 
     ``deterministic_ties`` (default True) collapses right rows that share an
     exact (key, ts) to the max payload tuple before the join — run-stable
     output at the cost of one extra map-side-combined exchange. Disable for
     inputs known tie-free (e.g. ts is part of a unique key upstream)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"bad direction {direction!r}")
     keys = _as_list(on)
     left_payload = [c for c in left.columns if c not in keys and c != left_ts]
     right_payload = [c for c in right.columns if c not in keys and c != right_ts]
     if deterministic_ties:
         right = _dedupe_right_ties(right, keys, right_ts, right_payload)
 
-    right_tag = 0 if allow_exact_matches else 2
+    if direction == "backward":
+        # right rows at equal ts must sort BEFORE the left row to be in the
+        # past-only frame when exact matches are allowed
+        right_tag = 0 if allow_exact_matches else 2
+    else:
+        # forward: frame is [current, ∞) — right rows at equal ts must sort
+        # AFTER the left row to be included when exact matches are allowed
+        right_tag = 2 if allow_exact_matches else 0
 
     l_tagged = left.select(
         *keys,
@@ -162,25 +178,28 @@ def asof_join(
     fill_cols = fill_cols_of(right_payload, right_ts)
     # Ties among right rows are already resolved by _dedupe_right_ties, so
     # (ts, tag) is a TOTAL order over rows that can influence a fill.
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(_TS, _TAG)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    base = Window.partitionBy(*keys).orderBy(_TS, _TAG)
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, 0)
+        fill = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    else:
+        w = base.rowsBetween(0, Window.unboundedFollowing)
+        fill = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
     # ONE select for every fill (not a withColumn chain): N chained window
     # projections make Catalyst re-derive constraints N times over a
     # growing alias set — quadratic plan time on wide payloads.
     filled = unioned.select(
         *keys, _TS, _TAG, *left_payload,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in fill_cols],
+        *[fill(c).over(w).alias(c) for c in fill_cols],
     )
 
     out = filled.where(F.col(_TAG) == 1)
 
     if tolerance_seconds is not None:
-        in_tol = (
-            F.col(_TS).cast("double") - F.col(f"__r_{right_ts}").cast("double")
-        ) <= tolerance_seconds
+        gap = F.col(_TS).cast("double") - F.col(f"__r_{right_ts}").cast("double")
+        if direction == "forward":
+            gap = -gap
+        in_tol = gap <= tolerance_seconds
         out = out.select(
             *keys, _TS, *left_payload,
             *[F.when(in_tol, F.col(f"__r_{c}")).alias(f"__r_{c}") for c in right_payload],

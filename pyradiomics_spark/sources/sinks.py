@@ -152,6 +152,36 @@ def resume_transform(
     return spark.read.parquet(path)
 
 
+def recompute_affected_partitions(
+    src: DataFrame,
+    late: DataFrame,
+    out_path: str,
+    partition_col: str,
+    transform,
+) -> list:
+    """Late-data recompute WITHOUT a transactional table (the MERGE-based
+    plan stays gated on Iceberg jars): affected hive partitions = distinct
+    partition values among the late rows; the transform re-runs on the
+    source restricted to those partitions and dynamic partition overwrite
+    rewrites ONLY those directories — untouched partitions keep their
+    files byte-for-byte (asserted in tests/test_resume.py). Same targeting
+    discipline `affected_partitions` provides from lineage, applied at the
+    hive-partition level.
+
+    The distinct-partition collect is a driver action over at most
+    #partitions values — bounded and intentional (it selects the rewrite
+    set). Returns the affected partition values."""
+    vals = [r[0] for r in late.select(partition_col).distinct().collect()]
+    if not vals:
+        return []
+    out = transform(src.where(F.col(partition_col).isin(vals)))
+    (out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(out_path))
+    return vals
+
+
 def read_lineage(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(f"{path}/_lineage")
 

@@ -162,6 +162,42 @@ def test_asof_tolerance(frames, spark):
     assert got[("b", 5)] == 30.0
 
 
+def test_asof_window_forward_matches_merge_and_pandas(spark, rng):
+    """Round-2: forward direction on the WINDOW strategy == merge_asof
+    forward == the cogrouped kernel, on random data."""
+    n_l, n_r = 300, 120
+    left = pd.DataFrame({
+        "ent": rng.choice(["x", "y", "z"], n_l),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n_l), unit="s"),
+        "lval": rng.normal(size=n_l)})
+    right = pd.DataFrame({
+        "ent": rng.choice(["x", "y", "z"], n_r),
+        "rts": pd.to_datetime(rng.integers(0, 10**6, n_r), unit="s"),
+        "rval": rng.normal(size=n_r)})
+    expected = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("rts"),
+        left_on="ts", right_on="rts", by="ent", direction="forward")
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    for fn, kw in ((asof_join, {"direction": "forward"}),
+                   (asof_join_merge, {"direction": "forward"})):
+        out = fn(ldf, rdf, on="ent", left_ts="ts", right_ts="rts", **kw).toPandas()
+        key = ["ent", "ts", "lval"]
+        a = expected.sort_values(key).reset_index(drop=True)
+        b = out.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_series_equal(
+            a["rval"].reset_index(drop=True),
+            b["rval"].reset_index(drop=True), check_names=False)
+
+
+def test_asof_window_forward_no_exact(frames):
+    _, _, ldf, rdf = frames
+    out = asof_join(ldf, rdf, on="ent", left_ts="ts", right_ts="rts",
+                    direction="forward", allow_exact_matches=False).toPandas()
+    got = {(r["ent"], r["lval"]): (None if pd.isna(r["rval"]) else r["rval"])
+           for _, r in out.iterrows()}
+    assert got[("a", 1)] == 20.0   # exact tie at 10:00 excluded → 13:00 row
+
+
 def test_asof_merge_forward_direction(frames):
     left, right, ldf, rdf = frames
     out = asof_join_merge(ldf, rdf, on="ent", left_ts="ts", right_ts="rts",

@@ -81,3 +81,49 @@ def test_table_exists(spark, tmppath):
     assert not table_exists(spark, tmppath)
     append_stage(_transform(_src(spark, 3)), tmppath)
     assert table_exists(spark, tmppath)
+
+
+def test_recompute_affected_partitions_only(spark, tmp_path):
+    """Late-data recompute rewrites ONLY the affected hive partitions:
+    values update for the late day, untouched days keep their files
+    byte-for-byte, final table == full recompute."""
+    import os
+    from pyspark.sql import functions as F
+    from pyradiomics_spark.sources.sinks import recompute_affected_partitions
+
+    pdf = pd.DataFrame({
+        "day": ["2024-01-01"] * 3 + ["2024-01-02"] * 3,
+        "v": [1.0, 2.0, 3.0, 10.0, 20.0, 30.0]})
+    src = spark.createDataFrame(pdf)
+
+    def daily(df):
+        return df.groupBy("day").agg(
+            F.sum("v").alias("sum_v"), F.count("*").alias("n"))
+
+    out = str(tmp_path / "daily")
+    daily(src).write.partitionBy("day").parquet(out)
+
+    def files_of(day):
+        d = f"{out}/day={day}"
+        return sorted((f, os.path.getmtime(f"{d}/{f}")) for f in os.listdir(d))
+
+    before_day1 = files_of("2024-01-01")
+
+    late = spark.createDataFrame(
+        pd.DataFrame({"day": ["2024-01-02"], "v": [100.0]}))
+    src2 = src.unionByName(late)
+    touched = recompute_affected_partitions(src2, late, out, "day", daily)
+    assert touched == ["2024-01-02"]
+
+    # hive partition inference types 'day' as DATE on read-back
+    got = (spark.read.parquet(out)
+           .withColumn("day", F.col("day").cast("string"))
+           .toPandas().set_index("day"))
+    assert got.loc["2024-01-02", "sum_v"] == 160.0
+    assert got.loc["2024-01-02", "n"] == 4
+    assert got.loc["2024-01-01", "sum_v"] == 6.0
+    # untouched partition: identical file listing + mtimes
+    assert files_of("2024-01-01") == before_day1
+    # no-op when nothing is late
+    assert recompute_affected_partitions(
+        src2, late.where("v < 0"), out, "day", daily) == []
