@@ -26,6 +26,15 @@ def main(argv=None) -> int:
     p.add_argument("--text-col", default="text")
     p.add_argument("--cores", type=int, default=None,
                    help="local[N] cores (ignored under a real cluster master)")
+    p.add_argument("--mode", choices=("segment", "voxel"), default="segment",
+                   help="segment = one feature row per case (default); "
+                        "voxel = per-position feature maps "
+                        "(the reference's --mode voxel analog)")
+    p.add_argument("--radius", type=int, default=2,
+                   help="voxel-mode kernel radius (kernelRadius analog)")
+    p.add_argument("--format", choices=("parquet", "csv", "json"),
+                   default="parquet",
+                   help="output format (reference CLI writes csv/json/txt)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -46,11 +55,27 @@ def main(argv=None) -> int:
     df = spark.read.parquet(args.input)
     keys = tuple(args.keys.split(","))
 
-    if args.checkpoint:
+    def write(out):
+        w = out.write.mode("overwrite")
+        if args.format == "csv":
+            w.option("header", True).csv(args.output)
+        elif args.format == "json":
+            w.json(args.output)
+        else:
+            w.parquet(args.output)
+
+    if args.mode == "voxel":
+        from pyradiomics_spark.operators.voxel import voxel_feature_maps
+
+        out = voxel_feature_maps(
+            df, keys=keys, text_col=args.text_col, radius=args.radius,
+            settings=pipe.settings)
+        write(out)
+    elif args.checkpoint:
         out = pipe.run_resumable(df, args.checkpoint, keys, args.text_col)
-        out.write.mode("overwrite").parquet(args.output)
+        write(out)
     else:
-        pipe.run(df, keys, args.text_col).write.mode("overwrite").parquet(args.output)
+        write(pipe.run(df, keys, args.text_col))
     return 0
 
 

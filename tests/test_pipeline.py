@@ -165,6 +165,22 @@ def test_cli_end_to_end(spark, pages, tmp_path):
     assert "glcm_Contrast" in out.columns
 
 
+def test_cli_voxel_mode_and_csv(spark, pages, tmp_path):
+    from pyradiomics_spark.cli import main
+
+    inp = str(tmp_path / "pages_v")
+    outp = str(tmp_path / "voxmaps")
+    pages.limit(3).write.parquet(inp)
+    rc = main([
+        "--input", inp, "--output", outp, "--mode", "voxel",
+        "--radius", "1", "--format", "csv", "--keys", "url,warc_ts"])
+    assert rc == 0
+    out = spark.read.option("header", True).csv(outp)
+    assert "firstorder_Entropy" in out.columns and "pos" in out.columns
+    n_pages = spark.read.parquet(inp).count()
+    assert out.count() > n_pages  # one row per token position
+
+
 def test_full_pipeline_demo(spark, pages, tmp_path):
     from pyradiomics_spark.plans.demo import full_pipeline
 

@@ -58,3 +58,52 @@ def test_rolling_texture_matches_relational(spark):
     assert len(m) == len(out) > 0
     np.testing.assert_allclose(
         m["roll_entropy"].to_numpy(), m["rel_entropy"].to_numpy(), atol=1e-9)
+
+
+def test_voxel_feature_maps_match_per_window_kernels(spark):
+    """voxel_feature_maps == the per-doc kernels applied to each ±r window
+    of the doc-globally discretized sequence (binImage-once semantics)."""
+    from pyradiomics_spark.functions.text import text_to_intensity
+    from pyradiomics_spark.kernels import (
+        discretize, firstorder_features, glcm_features, glrlm_features,
+        glszm_features, gldm_features, ngtdm_features)
+    from pyradiomics_spark.operators.voxel import voxel_feature_maps
+
+    texts = ["aa bbb c dddd ee fff g", "xxxx yy z", "mm mm mm"]
+    pdf = pd.DataFrame({
+        "url": [f"u{i}" for i in range(len(texts))],
+        "warc_ts": pd.to_datetime(["2024-01-01"] * len(texts)),
+        "text": texts})
+    df = spark.createDataFrame(pdf)
+    settings = ExtractionSettings(bin_width=1.0)
+    radius = 1
+    out = voxel_feature_maps(
+        df, keys=("url", "warc_ts"), radius=radius, settings=settings
+    ).toPandas().set_index(["url", "pos"]).sort_index()
+
+    checked = 0
+    for i, text in enumerate(texts):
+        vals = text_to_intensity(text).astype(np.float64)
+        levels = discretize(vals, 1.0)
+        for p in range(vals.size):
+            lo, hi = max(0, p - radius), min(vals.size, p + radius + 1)
+            wv, wl = vals[lo:hi], levels[lo:hi]
+            row = out.loc[(f"u{i}", p)]
+            fo = firstorder_features(wv, discretized=wl)
+            glcm = glcm_features(wl)
+            glrlm = glrlm_features(wl)
+            glszm = glszm_features(wl)
+            ngtdm = ngtdm_features(wl)
+            gldm = gldm_features(wl)
+            for cls, feats in (("firstorder", fo), ("glcm", glcm),
+                               ("glrlm", glrlm), ("glszm", glszm),
+                               ("ngtdm", ngtdm), ("gldm", gldm)):
+                for f, expect in feats.items():
+                    got = row[f"{cls}_{f}"]
+                    if np.isnan(expect):
+                        assert np.isnan(got), (i, p, cls, f, got)
+                    else:
+                        assert got == pytest.approx(expect, rel=1e-9, abs=1e-12), (
+                            i, p, cls, f)
+                    checked += 1
+    assert checked > 1000
