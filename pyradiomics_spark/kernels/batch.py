@@ -128,15 +128,31 @@ def discretize_batch(r: Ragged, bin_width: float,
     if bin_count is None:
         w = float(bin_width)
         low = mn - (mn % w)          # same op as binning.bin_edges:39
-        lowd = low[doc]
-        t = np.floor((x - lowd) / w) + 1.0
-        for _ in range(3):
-            bad_lo = x < lowd + (t - 1.0) * w   # np.arange: start + i*step
-            bad_hi = x >= lowd + t * w
-            if not bad_lo.any() and not bad_hi.any():
-                break  # integer grids exit after one check
-            t = np.where(bad_lo, t - 1.0, np.where(bad_hi, t + 1.0, t))
-        return t.astype(np.int64)
+        if w.is_integer():
+            # integer grid: np.arange's incremental fill is exact, so the
+            # closed-form edges low + k·w are the true edges; candidate +
+            # a (cheap, usually no-op) verification pass
+            lowd = low[doc]
+            t = np.floor((x - lowd) / w) + 1.0
+            for _ in range(3):
+                bad_lo = x < lowd + (t - 1.0) * w
+                bad_hi = x >= lowd + t * w
+                if not bad_lo.any() and not bad_hi.any():
+                    break  # exits after one check on integer inputs
+                t = np.where(bad_lo, t - 1.0, np.where(bad_hi, t + 1.0, t))
+            return t.astype(np.int64)
+        # fractional width: np.arange fills edges INCREMENTALLY (value +=
+        # step), so a closed-form low + k·w model drifts ~1 ulp per step on
+        # non-dyadic widths — enough to flip a bin (caught by the
+        # hypothesis parity property at w=0.01). Exact parity therefore
+        # materializes the true per-doc edge array; one arange +
+        # searchsorted per DOC (not per token), ~8 µs/doc.
+        out = np.empty(x.size, dtype=np.int64)
+        for b in np.flatnonzero(r.nonempty):
+            s, ln = r.starts[b], r.lens[b]
+            edges = np.arange(low[b], mx[b] + 2 * w, w)
+            out[s:s + ln] = np.searchsorted(edges, x[s:s + ln], side="right")
+        return out
 
     k = int(bin_count)
     # np.histogram expands a zero-width range to (v−.5, v+.5); binning then

@@ -9,6 +9,11 @@ Convention: temporal operators carry provenance by keeping the matched
 source timestamp column (e.g. the as-of join keeps ``right_ts``). The audit
 is then a single scan-side filter count — cheap enough to run inline as a
 quality gate on every pipeline run.
+
+Future-looking operators — ``bfill`` and ``asof_join(direction='forward')``
+— are label/serving tools and MUST NOT feed feature cuts: by construction
+this audit flags every row they attach (source_ts > cut_ts), so wiring one
+into a cut pipeline fails the gate loudly rather than leaking silently.
 """
 
 from __future__ import annotations

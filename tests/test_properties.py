@@ -20,6 +20,31 @@ level_arrays = st.lists(
 
 @given(arrays, st.floats(min_value=0.01, max_value=100))
 @hsettings(max_examples=200, deadline=None)
+def test_batched_discretize_exact_parity_fbw(x, w):
+    """The batched correction-loop discretizer == per-doc arange+digitize
+    EXACTLY, for arbitrary floats and fractional widths (the round-2 claim
+    that removed the integer-width gate)."""
+    from pyradiomics_spark.kernels.batch import Ragged, discretize_batch
+
+    expect = discretize(x, bin_width=w)
+    got = discretize_batch(Ragged([x.astype(np.float64)]), w)
+    np.testing.assert_array_equal(got, expect)
+
+
+@given(arrays, st.integers(min_value=1, max_value=32))
+@hsettings(max_examples=200, deadline=None)
+def test_batched_discretize_exact_parity_fbn(x, k):
+    """FBN mode: batched == np.histogram-edges+digitize exactly, including
+    the flat-doc (v±0.5 range expansion) and max-joins-top-bin corners."""
+    from pyradiomics_spark.kernels.batch import Ragged, discretize_batch
+
+    expect = discretize(x, bin_count=k)
+    got = discretize_batch(Ragged([x.astype(np.float64)]), 25.0, bin_count=k)
+    np.testing.assert_array_equal(got, expect)
+
+
+@given(arrays, st.floats(min_value=0.01, max_value=100))
+@hsettings(max_examples=200, deadline=None)
 def test_binning_laws(x, w):
     lv = discretize(x, bin_width=w)
     assert lv.min() >= 1                      # 1-based levels
