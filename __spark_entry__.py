@@ -360,6 +360,22 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-agg — the pushdown showcase (every
+    predicate reaches the parquet reader; `.explain` shows PushedFilters)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.09)
+            & (F.col("l_quantity") < 24))
+        .agg(_rnd(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4)
+             .alias("revenue"),
+             F.count("*").alias("n_rows"))
+    )
+
+
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join through region→nation→customer/supplier."""
     region = _read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
@@ -1033,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
         "fo_entropy_doc": q_fo_entropy_doc,
         "top_customers": q_top_customers,
         "dedup_exact": q_dedup_exact,
@@ -1735,6 +1752,14 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > '1995-03-15'
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "tpch_q6": """
+            SELECT floor((sum(l_extendedprice * l_discount)) * 1e4 + 0.50000095367431640625) / 1e4 AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+              AND l_discount >= 0.02 AND l_discount <= 0.09
+              AND l_quantity < 24
         """,
         "tpch_q5": """
             SELECT n_name,
