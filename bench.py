@@ -92,10 +92,11 @@ def main() -> None:
     # headline operator queries
     qs = e.queries()
     headline = [
-        "asof_join", "sessionize", "ffill", "lag_lead",
+        "asof_join", "asof_join_forward", "sessionize", "ffill", "lag_lead",
         "glcm_pairs", "glrlm_runs", "fo_doc_stats",
-        "tpch_q1", "top_customers", "dedup_exact", "text_quality",
+        "tpch_q1", "tpch_q6", "top_customers", "dedup_exact", "text_quality",
         "minhash_signatures", "knn_cosine", "voxel_entropy",
+        "lbp_codes", "wavelet_haar", "lsh_buckets", "ivf_recall",
     ]
     for name in headline:
         if name not in qs:

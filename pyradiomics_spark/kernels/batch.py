@@ -161,11 +161,16 @@ def discretize_batch(r: Ragged, bin_width: float,
     first = np.where(flat, mn - 0.5, mn)
     last = np.where(flat, mn + 0.5, mx)
     step = (last - first) / k
-    t = np.floor((x - first[doc]) / step[doc]).astype(np.int64) + 1
+    # subnormal spans can UNDERFLOW step to 0 with mn != mx (e.g. a doc
+    # spanning [0, 5e-324]): candidate arithmetic would be 0/0 — those rare
+    # docs take the literal per-doc bin_edges path below
+    weird = (~(step > 0)) | ~np.isfinite(step)
+    step_safe = np.where(weird, 1.0, step)
+    t = np.floor((x - first[doc]) / step_safe[doc]).astype(np.int64) + 1
 
     def edge(i):
         # np.linspace fills i·step + start and pins edges[k] = last (+1)
-        return np.where(i >= k, last[doc] + 1.0, i * step[doc] + first[doc])
+        return np.where(i >= k, last[doc] + 1.0, i * step_safe[doc] + first[doc])
 
     for _ in range(3):
         bad_lo = x < edge(t - 1)
@@ -173,7 +178,15 @@ def discretize_batch(r: Ragged, bin_width: float,
         if not bad_lo.any() and not bad_hi.any():
             break
         t = np.where(bad_lo, t - 1, np.where(bad_hi, t + 1, t))
-    return t.astype(np.int64)
+    t = t.astype(np.int64)
+    if weird.any():
+        from pyradiomics_spark.kernels.binning import bin_edges
+
+        for b in np.flatnonzero(weird & r.nonempty):
+            s, ln = r.starts[b], r.lens[b]
+            ed = bin_edges(x[s:s + ln], bin_count=k)
+            t[s:s + ln] = np.searchsorted(ed, x[s:s + ln], side="right")
+    return t
 
 
 def normalize_batch(r: Ragged, scale: float = 1.0,

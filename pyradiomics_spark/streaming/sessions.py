@@ -109,6 +109,28 @@ def stream_dedup_exact(
     return out.drop("__content_h") if by_content is not None else out
 
 
+def stream_training_pipeline(
+    pages_stream: DataFrame,
+    static_right: DataFrame | None = None,
+    keys=("url", "warc_ts"),
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    settings=None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Composed streaming training-data pipeline: watermarked content dedup
+    → feature extraction — the batch pipeline's front half lifted to a
+    stream with bounded state (extraction is stateless, dedup state evicts
+    past the watermark). Returns the streaming feature DataFrame; attach
+    ``writeStream`` (or feed ``stream_asof_sink`` for point-in-time
+    serving against ``static_right``). Batch DataFrames run the same code
+    path (parity asserted in tests)."""
+    deduped = stream_dedup_exact(
+        pages_stream, list(keys), ts_col, watermark=watermark,
+        by_content=text_col)
+    return stream_extract(deduped, keys, text_col, settings)
+
+
 def stream_asof_sink(
     stream_left: DataFrame,
     static_right: DataFrame,

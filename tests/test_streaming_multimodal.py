@@ -180,6 +180,39 @@ def test_stream_dedup_exact(spark, tmp_path):
     assert "__content_h" not in got.columns
 
 
+def test_stream_training_pipeline_matches_batch(spark, tmp_path):
+    """dedup → extract composed on a stream == the same composition in
+    batch: duplicate-content snapshots dropped, features identical."""
+    from pyradiomics_spark.config import ExtractionSettings
+    from pyradiomics_spark.streaming.sessions import stream_training_pipeline
+
+    src = str(tmp_path / "pipe_src")
+    pdf = pd.DataFrame({
+        "url": ["u0", "u1", "u2", "u3"],
+        "warc_ts": pd.to_datetime(["2024-01-01 00:00"] * 4),
+        "text": ["alpha beta gamma", "delta epsilon", "alpha beta gamma",
+                 "zeta"]})
+    spark.createDataFrame(pdf.iloc[:2]).write.parquet(src)
+    spark.createDataFrame(pdf.iloc[2:]).write.mode("append").parquet(src)
+    settings = ExtractionSettings(bin_width=1.0, feature_classes=("firstorder",))
+
+    stream = (spark.readStream
+              .schema("url string, warc_ts timestamp, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stream_training_pipeline(stream, settings=settings)
+    q = (out.writeStream.format("memory").queryName("pipe_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from pipe_out").toPandas()
+    assert len(got) == 3  # u2 is a content dup of u0
+
+    batch = stream_training_pipeline(
+        spark.read.parquet(src), settings=settings).toPandas()
+    key = "firstorder_Mean"
+    assert sorted(round(v, 9) for v in got[key]) == sorted(
+        round(v, 9) for v in batch[key])
+
+
 def test_stream_asof_matches_batch(spark, tmp_path):
     """Stream-static point-in-time serving == the batch as-of join."""
     import numpy as np
