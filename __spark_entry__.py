@@ -938,6 +938,19 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: duplicate 3-gram fraction
+    per doc (functions.textstats.repetition_ratio)."""
+    from pyradiomics_spark.functions.textstats import repetition_ratio
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        (_rnd(repetition_ratio(F.col("text"), n=3), 6) + F.lit(0.0)).alias(
+            "dup3_ratio"),
+    ).orderBy("doc_id")
+
+
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucket histogram: operators.similarity.
     hyperplane_buckets (sign pattern of 8 deterministic md5-seeded planes)
@@ -1058,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wavelet_haar": q_wavelet_haar,
         "ivf_recall": q_ivf_recall,
         "lsh_buckets": q_lsh_buckets,
+        "repetition": q_repetition,
     }
 
 
@@ -1169,6 +1183,26 @@ def oracle_sql() -> dict[str, str]:
         "simhash": simhash_sql,
         "ivf_recall": ivf_recall_sql,
         "lsh_buckets": lsh_buckets_sql,
+        "repetition": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS t
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3 THEN list_transform(
+                       generate_series(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                     ELSE [] END AS grams
+              FROM toks
+            )
+            SELECT doc_id,
+                   floor((CASE WHEN len(grams) > 0
+                          THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
+                          ELSE 0.0 END) * 1e6 + 0.50000095367431640625) / 1e6 + 0.0
+                     AS dup3_ratio
+            FROM g ORDER BY doc_id
+        """,
         "lbp_codes": f"""
             WITH coded AS (
               SELECT doc_id,

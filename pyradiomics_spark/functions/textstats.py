@@ -81,6 +81,26 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_ratio(text_col, n: int = 3):
+    """Duplicate word-n-gram fraction per doc — the Gopher-style repetition
+    quality filter (fraction of n-grams that are repeats of an earlier
+    n-gram): 1 − distinct/total, 0.0 for docs with < n tokens. Pure builtin
+    expressions (split → slice n-grams → array_distinct), no UDF; exact
+    DuckDB twin in the `repetition` gate query."""
+    toks = F.filter(F.split(text_col, " "), lambda t: t != "")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    return F.when(
+        total > 0, 1.0 - F.size(F.array_distinct(grams)) / total
+    ).otherwise(F.lit(0.0))
+
+
 def detect_language(
     df: DataFrame, id_col: str, text_col: str = "text", out_col: str = "lang_pred"
 ) -> DataFrame:

@@ -66,9 +66,91 @@ def daubechies_dec_lo(N: int) -> np.ndarray:
     return h[::-1]  # dec_lo is the reversed rec_lo
 
 
+def _daubechies_z_groups(N: int):
+    """Inside-unit-circle z-roots of the Daubechies polynomial, grouped so
+    complex conjugates stay together (a symlet flip must keep coefficients
+    real)."""
+    from math import comb
+
+    P = np.array([comb(N - 1 + k, k) for k in range(N - 1, -1, -1)], dtype=float)
+    zin = []
+    for y in np.roots(P):
+        c = 1.0 - 2.0 * y
+        r = np.sqrt(c * c - 1.0 + 0j)
+        z = c + r if abs(c + r) < 1.0 else c - r
+        zin.append(z)
+    used = [False] * len(zin)
+    groups = []
+    for i, z in enumerate(zin):
+        if used[i]:
+            continue
+        used[i] = True
+        if abs(z.imag) < 1e-12:
+            groups.append([z.real])
+        else:
+            for j in range(i + 1, len(zin)):
+                if not used[j] and abs(zin[j] - np.conj(z)) < 1e-8:
+                    used[j] = True
+                    groups.append([z, zin[j]])
+                    break
+    return groups
+
+
+def symlet_dec_lo(N: int) -> np.ndarray:
+    """Symlet-N decomposition low-pass (2N taps): same spectral
+    factorization as dbN, but instead of always taking the minimum-phase
+    (inside-circle) roots, each conjugate root group may be flipped to its
+    reciprocal pair; the selection minimizing the filter's GROUP-DELAY
+    VARIANCE (Σ(k−k̄)²·h²/Σh²) is the near-linear-phase symlet.
+
+    Orientation convention: a filter and its mirror share the delay
+    variance, so the construction determines symN only up to reflection;
+    we deterministically take the fewest-flips (minimum-phase-side)
+    representative. This gives sym2==db2 and sym3==db3 exactly, and the
+    published pywt banks up to that mirror for N ≥ 4 (pinned in tests).
+    Whole-document features are unaffected either way: every aggregate in
+    this engine (symmetric GLCM, runs/zones, NGTDM/GLDM neighborhoods,
+    histograms) is reflection-invariant."""
+    if N < 2:
+        return daubechies_dec_lo(max(N, 1))
+    from itertools import product as _product
+
+    groups = _daubechies_z_groups(N)
+
+    def build(flips):
+        poly = np.array([1.0 + 0j])
+        for _ in range(N):
+            poly = np.convolve(poly, [1.0, 1.0])
+        for g, flip in zip(groups, flips):
+            for z in g:
+                poly = np.convolve(poly, [1.0, -(1.0 / z if flip else z)])
+        h = np.real(poly)
+        h *= _SQRT2 / h.sum()
+        return h
+
+    def delay_var(h):
+        k = np.arange(h.size)
+        e = h * h
+        mu = (k * e).sum() / e.sum()
+        return ((k - mu) ** 2 * e).sum() / e.sum()
+
+    cands = [(f, build(f)) for f in _product((False, True), repeat=len(groups))]
+    dvs = [delay_var(h) for _, h in cands]
+    dv_min = min(dvs)
+    # a filter and its mirror share the delay variance in exact arithmetic;
+    # break FP near-ties toward the minimum-phase (fewest-flips) choice so
+    # sym2==db2 / sym3==db3 hold exactly
+    tol = dv_min * 1e-9 + 1e-12
+    best = min(
+        (c for c, dv in zip(cands, dvs) if dv <= dv_min + tol),
+        key=lambda c: sum(c[0]),
+    )[1]
+    return best[::-1]  # dec_lo is the reversed rec_lo
+
+
 def get_dec_lo(wavelet: str) -> np.ndarray:
-    """Filter bank lookup: the hardcoded banks plus any 'dbN' computed on
-    demand (cached into DEC_LO)."""
+    """Filter bank lookup: the hardcoded banks plus any 'dbN'/'symN'
+    computed on demand (cached into DEC_LO)."""
     bank = DEC_LO.get(wavelet)
     if bank is not None:
         return bank
@@ -77,8 +159,13 @@ def get_dec_lo(wavelet: str) -> np.ndarray:
         if 1 <= n <= 20:
             DEC_LO[wavelet] = daubechies_dec_lo(n)
             return DEC_LO[wavelet]
+    if wavelet.startswith("sym") and wavelet[3:].isdigit():
+        n = int(wavelet[3:])
+        if 2 <= n <= 12:
+            DEC_LO[wavelet] = symlet_dec_lo(n)
+            return DEC_LO[wavelet]
     raise ValueError(f"unsupported wavelet {wavelet!r} "
-                     f"(supported: haar, db1..db20, coif1)")
+                     f"(supported: haar, db1..db20, sym2..sym12, coif1)")
 
 
 def _dec_hi(lo: np.ndarray) -> np.ndarray:

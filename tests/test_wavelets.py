@@ -13,7 +13,8 @@ from pyradiomics_spark.functions.wavelets import (
 from pyradiomics_spark.functions.intensity import IMAGE_TRANSFORMS
 
 
-@pytest.mark.parametrize("w", ["haar", "db2", "coif1", "db3", "db4", "db8"])
+@pytest.mark.parametrize("w", ["haar", "db2", "coif1", "db3", "db4", "db8",
+                               "sym4", "sym6", "sym8"])
 def test_filterbank_orthogonality(w):
     lo = get_dec_lo(w)
     hi = _dec_hi(lo)
@@ -33,6 +34,37 @@ def test_computed_daubechies_matches_published_bank():
                                atol=1e-12)
     np.testing.assert_allclose(daubechies_dec_lo(1), DEC_LO["haar"],
                                atol=1e-15)
+
+
+def test_symlets_match_published_banks():
+    from pyradiomics_spark.functions.wavelets import symlet_dec_lo
+
+    # sym2/sym3 are IDENTICAL to db2/db3 (root choice is unique there)
+    np.testing.assert_allclose(symlet_dec_lo(2), daubechies_dec_lo(2), atol=1e-12)
+    np.testing.assert_allclose(symlet_dec_lo(3), daubechies_dec_lo(3), atol=1e-12)
+    # published pywt sym4 dec_lo (literature coefficients); the delay-
+    # variance construction determines the bank up to its mirror (which
+    # shares the criterion value) — whole-doc features are reflection-
+    # invariant, so parity up to mirror is the meaningful check
+    sym4 = np.array([
+        -0.07576571478927333, -0.02963552764599851, 0.49761866763201545,
+        0.8037387518059161, 0.29785779560527736, -0.09921954357684722,
+        -0.012603967262037833, 0.0322231006040427,
+    ])
+    got = symlet_dec_lo(4)
+    match = (np.allclose(got, sym4, atol=1e-10)
+             or np.allclose(got, sym4[::-1], atol=1e-10))
+    assert match, got
+
+    def delay_var(h):
+        k = np.arange(h.size)
+        e = h * h
+        mu = (k * e).sum() / e.sum()
+        return float(((k - mu) ** 2 * e).sum() / e.sum())
+
+    # the defining property: symN is nearer linear phase than dbN
+    for n in (4, 5, 6, 8):
+        assert delay_var(symlet_dec_lo(n)) < delay_var(daubechies_dec_lo(n))
 
 
 def test_haar_analytic_golden():
