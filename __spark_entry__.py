@@ -62,9 +62,10 @@ def _ensure_package(spark: SparkSession) -> None:
 
         zip_base = os.path.join(tempfile.gettempdir(), "pyradiomics_spark_pkg")
         zip_path = zip_base + ".zip"
-        if not os.path.exists(zip_path):
-            shutil.make_archive(
-                zip_base, "zip", root_dir=_REPO_ROOT, base_dir="pyradiomics_spark")
+        # ALWAYS rebuild (once per session): a cached zip in a persistent
+        # /tmp would ship stale package code to executors across rounds
+        shutil.make_archive(
+            zip_base, "zip", root_dir=_REPO_ROOT, base_dir="pyradiomics_spark")
         spark.sparkContext.addPyFile(zip_path)
     except Exception:
         pass  # local sessions already see the repo; never fail the query
