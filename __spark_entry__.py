@@ -939,6 +939,38 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt via builtin stack (operators.features.melt_features
+    form) — the long-format feature serving layout; DuckDB twin is UNPIVOT."""
+    t = _tokens(spark, sf_dir)
+    wide = t.groupBy("doc_id").agg(
+        F.count("*").cast("double").alias("n_tokens"),
+        F.min("tok_len").cast("double").alias("min_len"),
+        F.max("tok_len").cast("double").alias("max_len"),
+    )
+    long = wide.selectExpr(
+        "doc_id",
+        "stack(3, 'n_tokens', n_tokens, 'min_len', min_len, 'max_len', max_len)"
+        " as (feature_name, value)")
+    return long.where(F.col("doc_id") < 100).orderBy("doc_id", "feature_name")
+
+
+def q_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash_bucket intensity mode (functions.text.token_intensity:
+    int(md5[:8], 16) % buckets + 1) derived relationally: per-bucket token
+    counts over the corpus — proves the alternative 'image load' is
+    engine-reproducible."""
+    t = _tokens(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % 16 + 1)
+    return (
+        t.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_tokens"))
+        .orderBy("bucket")
+    )
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality filter: duplicate 3-gram fraction
     per doc (functions.textstats.repetition_ratio)."""
@@ -1073,6 +1105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": q_ivf_recall,
         "lsh_buckets": q_lsh_buckets,
         "repetition": q_repetition,
+        "hash_bucket": q_hash_bucket,
+        "melt": q_melt,
     }
 
 
@@ -1184,6 +1218,26 @@ def oracle_sql() -> dict[str, str]:
         "simhash": simhash_sql,
         "ivf_recall": ivf_recall_sql,
         "lsh_buckets": lsh_buckets_sql,
+        "melt": f"""
+            WITH wide AS (
+              SELECT doc_id,
+                     count(*)::DOUBLE AS n_tokens,
+                     min(tok_len)::DOUBLE AS min_len,
+                     max(tok_len)::DOUBLE AS max_len
+              FROM ({tokens}) GROUP BY doc_id
+            )
+            SELECT doc_id, feature_name, value
+            FROM wide
+            UNPIVOT (value FOR feature_name IN (n_tokens, min_len, max_len))
+            WHERE doc_id < 100
+            ORDER BY doc_id, feature_name
+        """,
+        "hash_bucket": f"""
+            SELECT (('0x' || substr(md5(tok), 1, 8))::BIGINT % 16 + 1) AS bucket,
+                   count(*) AS n_tokens
+            FROM ({tokens})
+            GROUP BY bucket ORDER BY bucket
+        """,
         "repetition": """
             WITH toks AS (
               SELECT doc_id,

@@ -41,9 +41,11 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 # ---------------------------------------------------------------- minhash
 
-def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """Distinct word n-gram shingles per doc — JVM-side via split + transform
-    + explode (no UDF)."""
+def _shingles(df: DataFrame, id_col: str, text_col: str, n: int,
+              dedupe: bool = True) -> DataFrame:
+    """Word n-gram shingles per doc — JVM-side via split + transform
+    + explode (no UDF). ``dedupe=False`` skips the distinct SHUFFLE for
+    consumers whose aggregation is multiset-invariant (min-hash)."""
     toks = F.split(F.col(text_col), " ")
     # array of n-grams at positions 0..size-n; guard short docs (an
     # unguarded sequence(0, size-n) turns DESCENDING when size < n)
@@ -54,18 +56,23 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # within-doc dedupe is FREE (array_distinct, no shuffle); the global
+    # .distinct() would be a full shuffle of the exploded shingle table
+    if dedupe:
+        grams = F.array_distinct(grams)
     return (
         df.select(F.col(id_col), F.explode(grams).alias("shingle"))
         .where(F.col("shingle") != "")
-        .distinct()
     )
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:
-    """(id, sig_0..sig_{k-1}): k independent min-hashes in ONE aggregation."""
-    sh = _shingles(df, id_col, text_col, shingle_n)
+    """(id, sig_0..sig_{k-1}): k independent min-hashes in ONE aggregation.
+    No distinct pass: min() over the shingle multiset equals min() over the
+    set, so the only shuffle is the final map-side-combined groupBy."""
+    sh = _shingles(df, id_col, text_col, shingle_n, dedupe=False)
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"sig_{i}")
         for i in range(num_hashes)
