@@ -65,6 +65,9 @@ def main(argv=None) -> int:
             w.parquet(args.output)
 
     if args.mode == "voxel":
+        if args.checkpoint:
+            p.error("--checkpoint is not supported with --mode voxel "
+                    "(voxel maps have no per-case resume ledger yet)")
         from pyradiomics_spark.operators.voxel import voxel_feature_maps
 
         out = voxel_feature_maps(

@@ -31,23 +31,28 @@ ALL_IMAGE_TYPES = (
     "log-sigma-2", "lbp-r1", "lbp-r2",
 )
 
-#: Parameterized image-type name patterns (the reference enumerates
-#: wavelet subbands / LoG sigmas / LBP radii dynamically from settings —
-#: imageoperations.py getWaveletImage/getLoGImage kwargs): any
-#: ``wavelet-L<k>``/``wavelet-H<k>`` level, ``log-sigma-<s>`` sigma,
-#: ``lbp-r<n>`` radius is a valid enabled type.
-import re as _re
-
-_IMAGE_TYPE_PATTERNS = (
-    _re.compile(r"^wavelet-[LH][0-9]*$"),
-    _re.compile(r"^log-sigma-[0-9]+(?:\.[0-9]+)?$"),
-    _re.compile(r"^lbp-r[1-9][0-9]*$"),
-)
-
-
 def is_valid_image_type(name: str) -> bool:
-    return name in ALL_IMAGE_TYPES or any(
-        p.match(name) for p in _IMAGE_TYPE_PATTERNS)
+    """Fixed names plus the parameterized families (the reference
+    enumerates wavelet subbands / LoG sigmas / LBP radii dynamically from
+    settings — imageoperations.py getWaveletImage/getLoGImage kwargs) —
+    RANGE-checked so the executors never see a config that crashes or
+    silently degenerates: wavelet level 1..8 (à trous filters grow 2^level),
+    sigma > 0, lbp radius 1..32. One parser shared with the transform
+    dispatch (functions.intensity.parse_image_type), not a second regex."""
+    if name in ALL_IMAGE_TYPES:
+        return True
+    from pyradiomics_spark.functions.intensity import parse_image_type
+
+    parsed = parse_image_type(name)
+    if parsed is None:
+        return False
+    if parsed[0] == "wavelet":
+        return 1 <= parsed[2] <= 8
+    if parsed[0] == "log":
+        return parsed[1] > 0
+    if parsed[0] == "lbp":
+        return 1 <= parsed[1] <= 32
+    return False  # pragma: no cover
 
 
 @dataclass(frozen=True)
@@ -115,6 +120,11 @@ class ExtractionSettings:
             raise ValueError(f"duplicate distances: {self.distances}")
         if self.resegment_mode not in ("absolute", "relative", "sigma"):
             raise ValueError(f"bad resegment_mode: {self.resegment_mode}")
+        if self.weighting_norm not in (
+                None, "manhattan", "euclidean", "infinity", "no_weighting"):
+            # a typo here would otherwise SILENTLY weight the GLCM by
+            # exp(-d²) (the else-branch in both kernels)
+            raise ValueError(f"bad weighting_norm: {self.weighting_norm}")
         if self.tokenizer not in ("whitespace", "bpe_regex"):
             raise ValueError(f"bad tokenizer: {self.tokenizer}")
         if self.intensity_mode not in ("token_len", "hash_bucket"):

@@ -184,11 +184,20 @@ def _upsample(h: np.ndarray, j: int) -> np.ndarray:
 
 
 def _circular_conv(x: np.ndarray, h: np.ndarray) -> np.ndarray:
-    """y[n] = Σ_k h[k] · x[(n − k) mod N] — periodic convolution."""
+    """y[n] = Σ_k h[k] · x[(n − k) mod N] — periodic convolution.
+
+    Accumulates TAP BY TAP in k order — the same FP summation order as the
+    batched kernel's _circ_conv_layout, so per-doc and batched outputs are
+    bit-identical. (A pairwise .sum(axis=1) over an (n, m) gather differs
+    by ~1 ulp for filters over 8 taps — LoG's 17, db5+, upsampled level-2
+    banks — which can flip a fractional-width bin right at an edge and
+    break the documented 1e-9 batch/per-doc parity on unlucky values.)"""
     n = x.size
-    m = h.size
-    idx = (np.arange(n)[:, None] - np.arange(m)[None, :]) % n
-    return (x[idx] * h[None, :]).sum(axis=1)
+    pos = np.arange(n)
+    y = np.zeros(n)
+    for k, w in enumerate(h):
+        y += w * x[(pos - k) % n]
+    return y
 
 
 def swt1(x: np.ndarray, wavelet: str = "coif1"):

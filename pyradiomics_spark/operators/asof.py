@@ -166,15 +166,6 @@ def asof_join(
     )
 
     unioned = l_tagged.unionByName(r_tagged)
-    # Deterministic tie-break among right rows sharing (key, ts): ONE extra
-    # 8-byte sort key — xxhash64 of the right payload — so the attached row
-    # is stable across runs/partitionings and identical to the rule
-    # asof_join_merge applies (it ranks ties by the same hash, computed
-    # JVM-side before its cogroup). A single long key keeps the window sort
-    # cheap; ordering by the payload columns themselves measured ~4× slower
-    # on a 100-column feature payload (codegen'd 110-field comparator).
-    # Left rows hash their all-null payload to a constant; their relative
-    # order at equal ts is irrelevant (each left row is its own output row).
     fill_cols = fill_cols_of(right_payload, right_ts)
     # Ties among right rows are already resolved by _dedupe_right_ties, so
     # (ts, tag) is a TOTAL order over rows that can influence a fill.

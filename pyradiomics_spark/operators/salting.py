@@ -67,11 +67,16 @@ def salted_asof_join(
     the merge is then embarrassingly parallel across buckets and a hot key's
     left rows split across S tasks.
     """
-    from pyradiomics_spark.operators.asof import asof_join
+    from pyradiomics_spark.operators.asof import _dedupe_right_ties, asof_join
 
     keys = _keys(on)
     l_salted = with_salt(left, keys, buckets, extra_col=left_ts)
-    r_replicated = right.withColumn(
+    # deterministic tie discipline applied ONCE, BEFORE replication — doing
+    # it inside asof_join would re-aggregate the ×buckets-replicated right
+    # table, paying the hot-key shuffle salting exists to avoid
+    right_payload = [c for c in right.columns if c not in keys and c != right_ts]
+    r_deduped = _dedupe_right_ties(right, keys, right_ts, right_payload)
+    r_replicated = r_deduped.withColumn(
         SALT, F.explode(F.array([F.lit(i) for i in range(buckets)]))
     )
     out = asof_join(
@@ -81,5 +86,6 @@ def salted_asof_join(
         left_ts=left_ts,
         right_ts=right_ts,
         allow_exact_matches=allow_exact_matches,
+        deterministic_ties=False,  # already resolved pre-replication
     )
     return out.drop(SALT)

@@ -111,7 +111,6 @@ def stream_dedup_exact(
 
 def stream_training_pipeline(
     pages_stream: DataFrame,
-    static_right: DataFrame | None = None,
     keys=("url", "warc_ts"),
     text_col: str = "text",
     ts_col: str = "warc_ts",
@@ -122,9 +121,9 @@ def stream_training_pipeline(
     → feature extraction — the batch pipeline's front half lifted to a
     stream with bounded state (extraction is stateless, dedup state evicts
     past the watermark). Returns the streaming feature DataFrame; attach
-    ``writeStream`` (or feed ``stream_asof_sink`` for point-in-time
-    serving against ``static_right``). Batch DataFrames run the same code
-    path (parity asserted in tests)."""
+    ``writeStream``, or feed the result to ``stream_asof_sink`` for
+    point-in-time serving against a static snapshot. Batch DataFrames run
+    the same code path (parity asserted in tests)."""
     deduped = stream_dedup_exact(
         pages_stream, list(keys), ts_col, watermark=watermark,
         by_content=text_col)
@@ -155,12 +154,21 @@ def stream_asof_sink(
 
     Returns the DataStreamWriter (caller `.start()`s it).
     """
-    from pyradiomics_spark.operators.asof import asof_join
+    from pyradiomics_spark.operators.asof import (
+        _as_list, _dedupe_right_ties, asof_join)
+
+    # tie discipline applied ONCE to the static snapshot, not re-aggregated
+    # inside every micro-batch's join
+    keys = _as_list(on)
+    right_payload = [c for c in static_right.columns
+                     if c not in keys and c != right_ts]
+    static_deduped = _dedupe_right_ties(
+        static_right, keys, right_ts, right_payload)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         joined = asof_join(
-            batch_df, static_right, on=on, left_ts=left_ts, right_ts=right_ts,
-            allow_exact_matches=allow_exact_matches)
+            batch_df, static_deduped, on=on, left_ts=left_ts, right_ts=right_ts,
+            allow_exact_matches=allow_exact_matches, deterministic_ties=False)
         (joined.withColumn("batch_id", F.lit(batch_id))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")

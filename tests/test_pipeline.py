@@ -73,8 +73,20 @@ def test_settings_reject_malformed():
         ExtractionSettings(image_types=("wavelet-X",))
     with pytest.raises(ValueError):
         ExtractionSettings(image_types=("lbp-r0",))
+    # review findings: degenerate parameterizations must be rejected, not
+    # crash executors / silently produce NaN or OOM-sized filters
+    with pytest.raises(ValueError):
+        ExtractionSettings(image_types=("wavelet-L0",))
+    with pytest.raises(ValueError):
+        ExtractionSettings(image_types=("log-sigma-0",))
+    with pytest.raises(ValueError):
+        ExtractionSettings(image_types=("wavelet-H30",))
+    with pytest.raises(ValueError):
+        ExtractionSettings(weighting_norm="euclidian")  # typo must not
+        # silently fall into the exp(-d²) branch
     # valid configs still accepted
     assert ExtractionSettings(distances=(1, 3)).distances == (1, 3)
+    assert ExtractionSettings(weighting_norm="no_weighting") is not None
     ok = ExtractionSettings(
         wavelet="db4", wavelet_start_level=1,
         image_types=("wavelet-H3", "log-sigma-3.5", "lbp-r4"))
