@@ -916,7 +916,14 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, 8 deterministic md5-seeded centroids, nprobe=2). The DuckDB
     twin re-derives the SAME centroids (inlined as literals by oracle_sql)
     and replays cell assignment, probing, and ranking relationally —
-    checking the whole approximate-search pipeline across engines."""
+    checking the whole approximate-search pipeline across engines.
+
+    Robustness note: unlike the integer-exact twins, this one compares
+    RANKINGS of float cosines summed in engine-specific order — two corpus
+    vectors within ~1 ulp of each other against a query could in principle
+    rank differently per engine. On the fixed gate corpora the margins are
+    orders of magnitude wider (verified green at sf0.001/0.01); a future
+    dataset regenerate should re-check this query first if it reddens."""
     from pyradiomics_spark.operators.similarity import brute_force_topk, ivf_topk
 
     emb = _read(spark, sf_dir, "embeddings").select(

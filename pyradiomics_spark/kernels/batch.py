@@ -514,28 +514,33 @@ def glcm_batch(r: Ragged, levels: np.ndarray, distances: tuple = (1,),
     the reference's delete-empty-angles-then-mean, glcm.py:187-198);
     with weighting = weighted SUM of the per-angle count tensors, then one
     feature pass (glcm.py:160-182)."""
+    # present-level mask depends only on (r, levels, valid): compute ONCE
+    # and thread it through every per-distance pass + the MCC guard
+    G = max(int(levels.max()) if levels.size else 1, 1)
+    present = _present_counts(r, levels, G, valid) > 0
     if weighting_norm is not None:
         # 1-D: manhattan/euclidean/infinity all weight by exp(-δ²)
         if weighting_norm == "no_weighting":
             w = np.ones(len(distances))
         else:
             w = np.exp(-np.asarray(distances, dtype=np.float64) ** 2)
-        G = max(int(levels.max()) if levels.size else 1, 1)
         P = None
         for wi, d in zip(w, distances):
             Pd = _glcm_raw(r, levels, int(d), G, valid)
             if symmetric:
                 Pd = Pd + Pd.transpose(0, 2, 1)
             P = wi * Pd if P is None else P + wi * Pd
-        return _glcm_features_from_counts(r, levels, P, G, valid)
+        return _glcm_features_from_counts(r, levels, P, G, valid,
+                                          present=present)
     if len(distances) == 1:
         return _glcm_one_distance(r, levels, int(distances[0]),
-                                  symmetric=symmetric, valid=valid)
+                                  symmetric=symmetric, valid=valid,
+                                  present=present)
     # multi-angle: per-angle features with empty angles as NaN, then nanmean
     # (delete-empty-angles-then-mean, glcm.py:187-198)
     per_angle = [
         _glcm_one_distance(r, levels, int(d), mask_empty=True,
-                           symmetric=symmetric, valid=valid)
+                           symmetric=symmetric, valid=valid, present=present)
         for d in distances
     ]
     import warnings
@@ -549,8 +554,7 @@ def glcm_batch(r: Ragged, levels: np.ndarray, distances: tuple = (1,),
     # the <2-gray-levels MCC guard is PRE-angle in the reference
     # (glcm.py:702-703): docs with a single present level get MCC=1 even
     # when every angle is empty
-    G = max(int(levels.max()) if levels.size else 1, 1)
-    n_pres = (_present_counts(r, levels, G, valid) > 0).sum(axis=1)
+    n_pres = present.sum(axis=1)
     out["MCC"] = np.where(n_pres < 2, 1.0, out["MCC"])
     return out
 
@@ -576,18 +580,20 @@ def _glcm_raw(r: Ragged, levels: np.ndarray, dist: int, G: int,
 
 def _glcm_one_distance(r: Ragged, levels: np.ndarray, dist: int,
                        mask_empty: bool = False, symmetric: bool = True,
-                       valid: np.ndarray | None = None) -> dict:
+                       valid: np.ndarray | None = None,
+                       present: np.ndarray | None = None) -> dict:
     G = max(int(levels.max()) if levels.size else 1, 1)
     P = _glcm_raw(r, levels, dist, G, valid)
     if symmetric:
         P = P + P.transpose(0, 2, 1)  # symmetrize
     return _glcm_features_from_counts(r, levels, P, G, valid,
-                                      mask_empty=mask_empty)
+                                      mask_empty=mask_empty, present=present)
 
 
 def _glcm_features_from_counts(r: Ragged, levels: np.ndarray, P: np.ndarray,
                                G: int, valid: np.ndarray | None,
-                               mask_empty: bool = False) -> dict:
+                               mask_empty: bool = False,
+                               present: np.ndarray | None = None) -> dict:
     B = r.B
     mass = P.sum(axis=(1, 2))
     norm = np.where(mass > 0, mass, np.nan)
@@ -662,7 +668,8 @@ def _glcm_features_from_counts(r: Ragged, levels: np.ndarray, P: np.ndarray,
     # pairless doc), so the k=1.. sum is 0.0 — per-doc bincount keeps those
     # zeros but the dense matmul here smears the NaN across all k. Guard on
     # present-level count, not ng==1 (FBN can put a flat doc at a mid bin).
-    present_early = _present_counts(r, levels, G, valid) > 0
+    present_early = (present if present is not None
+                     else _present_counts(r, levels, G, valid) > 0)
     n_pres_early = present_early.sum(axis=1)
     invvar = np.where(n_pres_early <= 1, 0.0, invvar)
     maxprob = P.reshape(B, -1).max(axis=1)

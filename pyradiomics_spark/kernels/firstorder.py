@@ -76,9 +76,17 @@ def firstorder_features(
     else:
         rmad = float("nan")
 
-    m2 = _central_moment(x, 2)
-    m3 = _central_moment(x, 3)
-    m4 = _central_moment(x, 4)
+    if mn == mx:
+        # EXACTLY constant input (e.g. a flat doc through an irrational
+        # transform): the mean can differ from the values by 1 ulp, leaving
+        # a ~1e-31 moment residue that would turn Skewness/Kurtosis into
+        # ±1.0 FP noise. Zero the central moments deterministically — the
+        # batched kernel applies the identical truly_flat fixup.
+        m2 = m3 = m4 = 0.0
+    else:
+        m2 = _central_moment(x, 2)
+        m3 = _central_moment(x, 3)
+        m4 = _central_moment(x, 4)
     # flat region (firstorder.py:405-406, 433-435) — including DENORMAL
     # variance whose power underflows to 0 (m2 ~ 1e-279 → m2² == 0): python
     # floats would raise ZeroDivisionError and numpy would emit inf/nan;

@@ -229,8 +229,11 @@ def simhash_signatures_md5(
     reproduces the signature bit-for-bit (unlike the xxhash64 64-bit
     variant above, which has no cross-engine hash twin). Token weight =
     multiplicity. Same plan shape: explode → ONE groupBy with ``bits``
-    conditional sums."""
-    assert bits % 4 == 0 and bits <= 64
+    conditional sums. ``bits`` ≤ 32: bit 63 would need a LongType literal
+    beyond the signed range (the 64-bit production variant above uses
+    shiftleft instead); this md5 variant exists for oracle checking."""
+    if not (bits % 4 == 0 and 4 <= bits <= 32):
+        raise ValueError("bits must be a multiple of 4 in [4, 32]")
     toks = (
         df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
         .where(F.col("tok") != "")

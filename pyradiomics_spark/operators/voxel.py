@@ -99,7 +99,7 @@ def voxel_feature_maps(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            win_vals, win_levels, out_keys, out_pos = [], [], [], []
+            imgs, lvls, kvs = [], [], []
             for tup in pdf.itertuples(index=False):
                 kv = tup[: len(keys)]
                 text = tup[len(keys)] or ""
@@ -108,21 +108,46 @@ def voxel_feature_maps(
                     settings.intensity_buckets).astype(np.float64)
                 if vals.size == 0:
                     continue
-                img = apply_transform(image_type, vals, settings)
-                levels = discretize(img, settings.bin_width, settings.bin_count)
-                n = img.size
-                for p in range(n):
-                    lo, hi = max(0, p - radius), min(n, p + radius + 1)
-                    win_vals.append(img[lo:hi])
-                    win_levels.append(levels[lo:hi])
-                    out_keys.append(kv)
-                    out_pos.append(p)
-            if not win_vals:
+                imgs.append(apply_transform(image_type, vals, settings))
+                lvls.append(discretize(
+                    imgs[-1], settings.bin_width, settings.bin_count))
+                kvs.append(kv)
+            if not imgs:
                 yield pd.DataFrame(
                     columns=list(keys) + ["image_type", "pos"] + fcols)
                 continue
-            rw = Ragged(win_vals)
-            lv = np.concatenate(win_levels)
+            # vectorized window construction: every ±radius window becomes
+            # one pseudo-doc via a single fancy-indexed gather — no
+            # per-position python loop (that costs tens of millions of
+            # interpreter iterations per executor at corpus scale)
+            d_lens = np.array([a.size for a in imgs], dtype=np.int64)
+            D = len(imgs)
+            d_starts = np.zeros(D, dtype=np.int64)
+            np.cumsum(d_lens[:-1], out=d_starts[1:])
+            conc_img = np.concatenate(imgs)
+            conc_lvl = np.concatenate(lvls)
+            N = conc_img.size
+            ddoc = np.repeat(np.arange(D), d_lens)
+            i_in = np.arange(N) - d_starts[ddoc]
+            lo = np.maximum(i_in - radius, 0)
+            hi = np.minimum(i_in + radius + 1, d_lens[ddoc])
+            wlen = (hi - lo).astype(np.int64)
+            wstart = np.zeros(N, dtype=np.int64)
+            np.cumsum(wlen[:-1], out=wstart[1:])
+            total = int(wlen.sum())
+            pos_of_out = np.repeat(np.arange(N), wlen)
+            off = np.arange(total) - wstart[pos_of_out]
+            src = d_starts[ddoc[pos_of_out]] + lo[pos_of_out] + off
+            rw = object.__new__(Ragged)
+            rw.B = N
+            rw.lens = wlen
+            rw.starts = wstart
+            rw.x = conc_img[src]
+            rw.doc = pos_of_out
+            rw.nonempty = wlen > 0
+            rw._ne_starts = wstart[rw.nonempty]
+            lv = conc_lvl[src]
+            out_pos = i_in
             cols: dict = {}
             want = set(classes)
             if "firstorder" in want:
@@ -149,9 +174,13 @@ def voxel_feature_maps(
                 for f, v in gldm_batch(rw, lv, settings.gldm_a,
                                        settings.distances).items():
                     cols[f"gldm_{f}"] = v
-            data = {k: [kv[i] for kv in out_keys] for i, k in enumerate(keys)}
+            data = {
+                k: np.repeat(
+                    np.array([kv[i] for kv in kvs], dtype=object), d_lens)
+                for i, k in enumerate(keys)
+            }
             data["image_type"] = image_type
-            data["pos"] = np.array(out_pos, dtype=np.int32)
+            data["pos"] = out_pos.astype(np.int32)
             for c in fcols:
                 data[c] = cols.get(c, np.nan)
             yield pd.DataFrame(data, columns=list(keys) + ["image_type", "pos"] + fcols)

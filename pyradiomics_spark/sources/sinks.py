@@ -174,7 +174,14 @@ def recompute_affected_partitions(
     vals = [r[0] for r in late.select(partition_col).distinct().collect()]
     if not vals:
         return []
-    out = transform(src.where(F.col(partition_col).isin(vals)))
+    # NULL partition values (__HIVE_DEFAULT_PARTITION__) never match isin()
+    # under SQL NULL semantics — target them explicitly instead of silently
+    # leaving that partition stale
+    non_null = [v for v in vals if v is not None]
+    cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in vals):
+        cond = cond | F.col(partition_col).isNull()
+    out = transform(src.where(cond))
     (out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)

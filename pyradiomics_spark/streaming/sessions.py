@@ -93,6 +93,15 @@ def stream_dedup_exact(
     the event time passes the watermark — an unbounded dropDuplicates would
     grow state forever on an infinite stream).
 
+    Semantics note: the horizon is the POINT of the watermark — duplicates
+    farther apart than it are intentionally both kept (bounded state has a
+    price). The batch twin below dedups globally, i.e. it is the
+    watermark→∞ limit: batch and stream agree exactly when duplicate pairs
+    fall within the watermark (the tested contract), and batch keeps
+    strictly fewer rows otherwise. A batch backfill that must reproduce a
+    stream's output byte-for-byte should window its input by the same
+    horizon first.
+
     ``by_content``: optionally dedup on a sha2 content hash of this column
     instead of carrying the full text in state (the exact_dedup analog)."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)

@@ -92,9 +92,10 @@ def test_firstorder_invariants(x):
     assert 0 <= f["Uniformity"] <= 1 + 1e-12
     assert f["Entropy"] >= -1e-9
     m2 = ((x - x.mean()) ** 2).mean()
-    # m2² can underflow to 0 for subnormal spreads → kernels apply the
-    # deterministic flat fixup (Kurtosis 0) instead of an inf/nan division
-    if x.size > 1 and m2 ** 2 > 0:
+    # m2² can underflow to 0 for subnormal spreads, and EXACTLY constant
+    # inputs can leave a ~1e-31 mean residue → kernels apply the
+    # deterministic flat fixup (Kurtosis 0) instead of inf/nan or FP-noise
+    if x.size > 1 and m2 ** 2 > 0 and x.min() != x.max():
         assert f["Kurtosis"] >= 1 - 1e-9  # population kurtosis ≥ 1 always
     elif x.size > 1:
         assert f["Kurtosis"] == 0.0 and f["Skewness"] == 0.0
