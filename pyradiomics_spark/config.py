@@ -67,6 +67,18 @@ class ExtractionSettings:
     # --- discretization (imageoperations.py:67-174) ---
     bin_width: float = 25.0
     bin_count: Optional[int] = None  # when set, fixed-bin-count mode wins
+    #: FBW guard for web-scale garbage AND batch memory: a doc whose
+    #: discretized level RANGE exceeds this (e.g. one multi-megabyte
+    #: "token" of minified JS at bin_width=1) gets NaN features for that
+    #: image type. The reference only ever warns ("Number of bins is
+    #: greater than expected") — at 10^12 documents a warn-and-allocate is
+    #: a cluster-killer, because the batched texture kernels materialize
+    #: dense (batch_docs × G × G) grids: at the 10k-row Arrow batch size,
+    #: G=128 is ~1.3 GB per tensor and G grows it quadratically. Token
+    #: intensities discretize to G ≈ 15 in practice; raise deliberately
+    #: (and only with small Arrow batches) if your payload needs more.
+    #: FBN mode is inherently bounded by bin_count.
+    max_gray_levels: int = 128
 
     # --- texture matrices ---
     distances: tuple = (1,)            # GLCM/NGTDM/GLDM neighborhood distances
@@ -109,6 +121,8 @@ class ExtractionSettings:
             raise ValueError("bin_count must be >= 1")
         if self.bin_width <= 0:
             raise ValueError("bin_width must be > 0")
+        if self.max_gray_levels < 2:
+            raise ValueError("max_gray_levels must be >= 2")
         if not self.distances:
             raise ValueError("distances must be non-empty")
         if any((not float(d).is_integer()) or d < 1 for d in self.distances):

@@ -105,6 +105,15 @@ def _extract_one(values: np.ndarray, settings: ExtractionSettings) -> dict:
     for it in settings.image_types:
         img = apply_transform(it, values, settings)
         roi = img[valid]
+        # FBW gray-level-range guard (web-scale garbage docs): NaN this
+        # image type instead of materializing a huge level grid
+        if settings.bin_count is None and roi.size:
+            est_g = (np.floor(roi.max() / settings.bin_width)
+                     - np.floor(roi.min() / settings.bin_width) + 1)
+            if est_g > settings.max_gray_levels:
+                for c in fcols:
+                    out[f"{it}:{c}"] = float("nan")
+                continue
         levels = discretize(roi, settings.bin_width, settings.bin_count)
         # kernels see the compacted ROI sequence; masked positions already
         # removed — adjacency breaks are preserved by re-inserting gaps
@@ -205,6 +214,27 @@ def _extract_batch(texts, settings: ExtractionSettings, image_type: str = "origi
 
     r = r0 if image_type == "original" else r0.with_x(
         transform_batch(r0, image_type, settings))
+
+    # FBW gray-level-range guard (web-scale garbage docs): a single huge
+    # "token" under a small bin width would make the global 1..G grid — and
+    # the B×G×G texture tensors — executor-OOM-sized. Flag such docs, mask
+    # their positions out of every kernel, and NaN their features for this
+    # image type (mirrors the per-doc path).
+    over_cap = np.zeros(r0.B, dtype=bool)
+    if settings.bin_count is None and r.x.size:
+        fl = np.floor(r.x / settings.bin_width)
+        if valid is None:
+            fmn, fmx = r.segmin(fl), r.segmax(fl)
+        else:
+            fmn = r.segmin(np.where(valid, fl, np.inf))
+            fmx = r.segmax(np.where(valid, fl, -np.inf))
+        with np.errstate(invalid="ignore"):
+            over_cap = (fmx - fmn + 1) > settings.max_gray_levels
+        over_cap &= np.asarray(n_valid) > 0
+        if over_cap.any():
+            drop = over_cap[r.doc]
+            valid = ~drop if valid is None else (valid & ~drop)
+
     rv = r if valid is None else r.masked(valid)
     levels_v = discretize_batch(rv, settings.bin_width, settings.bin_count)
     if valid is None:
@@ -249,14 +279,15 @@ def _extract_batch(texts, settings: ExtractionSettings, image_type: str = "origi
         for f, v in seqshape_batch(r0, valid).items():
             cols[f"seqshape_{f}"] = v
 
-    # per-doc semantics: ROI below minimum size → NaN feature row
-    too_small = n_valid < max(settings.minimum_roi_size, 1)
-    if too_small.any():
+    # per-doc semantics: ROI below minimum size (whole row) or over the
+    # gray-level cap (this image type) → NaN features
+    nan_docs = (n_valid < max(settings.minimum_roi_size, 1)) | over_cap
+    if nan_docs.any():
         for c, v in cols.items():
             if c.startswith("diag_"):
                 continue
             v = np.asarray(v, dtype=np.float64).copy()
-            v[too_small] = np.nan
+            v[nan_docs] = np.nan
             cols[c] = v
     return cols
 
