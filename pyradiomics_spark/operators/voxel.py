@@ -108,9 +108,20 @@ def voxel_feature_maps(
                     settings.intensity_buckets).astype(np.float64)
                 if vals.size == 0:
                     continue
-                imgs.append(apply_transform(image_type, vals, settings))
+                img = apply_transform(image_type, vals, settings)
+                if settings.bin_count is None:
+                    # same garbage guard as extract_features: a doc whose
+                    # FBW level range exceeds max_gray_levels would blow
+                    # the n_windows×G² kernel grids — skip it (voxel maps
+                    # of garbage docs have no training value; the segment-
+                    # mode row for the doc carries the NaN signal)
+                    est_g = (np.floor(img.max() / settings.bin_width)
+                             - np.floor(img.min() / settings.bin_width) + 1)
+                    if est_g > settings.max_gray_levels:
+                        continue
+                imgs.append(img)
                 lvls.append(discretize(
-                    imgs[-1], settings.bin_width, settings.bin_count))
+                    img, settings.bin_width, settings.bin_count))
                 kvs.append(kv)
             if not imgs:
                 yield pd.DataFrame(
