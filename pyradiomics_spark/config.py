@@ -111,6 +111,13 @@ class ExtractionSettings:
     wavelet: str = "coif1"             # haar | db1..db20 | coif1
     wavelet_start_level: int = 0       # à trous cascade offset
 
+    # --- voxel mode (base.py:202-221 voxelBatch) ---
+    # Max pseudo-docs (windows) per batched-kernel call in voxel mode.
+    # 0 = adaptive: sized so the largest kernel grid (GLCM's n×G×G float64)
+    # stays under ~64 MB per tensor. The reference chunks kernel voxels the
+    # same way (voxelBatch, base.py:214-221) to bound peak memory.
+    voxel_batch: int = 0
+
     # --- tokenizer / intensity derivation (our engine's "image load") ---
     tokenizer: str = "whitespace"      # whitespace | bpe_regex
     intensity_mode: str = "token_len"  # token_len | hash_bucket
@@ -151,8 +158,13 @@ class ExtractionSettings:
             raise ValueError(f"unknown image types: {bad}")
         from pyradiomics_spark.functions.wavelets import get_dec_lo
         get_dec_lo(self.wavelet)  # raises on unsupported wavelet
-        if self.wavelet_start_level < 0:
-            raise ValueError("wavelet_start_level must be >= 0")
+        if not 0 <= self.wavelet_start_level <= 8:
+            # the à-trous upsample allocates (taps-1)·2^(start+level-1)+1
+            # doubles — an unbounded start level is a memory bomb from YAML
+            # (mirrors the 1..8 level cap is_valid_image_type enforces)
+            raise ValueError("wavelet_start_level must be in 0..8")
+        if self.voxel_batch < 0:
+            raise ValueError("voxel_batch must be >= 0 (0 = adaptive)")
 
     def to_dict(self) -> dict:
         return asdict(self)

@@ -79,6 +79,15 @@ def _dedupe_right_ties(right: DataFrame, keys: list, right_ts: str,
     if not right_payload:
         return right.dropDuplicates(keys + [right_ts])
     if not all(_orderable(right.schema[c].dataType) for c in right_payload):
+        import warnings
+        bad = [c for c in right_payload
+               if not _orderable(right.schema[c].dataType)]
+        warnings.warn(
+            "asof_join: deterministic_ties skipped — non-orderable payload "
+            f"column(s) {bad}; rows tying on (key, ts) resolve in arrival "
+            "order. Drop/serialize the map column(s) or pass "
+            "deterministic_ties=False to silence.",
+            RuntimeWarning, stacklevel=3)
         return right
     agg = right.groupBy(*keys, right_ts).agg(
         F.max(F.struct(*[F.col(c) for c in right_payload])).alias("__p"))

@@ -143,48 +143,73 @@ def voxel_feature_maps(
             lo = np.maximum(i_in - radius, 0)
             hi = np.minimum(i_in + radius + 1, d_lens[ddoc])
             wlen = (hi - lo).astype(np.int64)
-            wstart = np.zeros(N, dtype=np.int64)
-            np.cumsum(wlen[:-1], out=wstart[1:])
-            total = int(wlen.sum())
-            pos_of_out = np.repeat(np.arange(N), wlen)
-            off = np.arange(total) - wstart[pos_of_out]
-            src = d_starts[ddoc[pos_of_out]] + lo[pos_of_out] + off
-            rw = object.__new__(Ragged)
-            rw.B = N
-            rw.lens = wlen
-            rw.starts = wstart
-            rw.x = conc_img[src]
-            rw.doc = pos_of_out
-            rw.nonempty = wlen > 0
-            rw._ne_starts = wstart[rw.nonempty]
-            lv = conc_lvl[src]
             out_pos = i_in
-            cols: dict = {}
+
+            # voxelBatch analog (base.py:202-221): the batched texture
+            # kernels materialize (n_windows × G × G) float64 grids, so an
+            # unchunked Arrow batch of ordinary web docs (10k rows × 100s
+            # of tokens × G up to 128) would allocate tens of GB. Slice the
+            # window set so the largest per-chunk grid stays bounded; the
+            # kernels are pure per-pseudo-doc so chunking is result-exact.
+            g_batch = max(int(conc_lvl.max()), 1)
+            if settings.voxel_batch > 0:
+                chunk = settings.voxel_batch
+            else:  # adaptive: ~64 MB per GLCM tensor
+                chunk = max(256, (64 << 20) // (g_batch * g_batch * 8))
             want = set(classes)
-            if "firstorder" in want:
-                for f, v in firstorder_batch(
-                        rw, lv, settings.voxel_array_shift).items():
-                    cols[f"firstorder_{f}"] = v
-            if "glcm" in want:
-                for f, v in glcm_batch(rw, lv, settings.distances,
-                                       settings.symmetrical_glcm,
-                                       settings.weighting_norm).items():
-                    cols[f"glcm_{f}"] = v
-            if "glrlm" in want or "glszm" in want:
-                rl, sz = runs_batch_features(rw, lv)
-                if "glrlm" in want:
-                    for f, v in rl.items():
-                        cols[f"glrlm_{f}"] = v
-                if "glszm" in want:
-                    for f, v in sz.items():
-                        cols[f"glszm_{f}"] = v
-            if "ngtdm" in want:
-                for f, v in ngtdm_batch(rw, lv, settings.distances).items():
-                    cols[f"ngtdm_{f}"] = v
-            if "gldm" in want:
-                for f, v in gldm_batch(rw, lv, settings.gldm_a,
-                                       settings.distances).items():
-                    cols[f"gldm_{f}"] = v
+
+            def kernel_cols(rw: Ragged, lv: np.ndarray) -> dict:
+                c: dict = {}
+                if "firstorder" in want:
+                    for f, v in firstorder_batch(
+                            rw, lv, settings.voxel_array_shift).items():
+                        c[f"firstorder_{f}"] = v
+                if "glcm" in want:
+                    for f, v in glcm_batch(rw, lv, settings.distances,
+                                           settings.symmetrical_glcm,
+                                           settings.weighting_norm).items():
+                        c[f"glcm_{f}"] = v
+                if "glrlm" in want or "glszm" in want:
+                    rl, sz = runs_batch_features(rw, lv)
+                    if "glrlm" in want:
+                        for f, v in rl.items():
+                            c[f"glrlm_{f}"] = v
+                    if "glszm" in want:
+                        for f, v in sz.items():
+                            c[f"glszm_{f}"] = v
+                if "ngtdm" in want:
+                    for f, v in ngtdm_batch(
+                            rw, lv, settings.distances).items():
+                        c[f"ngtdm_{f}"] = v
+                if "gldm" in want:
+                    for f, v in gldm_batch(rw, lv, settings.gldm_a,
+                                           settings.distances).items():
+                        c[f"gldm_{f}"] = v
+                return c
+
+            parts: list[dict] = []
+            for a in range(0, N, chunk):
+                b = min(a + chunk, N)
+                w = wlen[a:b]
+                ws = np.zeros(b - a, dtype=np.int64)
+                np.cumsum(w[:-1], out=ws[1:])
+                tot = int(w.sum())
+                # per-chunk gather of window contents (also bounds the
+                # (2·radius+1)× expanded copy to the chunk, not the batch)
+                p_out = np.repeat(np.arange(a, b), w)
+                off = np.arange(tot) - np.repeat(ws, w)
+                srcix = d_starts[ddoc[p_out]] + lo[p_out] + off
+                rw = object.__new__(Ragged)
+                rw.B = b - a
+                rw.lens = w
+                rw.starts = ws
+                rw.x = conc_img[srcix]
+                rw.doc = p_out - a
+                rw.nonempty = w > 0
+                rw._ne_starts = ws[rw.nonempty]
+                parts.append(kernel_cols(rw, conc_lvl[srcix]))
+            cols = ({k: np.concatenate([p[k] for p in parts])
+                     for k in parts[0]} if len(parts) > 1 else parts[0])
             data = {
                 k: np.repeat(
                     np.array([kv[i] for kv in kvs], dtype=object), d_lens)

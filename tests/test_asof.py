@@ -209,3 +209,30 @@ def test_asof_merge_forward_direction(frames):
     assert got[("a", 2)] == 20.0   # next at 13:00
     assert got[("a", 3)] is None   # nothing after 2024-01-02
     assert got[("b", 4)] == 30.0
+
+
+def test_asof_nonorderable_payload_warns(spark):
+    """Map-typed payload columns can't be tie-deduped (non-orderable) —
+    the join must WARN rather than silently switch tie regimes."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from pyradiomics_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("a", 10)], "k string, ts long")
+    right = spark.createDataFrame(
+        [("a", 5, "x")], "k string, ts long, v string"
+    ).withColumn("m", F.create_map(F.lit("p"), F.col("v")))
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
+        rows = out.collect()
+    assert len(rows) == 1 and rows[0]["v"] == "x"
+    assert any("deterministic_ties skipped" in str(w.message) for w in rec)
+    # orderable payload: no warning
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        asof_join(left, right.drop("m"), on="k",
+                  left_ts="ts", right_ts="ts").collect()
+    assert not any("deterministic_ties" in str(w.message) for w in rec2)

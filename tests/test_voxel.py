@@ -107,3 +107,34 @@ def test_voxel_feature_maps_match_per_window_kernels(spark):
                             i, p, cls, f)
                     checked += 1
     assert checked > 1000
+
+
+def test_voxel_feature_maps_chunked_equals_unchunked(spark):
+    """voxelBatch analog (base.py:202-221): a tiny voxel_batch that forces
+    many kernel slices must produce byte-identical maps to one big call."""
+    from pyradiomics_spark.operators.voxel import voxel_feature_maps
+
+    texts = ["aa bbb c dddd ee fff g hh iii", "xxxx yy z qq rrr", "mm mm mm"]
+    pdf = pd.DataFrame({
+        "url": [f"u{i}" for i in range(len(texts))],
+        "warc_ts": pd.to_datetime(["2024-01-01"] * len(texts)),
+        "text": texts})
+    df = spark.createDataFrame(pdf)
+    big = voxel_feature_maps(
+        df, radius=2, settings=ExtractionSettings(bin_width=1.0)
+    ).toPandas().sort_values(["url", "pos"]).reset_index(drop=True)
+    small = voxel_feature_maps(
+        df, radius=2,
+        settings=ExtractionSettings(bin_width=1.0, voxel_batch=3)
+    ).toPandas().sort_values(["url", "pos"]).reset_index(drop=True)
+    assert len(big) == len(small) > 0
+    pd.testing.assert_frame_equal(big, small)
+
+
+def test_voxel_batch_and_start_level_validation():
+    with pytest.raises(ValueError):
+        ExtractionSettings(voxel_batch=-1)
+    with pytest.raises(ValueError):
+        # unbounded start level is an a-trous memory bomb
+        ExtractionSettings(wavelet_start_level=40)
+    ExtractionSettings(wavelet_start_level=8, voxel_batch=1024)  # ok
