@@ -911,6 +911,25 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures_md5(docs, "doc_id", "text", bits=16).orderBy("doc_id")
 
 
+def q_simhash_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked simhash near-dup candidates (Manku WWW'07 scheme — the
+    10⁹-doc scale path: C(n_blocks, n_blocks−k) wide-key equality joins
+    instead of k+1 narrow bands) + exact Hamming verify. Because the block
+    pigeonhole GUARANTEES recall for Hamming ≤ k, the verified output is
+    exactly the brute-force pair set — which is what the DuckDB oracle
+    computes (cross join + bit_count(xor))."""
+    from pyradiomics_spark.operators.dedup import (
+        simhash_candidates, simhash_signatures_md5)
+
+    docs = _read(spark, sf_dir, "documents")
+    sig = simhash_signatures_md5(docs, "doc_id", "text", bits=16)
+    return (
+        simhash_candidates(sig, "doc_id", max_hamming=2, n_blocks=6, bits=16)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN end-to-end vs exact brute force: recall@5 per query (5
     queries, 8 deterministic md5-seeded centroids, nprobe=2). The DuckDB
@@ -1099,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gldm_sde_doc": q_gldm_sde_doc,
         "embedding_dedup": q_embedding_dedup,
         "simhash": q_simhash,
+        "simhash_blocked": q_simhash_blocked,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -1221,8 +1241,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST({simhash_val} AS BIGINT) AS simhash
             FROM sums ORDER BY doc_id
         """
+    simhash_blocked_sql = f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+            ), h AS (
+              SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> ''
+            ), sums AS (
+              SELECT doc_id, {simhash_sums}
+              FROM h GROUP BY doc_id
+            ), sig AS (
+              SELECT doc_id, CAST({simhash_val} AS BIGINT) AS simhash FROM sums
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+            ORDER BY id_a, id_b
+        """
     return {
         "simhash": simhash_sql,
+        "simhash_blocked": simhash_blocked_sql,
         "ivf_recall": ivf_recall_sql,
         "lsh_buckets": lsh_buckets_sql,
         "melt": f"""

@@ -108,7 +108,7 @@ class ExtractionSettings:
     # --- convolutional filter settings (imageoperations.py:899-970 kwargs:
     # 'wavelet', 'start_level'; LoG sigma and LBP radius are encoded in the
     # image-type NAME like the reference's derived-image naming) ---
-    wavelet: str = "coif1"             # haar | db1..db20 | coif1
+    wavelet: str = "coif1"             # haar | db1..20 | sym2..12 | coif1..5
     wavelet_start_level: int = 0       # à trous cascade offset
 
     # --- voxel mode (base.py:202-221 voxelBatch) ---

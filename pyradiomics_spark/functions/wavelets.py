@@ -15,8 +15,10 @@ with wrap padding + pad-to-even; :756-836 LoG):
 * ``log_filter``— Laplacian-of-Gaussian: analytic LoG kernel
   (σ in samples), circular convolution, truncated at 4σ.
 
-Filter banks (orthogonal, standard published coefficients): haar, db2,
-coif1 (the reference's default wavelet, paramSchema default 'coif1').
+Filter banks (orthogonal): haar plus db1..db20 / sym2..sym12 (spectral
+factorization) and coif1..coif5 (coif1 published closed form; coif2..5
+Gauss-Newton solved from the defining moment conditions). coif1 is the
+reference's default wavelet (paramSchema default 'coif1').
 High-pass via the QMF relation hi[k] = (−1)^k · lo[L−1−k].
 """
 
@@ -148,6 +150,124 @@ def symlet_dec_lo(N: int) -> np.ndarray:
     return best[::-1]  # dec_lo is the reversed rec_lo
 
 
+# Approximate published coifN banks (dec_lo order) — SEEDS only: the exact
+# filters are recomputed to machine precision by Gauss-Newton on the
+# defining coiflet conditions (orthonormality, 2N vanishing wavelet
+# moments, 2N-1 vanishing scaling moments — Daubechies, "Ten Lectures",
+# ch. 8). Tests pin the conditions themselves at 1e-10, so a seed digit
+# being off cannot silently ship a wrong bank.
+_COIF_SEEDS = {
+    2: [-0.00072054944536451, -0.00182320887070299, 0.00561143481939450,
+        0.02368017194633408, -0.05943441864645690, -0.07648859907830640,
+        0.41700518442169254, 0.81272363544554230, 0.38611006682116220,
+        -0.06737255472196302, -0.04146493678175915, 0.01638733646352211],
+    3: [-3.459977283621256e-05, -7.098330313814125e-05,
+        0.0004662169601128863, 0.0011175187708906016,
+        -0.0025745176887502236, -0.00900797613666158,
+        0.015880544863615904, 0.03455502757306163,
+        -0.08230192710688598, -0.07179982161931202,
+        0.42848347637761874, 0.7937772226256206,
+        0.4051769024096169, -0.06112339000267287,
+        -0.0657719112818555, 0.023452696141836267,
+        0.007782596427325418, -0.003793512864491014],
+    4: [-1.7849850030882614e-06, -3.2596802368833675e-06,
+        3.1229875865345646e-05, 6.233903446100713e-05,
+        -0.00025997455248771324, -0.0005890207562443383,
+        0.0012665619292989445, 0.003751436157278457,
+        -0.00565828668661072, -0.015211731527946259,
+        0.025082261844864097, 0.03933442712333749,
+        -0.09622044203398798, -0.06662747426342504,
+        0.4343860564914685, 0.782238930920499,
+        0.41530840703043026, -0.05607731331675481,
+        -0.08126669968087875, 0.026682300156053072,
+        0.016068943964776348, -0.0073461663276420935,
+        -0.0016294920126017326, 0.0008923136685823146],
+    5: [-9.517657273819165e-08, -1.6744288576823017e-07,
+        2.0637618513646814e-06, 3.7346551751414047e-06,
+        -2.1315026809955787e-05, -4.134043227251251e-05,
+        0.00014054114970203437, 0.00030225958181306315,
+        -0.0006381313430451114, -0.0016628637020130838,
+        0.0024333732126576722, 0.006764185448053083,
+        -0.009164231162481846, -0.01976177894257264,
+        0.03268357426711183, 0.0412892087501817,
+        -0.10557420870333893, -0.06203596396290357,
+        0.4379916261718371, 0.7742896036529562,
+        0.4215662066908515, -0.05204316317624377,
+        -0.09192001055969624, 0.02816802897093635,
+        0.023408156785839195, -0.010131117519849788,
+        -0.004159358781386048, 0.0021782363581090178,
+        0.00035858968789573785, -0.00021208083980379827],
+}
+
+
+def _coif_residuals(x: np.ndarray, N: int):
+    """Residual vector + analytic Jacobian of the coiflet conditions for
+    x = (h[0..6N-1], c): Σh=√2; orthonormal shifts; Σ(−1)^k k^p h = 0 for
+    p<2N; Σ(k−c)^p h = 0 for 1≤p<2N (c = moment center, free unknown)."""
+    L = 6 * N
+    h, c = x[:L], x[L]
+    k = np.arange(L, dtype=float)
+    rows_r, rows_J = [], []
+    # sum condition
+    rows_r.append(h.sum() - np.sqrt(2.0))
+    rows_J.append(np.append(np.ones(L), 0.0))
+    # orthonormality: Σ h[k]h[k+2m] = δ_m0
+    for m in range(3 * N):
+        s = 2 * m
+        r = float(np.dot(h[: L - s], h[s:])) - (1.0 if m == 0 else 0.0)
+        J = np.zeros(L + 1)
+        J[: L - s] += h[s:]
+        J[s:L] += h[: L - s]
+        rows_r.append(r)
+        rows_J.append(J)
+    sign = np.where(np.arange(L) % 2 == 0, 1.0, -1.0)
+    # wavelet vanishing moments (center-free: vanishing up to order q about
+    # any point implies about every point)
+    for p in range(2 * N):
+        w = sign * k**p
+        rows_r.append(float(np.dot(w, h)))
+        rows_J.append(np.append(w, 0.0))
+    # scaling vanishing moments about the pinned center c (c column zero:
+    # c is a constant of the system, not an unknown)
+    d = k - c
+    for p in range(1, 2 * N):
+        rows_r.append(float(np.dot(d**p, h)))
+        rows_J.append(np.append(d**p, 0.0))
+    return np.array(rows_r), np.vstack(rows_J)
+
+
+def coiflet_dec_lo(N: int) -> np.ndarray:
+    """Coiflet-N decomposition low-pass (6N taps), solved to machine
+    precision by Gauss-Newton least squares on the defining conditions,
+    seeded from the published bank (seed keeps the solve on the standard
+    branch; the conditions make the result exact regardless of seed
+    precision). coif1 uses the closed-form hardcoded bank above."""
+    if N not in _COIF_SEEDS:
+        raise ValueError(f"coif{N} unsupported (coif1..coif5)")
+    L = 6 * N
+    h0 = np.array(_COIF_SEEDS[N], dtype=float)
+    # moment center: the integer tap 4N−1 (support [−2N, 4N−1] with moments
+    # about 0, reversed to dec order). PINNED, not solved — a free center
+    # adds a near-null Jacobian direction that smears the solution by ~1e-6.
+    x = np.append(h0, float(4 * N - 1))
+    for _ in range(60):
+        r, J = _coif_residuals(x, N)
+        # row equilibration: k^p rows span ~15 orders of magnitude; solve
+        # the scaled system so lstsq treats every condition equally
+        s = np.maximum(np.abs(J).max(axis=1), 1e-300)
+        dx = np.linalg.lstsq(J / s[:, None], -r / s, rcond=None)[0]
+        x = x + dx
+        if np.max(np.abs(dx)) < 1e-15:
+            break
+    r, J = _coif_residuals(x, N)
+    s = np.maximum(np.abs(J).max(axis=1), 1e-300)
+    if np.max(np.abs(r / s)) > 1e-10:
+        raise RuntimeError(
+            f"coif{N} solve did not converge "
+            f"(max scaled residual {np.max(np.abs(r / s)):.2e})")
+    return x[:L]
+
+
 def get_dec_lo(wavelet: str) -> np.ndarray:
     """Filter bank lookup: the hardcoded banks plus any 'dbN'/'symN'
     computed on demand (cached into DEC_LO)."""
@@ -164,8 +284,13 @@ def get_dec_lo(wavelet: str) -> np.ndarray:
         if 2 <= n <= 12:
             DEC_LO[wavelet] = symlet_dec_lo(n)
             return DEC_LO[wavelet]
+    if wavelet.startswith("coif") and wavelet[4:].isdigit():
+        n = int(wavelet[4:])
+        if 2 <= n <= 5:
+            DEC_LO[wavelet] = coiflet_dec_lo(n)
+            return DEC_LO[wavelet]
     raise ValueError(f"unsupported wavelet {wavelet!r} "
-                     f"(supported: haar, db1..db20, sym2..sym12, coif1)")
+                     f"(supported: haar, db1..db20, sym2..sym12, coif1..coif5)")
 
 
 def _dec_hi(lo: np.ndarray) -> np.ndarray:

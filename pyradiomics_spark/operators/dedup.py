@@ -259,19 +259,70 @@ def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _block_bounds(n_blocks: int, bits: int = 64):
+    """Split a ``bits``-wide fingerprint into n_blocks contiguous blocks;
+    returns (lo_bit, width) per block, remainder spread over the first."""
+    base, rem = divmod(bits, n_blocks)
+    widths = [base + (1 if i < rem else 0) for i in range(n_blocks)]
+    los = [sum(widths[:i]) for i in range(n_blocks)]
+    return los, widths
+
+
+def _block_key(col, blocks, los, widths):
+    """Concatenate the selected blocks of a long fingerprint column into
+    one join key (pure bit ops, codegen'd JVM-side)."""
+    key = F.lit(0).cast("long")
+    shift = 0
+    for b in blocks:
+        mask = F.lit((1 << widths[b]) - 1).cast("long")
+        v = F.shiftrightunsigned(col, los[b]).bitwiseAND(mask)
+        key = key.bitwiseOR(F.shiftleft(v, shift))
+        shift += widths[b]
+    return key
+
+
 def simhash_candidates(
-    signatures: DataFrame, id_col: str, max_hamming: int = 3
+    signatures: DataFrame, id_col: str, max_hamming: int = 3,
+    n_blocks: int | None = None, bits: int = 64,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming ≤ max_hamming (≤3 guaranteed found by
-    4-band pigeonhole): union of 4 band-equality joins, then exact verify."""
+    """Near-dup pairs with Hamming ≤ max_hamming, guaranteed-found by
+    block pigeonhole, then exact bit_count verify.
+
+    Block scheme (Manku et al., WWW'07 "Detecting Near-Duplicates for Web
+    Crawling"): split the fingerprint into ``n_blocks`` blocks; any pair
+    within Hamming ≤ k agrees entirely on at least n_blocks − k blocks, so
+    the union of equality-joins over every C(n_blocks, n_blocks−k)
+    block-combination key finds ALL qualifying pairs.
+
+    ``n_blocks`` trades join-key width against table count:
+    - default (max_hamming+1, e.g. 4): k+1 tables on 64/(k+1)-bit keys —
+      16-bit keys → only 65k buckets/band; fine to ~10⁷ docs, quadratic
+      bucket blowup beyond.
+    - web scale (e.g. 6 for k=3): C(6,3)=20 tables on ~32-bit keys —
+      4×10⁹ buckets/table keeps per-bucket membership ~constant at 10⁹⁺
+      docs. More shuffles, but each is skew-free; this is the 100 TB path.
+    """
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if n_blocks < max_hamming + 1:
+        raise ValueError(
+            f"n_blocks={n_blocks} cannot pigeonhole max_hamming={max_hamming}"
+            " (need n_blocks >= max_hamming + 1)")
+    if n_blocks > bits:
+        raise ValueError(f"n_blocks={n_blocks} exceeds fingerprint bits={bits}")
+    from itertools import combinations
+
+    los, widths = _block_bounds(n_blocks, bits)
+    agree = n_blocks - max_hamming
     pairs = None
-    for band in range(4):
+    for combo in combinations(range(n_blocks), agree):
         a = signatures.alias("a")
         b = signatures.alias("b")
+        ka = _block_key(F.col("a.simhash"), combo, los, widths)
+        kb = _block_key(F.col("b.simhash"), combo, los, widths)
         p = a.join(
             b,
-            (F.col(f"a.band{band}") == F.col(f"b.band{band}"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            (ka == kb) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         ).select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),

@@ -28,21 +28,25 @@ from pyradiomics_spark.kernels import (
 MATRIX_CLASSES = ("glcm", "glrlm", "glszm", "ngtdm", "gldm")
 
 
-def _matrix_rows(levels: np.ndarray, settings: ExtractionSettings, classes) -> list:
-    rows = []
+def _matrix_arrays(levels: np.ndarray, settings: ExtractionSettings,
+                   classes) -> list:
+    """Per-class long-form cell columns, fully vectorized: one
+    (cls, i, j, value, angle) tuple of numpy ARRAYS per class — no
+    per-nonzero-cell Python iteration (a dense doc has O(G²·A) cells;
+    looping them in the interpreter was the hot path at corpus scale)."""
+    parts = []
     for cls in classes:
         try:
             if cls == "glcm":
                 P, gl, _ = glcm_matrix(
                     levels, settings.distances, settings.symmetrical_glcm,
                     settings.weighting_norm)
-                for a in range(P.shape[2]):
-                    # a pair-less doc yields an all-NaN angle (0/0 normalize);
-                    # emit only finite nonzero mass
-                    nz = np.argwhere((P[:, :, a] != 0) & np.isfinite(P[:, :, a]))
-                    for r, c in nz:
-                        rows.append((cls, float(gl[r]), float(gl[c]),
-                                     float(P[r, c, a]), int(a)))
+                # a pair-less doc yields an all-NaN angle (0/0 normalize);
+                # emit only finite nonzero mass
+                r, c, a = np.nonzero((P != 0) & np.isfinite(P))
+                parts.append((cls, gl[r].astype(np.float64),
+                              gl[c].astype(np.float64), P[r, c, a],
+                              a.astype(np.int64)))
             elif cls in ("glrlm", "glszm", "gldm"):
                 fn = {"glrlm": glrlm_matrix, "glszm": glszm_matrix}.get(cls)
                 if fn is not None:
@@ -50,17 +54,30 @@ def _matrix_rows(levels: np.ndarray, settings: ExtractionSettings, classes) -> l
                 else:
                     P, iv, jv = gldm_matrix(
                         levels, settings.distances, settings.gldm_a)
-                nz = np.argwhere(P != 0)
-                for r, c in nz:
-                    rows.append((cls, float(iv[r]), float(jv[c]),
-                                 float(P[r, c]), 0))
+                r, c = np.nonzero(P != 0)
+                parts.append((cls, iv[r].astype(np.float64),
+                              jv[c].astype(np.float64), P[r, c],
+                              np.zeros(r.size, dtype=np.int64)))
             elif cls == "ngtdm":
                 n_i, s_i, iv = ngtdm_matrix(levels, settings.distances)
-                for k in range(iv.size):
-                    rows.append((cls, float(iv[k]), 0.0, float(n_i[k]), 0))
-                    rows.append((cls, float(iv[k]), 1.0, float(s_i[k]), 0))
+                k = iv.size
+                parts.append((cls, np.repeat(iv.astype(np.float64), 2),
+                              np.tile([0.0, 1.0], k),
+                              np.column_stack([n_i, s_i]).ravel(),
+                              np.zeros(2 * k, dtype=np.int64)))
         except ValueError:
             continue  # empty ROI → no matrix rows
+    return parts
+
+
+def _matrix_rows(levels: np.ndarray, settings: ExtractionSettings, classes) -> list:
+    """Tuple-per-cell view of _matrix_arrays (golden generation uses this;
+    the Spark operator consumes the array form directly)."""
+    rows = []
+    for cls, i, j, v, a in _matrix_arrays(levels, settings, classes):
+        rows.extend(
+            (cls, float(i[t]), float(j[t]), float(v[t]), int(a[t]))
+            for t in range(v.size))
     return rows
 
 
@@ -86,7 +103,11 @@ def extract_matrices(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = list(keys) + ["matrix", "i", "j", "value", "angle"]
         for pdf in batches:
-            out = []
+            # per-doc numpy column blocks, concatenated once per batch —
+            # Python touches docs and classes, never individual cells
+            kv_blocks: list = []      # (kv tuple, n_cells) per block
+            m_blocks, i_blocks, j_blocks, v_blocks, a_blocks = \
+                [], [], [], [], []
             for tup in pdf.itertuples(index=False):
                 kv = tup[: len(keys)]
                 text = tup[len(keys)] or ""
@@ -96,8 +117,29 @@ def extract_matrices(
                 if vals.size == 0:
                     continue
                 levels = discretize(vals, settings.bin_width, settings.bin_count)
-                for row in _matrix_rows(levels, settings, classes):
-                    out.append(list(kv) + [row[0], row[1], row[2], row[3], row[4]])
-            yield pd.DataFrame(out, columns=cols)
+                for cls, iv, jv, vv, av in _matrix_arrays(
+                        levels, settings, classes):
+                    if vv.size == 0:
+                        continue
+                    kv_blocks.append((kv, vv.size))
+                    m_blocks.append(np.full(vv.size, cls, dtype=object))
+                    i_blocks.append(iv)
+                    j_blocks.append(jv)
+                    v_blocks.append(vv.astype(np.float64))
+                    a_blocks.append(av)
+            if not v_blocks:
+                yield pd.DataFrame(columns=cols)
+                continue
+            data = {}
+            for ki, k in enumerate(keys):
+                data[k] = np.repeat(
+                    np.array([kv[ki] for kv, _ in kv_blocks], dtype=object),
+                    np.array([n for _, n in kv_blocks], dtype=np.int64))
+            data["matrix"] = np.concatenate(m_blocks)
+            data["i"] = np.concatenate(i_blocks)
+            data["j"] = np.concatenate(j_blocks)
+            data["value"] = np.concatenate(v_blocks)
+            data["angle"] = np.concatenate(a_blocks).astype(np.int32)
+            yield pd.DataFrame(data, columns=cols)
 
     return src.mapInPandas(run, schema=schema)

@@ -213,3 +213,62 @@ def test_fingerprints(docs):
     s3 = set(wf[wf.doc_id == 3]["fingerprint"])
     assert s0 == s1          # identical docs → identical fingerprint sets
     assert not (s0 & s3)     # unrelated docs → disjoint
+
+
+def test_simhash_blocked_candidates_exact_recall(spark):
+    """Manku-style blocked candidates (wide keys for 10^9-doc scale) must
+    find EXACTLY the brute-force Hamming<=k pair set — for the default
+    (k+1)-band scheme, a 6-block scheme, and an 8-block scheme."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pyradiomics_spark.operators.dedup import (
+        hamming64, simhash_candidates, simhash_signatures)
+
+    random.seed(11)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [(i, " ".join(random.choices(vocab, k=25))) for i in range(80)]
+    rows += [(500 + i, rows[i][1] + " tail") for i in range(12)]  # near-dups
+    df = spark.createDataFrame(rows, "id long, text string")
+    sig = simhash_signatures(df, "id", "text").cache()
+
+    a, b = sig.alias("a"), sig.alias("b")
+    brute = set(
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .where(hamming64(F.col("a.simhash"), F.col("b.simhash")) <= 3)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .collect())
+    for nb in (None, 6, 8):
+        got = set(
+            (r.id_a, r.id_b)
+            for r in simhash_candidates(
+                sig, "id", max_hamming=3, n_blocks=nb).collect())
+        assert got == brute, nb
+    sig.unpersist()
+
+
+def test_simhash_blocked_plan_is_equijoin(spark):
+    """Every block-combination join must plan as a hash/sort-merge
+    equi-join on the derived block keys — never a nested-loop."""
+    from pyradiomics_spark.operators.dedup import (
+        simhash_candidates, simhash_signatures)
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "a b d")],
+                               "id long, text string")
+    cand = simhash_candidates(
+        simhash_signatures(df, "id", "text"), "id", 3, n_blocks=6)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_simhash_blocked_validation():
+    import pytest as _pt
+
+    from pyradiomics_spark.operators.dedup import simhash_candidates
+
+    with _pt.raises(ValueError):
+        simhash_candidates(None, "id", max_hamming=3, n_blocks=3)
+    with _pt.raises(ValueError):
+        simhash_candidates(None, "id", max_hamming=3, n_blocks=99)

@@ -14,7 +14,8 @@ from pyradiomics_spark.functions.intensity import IMAGE_TRANSFORMS
 
 
 @pytest.mark.parametrize("w", ["haar", "db2", "coif1", "db3", "db4", "db8",
-                               "sym4", "sym6", "sym8"])
+                               "sym4", "sym6", "sym8",
+                               "coif2", "coif3", "coif4", "coif5"])
 def test_filterbank_orthogonality(w):
     lo = get_dec_lo(w)
     hi = _dec_hi(lo)
@@ -80,7 +81,8 @@ def test_haar_analytic_golden():
                                atol=1e-14)
 
 
-@pytest.mark.parametrize("w", ["haar", "db2", "db3", "coif1"])
+@pytest.mark.parametrize("w", ["haar", "db2", "db3", "coif1", "coif3",
+                               "coif5"])
 @pytest.mark.parametrize("n", [4, 17, 63, 128])
 def test_swt_matches_fft_twin(w, n, rng):
     """Direct gather convolution == FFT convolution (independent numerical
@@ -193,3 +195,44 @@ def test_image_transforms_registry_complete():
         out = IMAGE_TRANSFORMS[it](np.array([1.0, 2.0, 3.0, 4.0]))
         assert out.shape == (4,)
         assert np.isfinite(out).all()
+
+
+@pytest.mark.parametrize("N", [2, 3, 4, 5])
+def test_coiflet_defining_conditions(N):
+    """coifN (Gauss-Newton solved) must satisfy ALL defining coiflet
+    conditions at near machine precision: orthonormal shifts, DC gain √2,
+    2N vanishing wavelet moments, and 2N−1 vanishing scaling moments about
+    the integer center 4N−1 (Daubechies, Ten Lectures ch. 8). These pin
+    the bank intrinsically — no pywt needed."""
+    from pyradiomics_spark.functions.wavelets import coiflet_dec_lo
+
+    h = coiflet_dec_lo(N)
+    L = 6 * N
+    assert h.size == L
+    assert h.sum() == pytest.approx(np.sqrt(2), abs=1e-12)
+    assert h @ h == pytest.approx(1.0, abs=1e-12)
+    for m in range(1, 3 * N):
+        assert h[2 * m:] @ h[:L - 2 * m] == pytest.approx(0.0, abs=1e-12)
+    k = np.arange(L, dtype=float)
+    sign = (-1.0) ** k
+    for p in range(2 * N):
+        # normalize by L^p — raw k^p spans 15 orders of magnitude
+        assert (sign * k**p) @ h / L**p == pytest.approx(0.0, abs=1e-12)
+    c = 4 * N - 1
+    assert (k * h).sum() / h.sum() == pytest.approx(c, abs=1e-9)
+    for p in range(1, 2 * N):
+        assert ((k - c) ** p) @ h / L**p == pytest.approx(0.0, abs=1e-11)
+
+
+def test_coiflet_main_taps_standard_branch():
+    """Guard against converging to a mirrored/alternate solution branch:
+    the two dominant taps sit at indices (4N−1, 4N−2) with the published
+    signs and magnitudes (~0.8 and ~0.4)."""
+    from pyradiomics_spark.functions.wavelets import coiflet_dec_lo
+
+    for N in (2, 3, 4, 5):
+        h = coiflet_dec_lo(N)
+        c = 4 * N - 1
+        assert h[c] > 0.75, (N, h[c])
+        assert 0.35 < h[c - 1] < 0.45, (N, h[c - 1])
+        assert int(np.argmax(np.abs(h))) == c

@@ -60,6 +60,9 @@ CASES: dict = {
     "doc_db3": ExtractionSettings(
         bin_width=0.5, wavelet="db3",
         image_types=("wavelet-L", "wavelet-H")),
+    "doc_coif4": ExtractionSettings(
+        bin_width=0.5, wavelet="coif4",
+        image_types=("wavelet-L", "wavelet-H")),
 }
 
 #: synthetic special documents exercising edge cases
