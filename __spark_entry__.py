@@ -502,6 +502,51 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING gate row: the tumbling-window aggregate run through the
+    REAL Structured Streaming engine — file source over the same events
+    parquet, availableNow trigger, complete-mode memory sink — returned as
+    a batch DataFrame. Oracle: identical SQL to the batch `tumbling_window`
+    twin; stream ≡ batch on a bounded input is Structured Streaming's
+    exactness contract, and this row makes the driver gate verify it
+    cross-engine instead of only batch-parity pytest."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyradiomics_spark.streaming.sessions import stream_tumbling
+
+    ev = _read(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="pyrs_stream_gate_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "events.parquet"))
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    # watermarks require TIMESTAMP (ltz); the parquet is ntz — cast in
+    # (session tz is UTC) and cast the window start back to ntz on output
+    # so the gate schema matches the batch twin and the DuckDB oracle.
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = stream_tumbling(
+        stream, "user_id", "ts", width="1 hour", watermark="1 hour",
+        agg_cols={"sum_value_raw": F.sum("value")})
+    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True)
+         .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.col("window_start").cast("timestamp_ntz").alias("hour_start"),
+            "n_events",
+            _rnd("sum_value_raw", 6).alias("sum_value"),
+        )
+        .orderBy("user_id", "hour_start")
+    )
+
+
 def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Voxel-mode analog: rolling first-order stats over a ±2 row frame
     (SURVEY §2.5 kernel-extraction row)."""
@@ -788,6 +833,60 @@ def q_glcm_contrast_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_glcm_imc_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL GLCM Imc1/Imc2 per doc, relationally — the closed-form
+    information-measure features (reference radiomics/glcm.py:555-647):
+
+      Imc1 = (HXY − HXY1) / max(HX, HY)   (0 when max(HX,HY) == 0)
+      Imc2 = sqrt(1 − exp(−2(HXY2 − HXY)))  (0 when HXY2 <= HXY)
+
+    over the SYMMETRIC normalized co-occurrence matrix (directed lag pairs
+    unioned with their transpose, matching the kernel's symmetric=True).
+    HXY2 needs the full px×py grid (including zero-P cells), hence the
+    per-doc marginal cross join — bounded at G² rows/doc, G = gray-level
+    count. The ε inside the reference's log2(·+ε) shifts values by ~1e-13,
+    invisible at the 6-dp gate rounding."""
+    lv = _doc_levels(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    directed = (
+        lv.withColumn("nxt", F.lead("level", 1).over(w))
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", F.col("level").alias("i"), F.col("nxt").alias("j")))
+    sym = directed.unionByName(
+        directed.select("doc_id", F.col("j").alias("i"), F.col("i").alias("j")))
+    cnt = sym.groupBy("doc_id", "i", "j").agg(F.count("*").alias("c"))
+    tot = Window.partitionBy("doc_id")
+    p = cnt.withColumn("p", F.col("c") / F.sum("c").over(tot))
+    px = p.groupBy("doc_id", "i").agg(F.sum("p").alias("px"))
+    py = p.groupBy("doc_id", "j").agg(F.sum("p").alias("py"))
+    hxy = p.groupBy("doc_id").agg(
+        (-F.sum(F.col("p") * F.log2("p"))).alias("hxy"))
+    hxy1 = (
+        p.join(px, ["doc_id", "i"]).join(py, ["doc_id", "j"])
+        .groupBy("doc_id")
+        .agg((-F.sum(F.col("p") * F.log2(F.col("px") * F.col("py"))))
+             .alias("hxy1")))
+    hx = px.groupBy("doc_id").agg(
+        (-F.sum(F.col("px") * F.log2("px"))).alias("hx"))
+    hy = py.groupBy("doc_id").agg(
+        (-F.sum(F.col("py") * F.log2("py"))).alias("hy"))
+    hxy2 = px.join(py, "doc_id").groupBy("doc_id").agg(
+        (-F.sum(F.col("px") * F.col("py")
+                * F.log2(F.col("px") * F.col("py")))).alias("hxy2"))
+    m = (hxy.join(hxy1, "doc_id").join(hx, "doc_id")
+         .join(hy, "doc_id").join(hxy2, "doc_id"))
+    div = F.greatest("hx", "hy")
+    imc1 = F.when(div == 0, F.lit(0.0)).otherwise(
+        (F.col("hxy") - F.col("hxy1")) / div)
+    imc2 = F.when(F.col("hxy2") <= F.col("hxy"), F.lit(0.0)).otherwise(
+        F.sqrt(1.0 - F.exp(-2.0 * (F.col("hxy2") - F.col("hxy")))))
+    return m.select(
+        "doc_id",
+        _rnd(imc1, 6).alias("glcm_imc1"),
+        _rnd(imc2, 6).alias("glcm_imc2"),
+    ).orderBy("doc_id")
+
+
 def q_glrlm_sre_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL GLRLM ShortRunEmphasis per doc, relationally: sessionize runs →
     Σ pr(j)/j² / Nr."""
@@ -928,6 +1027,26 @@ def q_simhash_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
         .orderBy("id_a", "id_b")
     )
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: blocked simhash candidates → large-star/small-star
+    connected components (operators.components — O(log²n) rounds, the
+    web-scale alternative to O(diameter) label propagation). Component =
+    min doc_id reachable; docs with no near-dup are their own component.
+    Oracle: DuckDB recursive-CTE transitive closure over the identical
+    brute-force pair set."""
+    from pyradiomics_spark.operators.components import connected_components
+    from pyradiomics_spark.operators.dedup import (
+        simhash_candidates, simhash_signatures_md5)
+
+    docs = _read(spark, sf_dir, "documents")
+    sig = simhash_signatures_md5(docs, "doc_id", "text", bits=16)
+    pairs = simhash_candidates(sig, "doc_id", max_hamming=2, n_blocks=6,
+                               bits=16)
+    comp = connected_components(pairs, all_ids=docs.select("doc_id"))
+    return comp.select(F.col("id").alias("doc_id"),
+                       "component").orderBy("doc_id")
 
 
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1094,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_salted": q_asof_join_salted,
         "asof_join_forward": q_asof_join_forward,
         "tumbling_window": q_tumbling_window,
+        "stream_tumbling": q_stream_tumbling,
         "rolling_stats": q_rolling_stats,
         "ngtdm_terms": q_ngtdm_terms,
         "gldm_dependence": q_gldm_dependence,
@@ -1112,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seqshape": q_seqshape,
         "voxel_entropy": q_voxel_entropy,
         "glcm_contrast_doc": q_glcm_contrast_doc,
+        "glcm_imc_doc": q_glcm_imc_doc,
         "glrlm_sre_doc": q_glrlm_sre_doc,
         "ngtdm_coarseness_doc": q_ngtdm_coarseness_doc,
         "glszm_zp_doc": q_glszm_zp_doc,
@@ -1119,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": q_embedding_dedup,
         "simhash": q_simhash,
         "simhash_blocked": q_simhash_blocked,
+        "dedup_components": q_dedup_components,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -1258,9 +1380,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
             ORDER BY id_a, id_b
         """
+    dedup_components_sql = f"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+            ), h AS (
+              SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> ''
+            ), sums AS (
+              SELECT doc_id, {simhash_sums}
+              FROM h GROUP BY doc_id
+            ), sig AS (
+              SELECT doc_id, CAST({simhash_val} AS BIGINT) AS simhash FROM sums
+            ), edges AS (
+              SELECT a.doc_id AS u, b.doc_id AS v
+              FROM sig a JOIN sig b
+                ON a.doc_id < b.doc_id
+               AND bit_count(xor(a.simhash, b.simhash)) <= 2
+            ), bidir AS (
+              SELECT u, v FROM edges UNION SELECT v, u FROM edges
+            ), reach(a, b) AS (
+              SELECT u, v FROM bidir
+              UNION
+              SELECT r.a, e.v FROM reach r JOIN bidir e ON r.b = e.u
+            )
+            SELECT d.doc_id,
+                   least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
+            FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+            GROUP BY d.doc_id
+            ORDER BY doc_id
+        """
     return {
         "simhash": simhash_sql,
         "simhash_blocked": simhash_blocked_sql,
+        "dedup_components": dedup_components_sql,
         "ivf_recall": ivf_recall_sql,
         "lsh_buckets": lsh_buckets_sql,
         "melt": f"""
@@ -1485,6 +1636,14 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN signups s
               ON p.user_id = s.user_id AND p.ts >= s.signup_ts
             ORDER BY p.event_id
+        """,
+        "stream_tumbling": """
+            SELECT user_id,
+                   time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+                   count(*) AS n_events,
+                   floor((sum(value)) * 1e6 + 0.50000095367431640625) / 1e6 AS sum_value
+            FROM events GROUP BY user_id, hour_start
+            ORDER BY user_id, hour_start
         """,
         "tumbling_window": """
             SELECT user_id,
@@ -1759,6 +1918,60 @@ def oracle_sql() -> dict[str, str]:
                      AS glcm_contrast
             FROM pairs WHERE nxt IS NOT NULL
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "glcm_imc_doc": f"""
+            WITH lv AS (
+              SELECT doc_id, pos,
+                     tok_len - min(tok_len) OVER (PARTITION BY doc_id) + 1 AS level
+              FROM ({tokens})
+            ), pairs AS (
+              SELECT doc_id, level AS i,
+                     lead(level) OVER (PARTITION BY doc_id ORDER BY pos) AS j
+              FROM lv
+            ), sym AS (
+              SELECT doc_id, i, j FROM pairs WHERE j IS NOT NULL
+              UNION ALL
+              SELECT doc_id, j AS i, i AS j FROM pairs WHERE j IS NOT NULL
+            ), cnt AS (
+              SELECT doc_id, i, j, count(*) AS c FROM sym GROUP BY doc_id, i, j
+            ), p AS (
+              SELECT doc_id, i, j,
+                     c * 1.0 / sum(c) OVER (PARTITION BY doc_id) AS p
+              FROM cnt
+            ), px AS (
+              SELECT doc_id, i, sum(p) AS px FROM p GROUP BY doc_id, i
+            ), py AS (
+              SELECT doc_id, j, sum(p) AS py FROM p GROUP BY doc_id, j
+            ), hxy AS (
+              SELECT doc_id, -sum(p * log2(p)) AS hxy FROM p GROUP BY doc_id
+            ), hxy1 AS (
+              SELECT p.doc_id, -sum(p.p * log2(px.px * py.py)) AS hxy1
+              FROM p
+              JOIN px ON p.doc_id = px.doc_id AND p.i = px.i
+              JOIN py ON p.doc_id = py.doc_id AND p.j = py.j
+              GROUP BY p.doc_id
+            ), hx AS (
+              SELECT doc_id, -sum(px * log2(px)) AS hx FROM px GROUP BY doc_id
+            ), hy AS (
+              SELECT doc_id, -sum(py * log2(py)) AS hy FROM py GROUP BY doc_id
+            ), hxy2 AS (
+              SELECT px.doc_id, -sum(px.px * py.py * log2(px.px * py.py)) AS hxy2
+              FROM px JOIN py ON px.doc_id = py.doc_id
+              GROUP BY px.doc_id
+            )
+            SELECT hxy.doc_id,
+                   floor((CASE WHEN greatest(hx.hx, hy.hy) = 0 THEN 0.0
+                               ELSE (hxy.hxy - hxy1.hxy1) / greatest(hx.hx, hy.hy)
+                          END) * 1e6 + 0.50000095367431640625) / 1e6 AS glcm_imc1,
+                   floor((CASE WHEN hxy2.hxy2 <= hxy.hxy THEN 0.0
+                               ELSE sqrt(1.0 - exp(-2.0 * (hxy2.hxy2 - hxy.hxy)))
+                          END) * 1e6 + 0.50000095367431640625) / 1e6 AS glcm_imc2
+            FROM hxy
+            JOIN hxy1 ON hxy.doc_id = hxy1.doc_id
+            JOIN hx ON hxy.doc_id = hx.doc_id
+            JOIN hy ON hxy.doc_id = hy.doc_id
+            JOIN hxy2 ON hxy.doc_id = hxy2.doc_id
+            ORDER BY hxy.doc_id
         """,
         "glrlm_sre_doc": f"""
             WITH lv AS (

@@ -1,0 +1,135 @@
+"""Distributed connected components over near-duplicate pair sets —
+the step that turns candidate PAIRS (minhash/simhash/embedding) into dedup
+CLUSTERS with one representative per cluster.
+
+Reference scope note: pyradiomics has no graph stage (its unit of work is
+one image); this operator exists for the LLM-training-pipeline surface —
+transitive near-dup grouping is required for correct dedup (pairwise
+"drop the larger id" keeps both endpoints of a chain a–b–c).
+
+Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — converges in O(log² n)
+rounds on any graph, each round a constant number of shuffles, no
+collect_list (a high-degree node never materializes its neighbor list; the
+per-node minimum is a window aggregate). This is the published web-scale
+answer: hash-min label propagation needs O(diameter) rounds, which on a
+10⁹-node dup graph with chain structure is unbounded.
+
+Each round localCheckpoints the edge set: iterative DataFrame algorithms
+otherwise stack O(rounds) of lineage, and the convergence check would
+re-execute the whole history every round. On a real cluster prefer
+``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` for fault
+tolerance across executor loss; localCheckpoint is the single-JVM analog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_U, _V = "__cc_u", "__cc_v"
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For every node u: connect each strictly-larger neighbor to the
+    minimum of N(u) ∪ {u}. Strictly-larger guard keeps the edge set from
+    oscillating (Kiveris et al. §3)."""
+    both = edges.unionByName(edges.select(
+        F.col(_V).alias(_U), F.col(_U).alias(_V)))
+    w = Window.partitionBy(_U)
+    m = F.least(F.min(_V).over(w), F.col(_U))
+    return (
+        both.withColumn("__m", m)
+        .where(F.col(_V) > F.col(_U))
+        .select(F.col(_V).alias(_U), F.col("__m").alias(_V))
+        .where(F.col(_U) != F.col(_V))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For every node u: connect u and all its ≤-neighbors to the minimum
+    of those neighbors (and u)."""
+    # orient every edge (larger → smaller): v ≤ u for all rows
+    oriented = edges.select(
+        F.greatest(_U, _V).alias(_U), F.least(_U, _V).alias(_V))
+    w = Window.partitionBy(_U)
+    m = F.min(_V).over(w)
+    with_min = oriented.withColumn("__m", m)
+    relink = with_min.select(F.col(_V).alias(_U), F.col("__m").alias(_V))
+    self_link = with_min.select(F.col(_U), F.col("__m").alias(_V))
+    return (
+        relink.unionByName(self_link)
+        .where(F.col(_U) != F.col(_V))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 30,
+    all_ids: DataFrame | None = None,
+) -> DataFrame:
+    """(id, component) for every node in ``pairs`` — component = the
+    minimum node id reachable (the canonical dedup representative).
+
+    ``all_ids`` (single-column DataFrame, optional): universe of ids;
+    nodes with no pair become singleton components of themselves — pass
+    the full corpus id set so the output covers every document.
+
+    Iterative: runs Spark actions during construction (convergence check
+    per round) — this is the documented exception to lazy plan building;
+    an O(log² n)-round algorithm cannot be a single static plan.
+    """
+    id_type = pairs.schema[id_a].dataType
+    edges = (
+        pairs.select(F.col(id_a).cast(id_type).alias(_U),
+                     F.col(id_b).cast(id_type).alias(_V))
+        .where(F.col(_U) != F.col(_V))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(edges)).localCheckpoint()
+        # convergence: edge sets equal ⇔ both directions of anti-join empty
+        changed = (
+            nxt.join(edges, [_U, _V], "left_anti").limit(1).count()
+            + edges.join(nxt, [_U, _V], "left_anti").limit(1).count())
+        edges = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds")
+    # converged star graph: every edge points node → component minimum
+    labels = edges.select(F.col(_U).alias("id"), F.col(_V).alias("component"))
+    # roots (component minima) appear only on the _V side — label them too
+    roots = edges.select(F.col(_V).alias("id")).distinct().join(
+        labels.select("id"), "id", "left_anti"
+    ).withColumn("component", F.col("id"))
+    out = labels.unionByName(roots)
+    if all_ids is not None:
+        idc = all_ids.columns[0]
+        singles = (
+            all_ids.select(F.col(idc).alias("id")).distinct()
+            .join(out.select("id"), "id", "left_anti")
+            .withColumn("component", F.col("id")))
+        out = out.unionByName(singles)
+    return out
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep exactly ONE representative (the minimum id) per near-dup
+    cluster — transitive-safe, unlike pairwise loser-dropping."""
+    comp = connected_components(pairs, id_a, id_b)
+    losers = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

@@ -60,15 +60,20 @@ def stream_tumbling(
     ts_col: str,
     width: str = "1 hour",
     watermark: str = "1 hour",
+    agg_cols: dict | None = None,
 ) -> DataFrame:
     src = watermarked(df, ts_col, watermark)
+    aggs = [F.count("*").alias("n_events")]
+    for name, col in (agg_cols or {}).items():
+        aggs.append(col.alias(name))
+    agg_names = ["n_events"] + list((agg_cols or {}).keys())
     return (
         src.groupBy(F.col(entity_col), F.window(F.col(ts_col), width))
-        .agg(F.count("*").alias("n_events"))
+        .agg(*aggs)
         .select(
             entity_col,
             F.col("window.start").alias("window_start"),
-            F.col("n_events"),
+            *[F.col(n) for n in agg_names],
         )
     )
 

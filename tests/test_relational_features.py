@@ -82,3 +82,27 @@ def test_relational_gldm_sde_matches_kernel(spark, docs_pdf):
     got = dict(zip(rel.doc_id, rel.gldm_sde))
     for doc_id, v in kern.items():
         assert got[doc_id] == pytest.approx(v, abs=1e-6), doc_id
+
+
+def test_relational_glcm_imc_matches_kernel(spark, docs_pdf):
+    """Imc1/Imc2 close the last goldens-only feature-math gap: the
+    closed-form entropy combinations (HXY/HXY1/HXY2, glcm.py:555-647)
+    verified kernel ↔ relational (check_oracle closes relational ↔ DuckDB)."""
+    rel = entrymod.q_glcm_imc_doc(spark, SF_DIR).toPandas()
+    kern1 = _kernel_per_doc(
+        docs_pdf, lambda lv: glcm_features(lv, distances=(1,), symmetric=True),
+        "Imc1")
+    kern2 = _kernel_per_doc(
+        docs_pdf, lambda lv: glcm_features(lv, distances=(1,), symmetric=True),
+        "Imc2")
+    got1 = dict(zip(rel.doc_id, rel.glcm_imc1))
+    got2 = dict(zip(rel.doc_id, rel.glcm_imc2))
+    assert len(got1) > 100
+    for doc_id, v in kern1.items():
+        if np.isnan(v):
+            continue
+        assert got1[doc_id] == pytest.approx(v, abs=2e-6), ("imc1", doc_id)
+    for doc_id, v in kern2.items():
+        if np.isnan(v):
+            continue
+        assert got2[doc_id] == pytest.approx(v, abs=2e-6), ("imc2", doc_id)
