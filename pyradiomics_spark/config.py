@@ -156,8 +156,8 @@ class ExtractionSettings:
         bad = {it for it in self.image_types if not is_valid_image_type(it)}
         if bad:
             raise ValueError(f"unknown image types: {bad}")
-        from pyradiomics_spark.functions.wavelets import get_dec_lo
-        get_dec_lo(self.wavelet)  # raises on unsupported wavelet
+        from pyradiomics_spark.functions.wavelets import get_bank
+        get_bank(self.wavelet)  # raises on unsupported wavelet
         if not 0 <= self.wavelet_start_level <= 8:
             # the à-trous upsample allocates (taps-1)·2^(start+level-1)+1
             # doubles — an unbounded start level is a memory bomb from YAML

@@ -20,6 +20,16 @@ factorization) and coif1..coif5 (coif1 published closed form; coif2..5
 Gauss-Newton solved from the defining moment conditions). coif1 is the
 reference's default wavelet (paramSchema default 'coif1').
 High-pass via the QMF relation hi[k] = (−1)^k · lo[L−1−k].
+
+Biorthogonal: the full pywt bior/rbio family (bior1.1..6.8 and the
+role-swapped rbio mirrors) from the closed-form CDF spline construction;
+the three non-spline members (4.4 = CDF 9/7, 5.5, 6.8) via deterministic
+root-splits of the Deslauriers–Dubuc dual polynomial, reproducing the
+published pywt/Matlab tables to 1e-10 (pinned in tests). Biorthogonal
+banks are (dec_lo, dec_hi) PAIRS — ``get_bank`` is the lookup every SWT
+path uses. Not provided: dmey (a 62-tap numerically-tabulated FIR
+approximation with no closed form to rebuild it from — rejected with a
+clear error rather than approximated).
 """
 
 from __future__ import annotations
@@ -293,9 +303,170 @@ def get_dec_lo(wavelet: str) -> np.ndarray:
                      f"(supported: haar, db1..db20, sym2..sym12, coif1..coif5)")
 
 
+_BANK_CACHE: dict = {}
+
+
+def get_bank(wavelet: str) -> tuple[np.ndarray, np.ndarray]:
+    """(dec_lo, dec_hi) analysis bank for any supported wavelet.
+
+    Orthogonal families derive hi from lo via the QMF relation; the
+    biorthogonal families (biorN.M and the role-swapped rbioN.M) need the
+    explicit filter pair. This is the lookup every SWT path uses."""
+    bank = _BANK_CACHE.get(wavelet)
+    if bank is not None:
+        return bank
+    for prefix, reverse in (("bior", False), ("rbio", True)):
+        if wavelet.startswith(prefix):
+            parts = wavelet[4:].split(".")
+            if (len(parts) == 2 and parts[0].isdigit()
+                    and parts[1].isdigit()
+                    and (int(parts[0]), int(parts[1])) in _BIOR_FAMILY):
+                bank = _bior_bank(int(parts[0]), int(parts[1]), reverse)
+                _BANK_CACHE[wavelet] = bank
+                return bank
+            fam = sorted(_BIOR_FAMILY)
+            raise ValueError(
+                f"unsupported wavelet {wavelet!r} "
+                f"({prefix} members: {['%d.%d' % nm for nm in fam]})")
+    lo = get_dec_lo(wavelet)
+    bank = (lo, _dec_hi(lo))
+    _BANK_CACHE[wavelet] = bank
+    return bank
+
+
 def _dec_hi(lo: np.ndarray) -> np.ndarray:
     n = lo.size
     return np.array([((-1) ** k) * lo[n - 1 - k] for k in range(n)])
+
+
+# ---------------------------------------------------------------------------
+# Biorthogonal (CDF B-spline) families — biorN.M / rbioN.M
+# ---------------------------------------------------------------------------
+# Closed-form Cohen–Daubechies–Feauveau construction: the synthesis lowpass
+# is the B-spline binomial (1+z)^N/2^N and the analysis lowpass multiplies a
+# binomial by the Deslauriers–Dubuc dual factor
+#   Q_K(y) = Σ_{k<K} C(K−1+k, k)·y^k,  y = sin²(ω/2),  K = (N+M)/2.
+# Three family members (4.4, 5.5, 6.8 — the Matlab/pywt tables) are NOT the
+# spline variant: Q_K is factored over its y-roots and the factors are split
+# between analysis and synthesis (4.4 = the JPEG2000/CDF 9/7 pair; 5.5
+# additionally splits the cosine powers 4/6 instead of 5/5). The splits
+# below reproduce the published pywt/Matlab coefficient tables to 1e-10
+# (pinned in tests/test_wavelets.py).
+#
+# Reference surface: /root/reference/radiomics/imageoperations.py:891-897
+# accepts any pywt.wavelist() name incl. biorN.N/rbioN.N.
+
+# (N, M) -> (dec binomial power, rec binomial power,
+#            dec root-group indices when Q is factored; None = spline dual)
+_BIOR_FAMILY = {
+    (1, 1): None, (1, 3): None, (1, 5): None,
+    (2, 2): None, (2, 4): None, (2, 6): None, (2, 8): None,
+    (3, 1): None, (3, 3): None, (3, 5): None, (3, 7): None, (3, 9): None,
+    (4, 4): (4, 4, (0,)),      # dec ← complex pair, rec ← real root (9/7)
+    (5, 5): (4, 6, (0,)),      # cosine powers split 4/6 (Matlab quirk)
+    (6, 8): (8, 6, (0, 2)),    # dec ← outer pairs, rec ← middle pair
+}
+
+
+def _binom_lo(M: int) -> np.ndarray:
+    from math import comb
+
+    return np.array([comb(M, k) for k in range(M + 1)], float) / 2.0 ** M
+
+
+def _dd_dual_poly(K: int) -> np.ndarray:
+    """Q_K(sin²(ω/2)) as centered z-coefficients (2K−1 taps)."""
+    from math import comb
+
+    q = np.zeros(2 * K - 1)
+    c0 = K - 1
+    term = np.array([1.0])
+    base = np.array([-0.25, 0.5, -0.25])  # sin²(ω/2) in z, centered
+    for k in range(K):
+        q[c0 - k: c0 - k + term.size] += comb(K - 1 + k, k) * term
+        term = np.convolve(term, base)
+    return q
+
+
+def _q_root_groups(K: int) -> list:
+    """y-roots of Q_K grouped (conjugate pairs together, real roots alone),
+    sorted by |root| descending — the deterministic order the split indices
+    in _BIOR_FAMILY refer to."""
+    from math import comb
+
+    P = np.array([comb(K - 1 + k, k) for k in range(K - 1, -1, -1)], float)
+    roots = np.roots(P)
+    used = [False] * len(roots)
+    groups = []
+    for i, z in enumerate(roots):
+        if used[i]:
+            continue
+        used[i] = True
+        if abs(z.imag) < 1e-9:
+            groups.append([z])
+        else:
+            for j in range(i + 1, len(roots)):
+                if not used[j] and abs(roots[j] - np.conj(z)) < 1e-8:
+                    used[j] = True
+                    groups.append([z, roots[j]])
+                    break
+    groups.sort(key=lambda g: -abs(g[0]))
+    return groups
+
+
+def _q_factor_poly(yroots) -> np.ndarray:
+    """Π (1 − y/yᵢ) over the given y-roots → centered real z-coefficients
+    (normalized so the factor is 1 at ω=0, keeping Σ lo = √2)."""
+    p = np.array([1.0 + 0j])
+    for y in yroots:
+        p = np.convolve(p, [1.0 / (4 * y), 1.0 - 1.0 / (2 * y), 1.0 / (4 * y)])
+    return np.real(p)
+
+
+def bior_lowpass_pair(N: int, M: int) -> tuple[np.ndarray, np.ndarray]:
+    """(dec_lo, rec_lo) for biorN.M — analysis and synthesis lowpass banks.
+    Spline members: dec_lo = √2·binom(M)⊛Q_K, rec_lo = √2·binom(N).
+    Non-spline members (4.4/5.5/6.8): Q_K root-split per _BIOR_FAMILY."""
+    spec = _BIOR_FAMILY.get((N, M), "missing")
+    if spec == "missing":
+        raise ValueError(f"bior{N}.{M} is not in the bior family")
+    K = (N + M) // 2
+    if spec is None:
+        dec = _SQRT2 * np.convolve(_binom_lo(M), _dd_dual_poly(K))
+        rec = _SQRT2 * _binom_lo(N)
+        return dec, rec
+    dec_pow, rec_pow, dec_groups = spec
+    groups = _q_root_groups(K)
+    dec_roots = [z for gi in dec_groups for z in groups[gi]]
+    rec_roots = [z for gi in range(len(groups)) if gi not in dec_groups
+                 for z in groups[gi]]
+    dec = _SQRT2 * np.convolve(_binom_lo(dec_pow), _q_factor_poly(dec_roots))
+    rec = _SQRT2 * np.convolve(_binom_lo(rec_pow), _q_factor_poly(rec_roots))
+    return dec, rec
+
+
+def _center_pad(h: np.ndarray, L: int) -> np.ndarray:
+    """Zero-pad symmetrically to length L (difference always even here)."""
+    d = L - h.size
+    if d == 0:
+        return h
+    return np.concatenate([np.zeros(d // 2), h, np.zeros(d - d // 2)])
+
+
+def _bior_bank(N: int, M: int, reverse: bool) -> tuple[np.ndarray, np.ndarray]:
+    """SWT analysis bank (dec_lo, dec_hi) for biorN.M (or rbioN.M when
+    ``reverse`` — the role-swapped family). dec_hi[k] = (−1)^k·other_lo[k]
+    (the biorthogonal QMF relation; symmetric filters make the usual time
+    reversal a no-op), both filters center-padded to a common length so the
+    L/H subbands stay mutually aligned under circular convolution."""
+    dec_lo, rec_lo = bior_lowpass_pair(N, M)
+    if reverse:
+        dec_lo, rec_lo = rec_lo, dec_lo
+    L = max(dec_lo.size, rec_lo.size)
+    lo = _center_pad(dec_lo, L)
+    other = _center_pad(rec_lo, L)
+    hi = np.array([((-1) ** k) * other[k] for k in range(L)])
+    return lo, hi
 
 
 def _upsample(h: np.ndarray, j: int) -> np.ndarray:
@@ -349,8 +520,7 @@ def swt_level(x: np.ndarray, wavelet: str = "coif1", level: int = 1,
     odd = x.size % 2 == 1
     if odd:  # pad to even with wrap (imageoperations.py:914-919 analog)
         x = np.concatenate([x, x[:1]])
-    lo = get_dec_lo(wavelet)
-    hi = _dec_hi(lo)
+    lo, hi = get_bank(wavelet)
     a = x
     for j in range(start_level, start_level + level - 1):
         a = _circular_conv(a, _upsample(lo, j))
@@ -382,8 +552,7 @@ def swt1_fft(x: np.ndarray, wavelet: str = "coif1"):
     if odd:
         x = np.concatenate([x, x[:1]])
     n = x.size
-    lo = get_dec_lo(wavelet)
-    hi = _dec_hi(lo)
+    lo, hi = get_bank(wavelet)
     X = np.fft.rfft(x)
 
     def conv(h):

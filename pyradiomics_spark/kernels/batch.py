@@ -284,11 +284,9 @@ def wavelet_batch(r: Ragged, which: str, wavelet: str = "coif1",
     """Batched SWT subband (functions.wavelets.swt_level semantics): odd
     docs padded to even length by wrapping the first sample, à trous
     periodic convolution cascade, cropped back. Concat-aligned output."""
-    from pyradiomics_spark.functions.wavelets import (
-        _dec_hi, _upsample, get_dec_lo)
+    from pyradiomics_spark.functions.wavelets import _upsample, get_bank
 
-    lo = get_dec_lo(wavelet)
-    hi = _dec_hi(lo)
+    lo, hi = get_bank(wavelet)
     odd = (r.lens % 2 == 1)
     plens = r.lens + odd
     pstarts = np.zeros(r.B, dtype=np.int64)

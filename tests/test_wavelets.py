@@ -236,3 +236,117 @@ def test_coiflet_main_taps_standard_branch():
         assert h[c] > 0.75, (N, h[c])
         assert 0.35 < h[c - 1] < 0.45, (N, h[c - 1])
         assert int(np.argmax(np.abs(h))) == c
+
+
+# ---------------------------------------------------------------------------
+# Biorthogonal families (biorN.M / rbioN.M)
+# ---------------------------------------------------------------------------
+
+_BIOR_MEMBERS = ["1.1", "1.3", "1.5", "2.2", "2.4", "2.6", "2.8",
+                 "3.1", "3.3", "3.5", "3.7", "3.9", "4.4", "5.5", "6.8"]
+
+
+def test_bior_published_banks():
+    """Pin the constructions against the published pywt/Matlab coefficient
+    tables (CDF 5/3 = bior2.2, CDF 9/7 = bior4.4, plus the 1.3/5.5/6.8
+    spot values) to 1e-10."""
+    from pyradiomics_spark.functions.wavelets import bior_lowpass_pair
+
+    dec, rec = bior_lowpass_pair(1, 3)
+    assert np.allclose(dec, [-0.08838834764831845, 0.08838834764831845,
+                             0.7071067811865476, 0.7071067811865476,
+                             0.08838834764831845, -0.08838834764831845],
+                       atol=1e-10)
+    assert np.allclose(rec, [0.7071067811865476, 0.7071067811865476],
+                       atol=1e-10)
+    dec, rec = bior_lowpass_pair(2, 2)  # LeGall / CDF 5/3
+    assert np.allclose(dec, [-0.1767766952966369, 0.3535533905932738,
+                             1.0606601717798214, 0.3535533905932738,
+                             -0.1767766952966369], atol=1e-10)
+    dec, rec = bior_lowpass_pair(4, 4)  # JPEG2000 / CDF 9/7
+    assert np.allclose(dec, [0.03782845550699535, -0.02384946501937986,
+                             -0.11062440441842342, 0.37740285561265380,
+                             0.85269867900940344, 0.37740285561265380,
+                             -0.11062440441842342, -0.02384946501937986,
+                             0.03782845550699535], atol=1e-9)
+    assert np.allclose(rec, [-0.06453888262893856, -0.04068941760955867,
+                             0.41809227322221221, 0.78848561640566439,
+                             0.41809227322221221, -0.04068941760955867,
+                             -0.06453888262893856], atol=1e-9)
+    dec, rec = bior_lowpass_pair(5, 5)
+    assert abs(dec[0] - 0.039687088347405) < 1e-9
+    assert abs(dec[4] - 0.736660181428210) < 1e-9
+    assert abs(rec[5] - 0.899506109748648) < 1e-9
+    dec, rec = bior_lowpass_pair(6, 8)
+    assert abs(dec[0] - 0.001908831736481) < 1e-9
+    assert abs(dec[8] - 0.825922997458402) < 1e-9
+
+
+@pytest.mark.parametrize("nm", _BIOR_MEMBERS)
+def test_bior_perfect_reconstruction_identity(nm):
+    """conv(dec_lo, rec_lo) must be halfband: center tap 1, every other
+    even-offset tap 0 — the defining biorthogonality condition, holding for
+    ALL family members regardless of the root-split choice."""
+    from pyradiomics_spark.functions.wavelets import bior_lowpass_pair
+
+    N, M = (int(s) for s in nm.split("."))
+    dec, rec = bior_lowpass_pair(N, M)
+    p = np.convolve(dec, rec)
+    c = (p.size - 1) // 2
+    assert abs(p[c] - 1.0) < 1e-10
+    for i in range(p.size):
+        if i != c and (i - c) % 2 == 0:
+            assert abs(p[i]) < 1e-10, (nm, i)
+    assert abs(dec.sum() - np.sqrt(2)) < 1e-10
+    assert abs(rec.sum() - np.sqrt(2)) < 1e-10
+    # both filters symmetric (linear phase) — the point of biorthogonality
+    assert np.allclose(dec, dec[::-1], atol=1e-10)
+    assert np.allclose(rec, rec[::-1], atol=1e-10)
+
+
+@pytest.mark.parametrize("nm", ["1.3", "2.2", "3.5", "4.4", "6.8"])
+def test_bior_dec_hi_vanishing_moments(nm):
+    """dec_hi (built from the synthesis lowpass) annihilates polynomials of
+    degree < (synthesis binomial power) — N for spline members, the split
+    power for 4.4/5.5/6.8."""
+    from pyradiomics_spark.functions.wavelets import get_bank
+
+    N = {"1.3": 1, "2.2": 2, "3.5": 3, "4.4": 4, "6.8": 6}[nm]
+    lo, hi = get_bank(f"bior{nm}")
+    k = np.arange(hi.size, dtype=float)
+    for p in range(N):
+        assert abs(np.dot(hi, k ** p)) < 1e-8, (nm, p)
+
+
+@pytest.mark.parametrize("w", ["bior1.3", "bior2.2", "bior3.3", "bior4.4",
+                               "bior5.5", "bior6.8", "rbio2.2", "rbio4.4"])
+@pytest.mark.parametrize("n", [17, 64])
+def test_bior_swt_matches_fft_twin(w, n, rng):
+    from pyradiomics_spark.functions.wavelets import swt1, swt1_fft
+
+    x = rng.normal(size=n)
+    a1, d1 = swt1(x, w)
+    a2, d2 = swt1_fft(x, w)
+    assert np.allclose(a1, a2, atol=1e-9)
+    assert np.allclose(d1, d2, atol=1e-9)
+
+
+def test_rbio_is_swapped_bank():
+    from pyradiomics_spark.functions.wavelets import (
+        _center_pad, bior_lowpass_pair, get_bank)
+
+    dec, rec = bior_lowpass_pair(2, 4)
+    lo_b, _ = get_bank("bior2.4")
+    lo_r, _ = get_bank("rbio2.4")
+    L = max(dec.size, rec.size)
+    assert np.allclose(lo_b, _center_pad(dec, L), atol=1e-12)
+    assert np.allclose(lo_r, _center_pad(rec, L), atol=1e-12)
+
+
+def test_bior_unknown_member_rejected():
+    from pyradiomics_spark.functions.wavelets import get_bank
+
+    with pytest.raises(ValueError):
+        get_bank("bior2.3")
+    with pytest.raises(ValueError):
+        get_bank("bior7.7")

@@ -63,6 +63,12 @@ CASES: dict = {
     "doc_coif4": ExtractionSettings(
         bin_width=0.5, wavelet="coif4",
         image_types=("wavelet-L", "wavelet-H")),
+    "doc_bior22": ExtractionSettings(
+        bin_width=0.5, wavelet="bior2.2",
+        image_types=("wavelet-L", "wavelet-H")),
+    "doc_rbio13": ExtractionSettings(
+        bin_width=0.5, wavelet="rbio1.3",
+        image_types=("wavelet-L", "wavelet-H")),
 }
 
 #: synthetic special documents exercising edge cases
