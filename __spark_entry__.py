@@ -1049,6 +1049,45 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "component").orderBy("doc_id")
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash train/val/test split (operators.sampling) — a
+    pure projection (no shuffle before the verification agg), stable under
+    corpus growth. Gate output: per-(lang, split) counts."""
+    from pyradiomics_spark.operators.sampling import split_dataset
+
+    docs = _read(spark, sf_dir, "documents")
+    out = split_dataset(docs, "doc_id", seed=7)
+    return (out.groupBy("lang", "split")
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy("lang", "split"))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling (quality-tier analog): keep
+    60% of en, 30% of de/fr, 0 of the rest — a pure filter, reproducible
+    across retries and partitionings (unlike df.sample)."""
+    from pyradiomics_spark.operators.sampling import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "doc_id", {"en": 0.6, "de": 0.3, "fr": 0.3},
+        strata_col="lang", seed=3)
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def q_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global shuffle with shard assignment: bucketed global
+    rank (NO single-partition window — see operators.sampling). Oracle:
+    the bucket-major/hash-minor order equals the plain global hash order
+    because buckets are cut on the hash's leading 8 hex digits."""
+    from pyradiomics_spark.operators.sampling import deterministic_shuffle
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    out = deterministic_shuffle(docs, "doc_id", seed=1, n_shards=8,
+                                num_buckets=16)
+    return out.select("doc_id", "shuffle_pos", "shard").orderBy("doc_id")
+
+
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN end-to-end vs exact brute force: recall@5 per query (5
     queries, 8 deterministic md5-seeded centroids, nprobe=2). The DuckDB
@@ -1241,6 +1280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_blocked": q_simhash_blocked,
         "dedup_components": q_dedup_components,
+        "dataset_split": q_dataset_split,
+        "stratified_sample": q_stratified_sample,
+        "det_shuffle": q_det_shuffle,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -1412,6 +1454,40 @@ def oracle_sql() -> dict[str, str]:
         "simhash": simhash_sql,
         "simhash_blocked": simhash_blocked_sql,
         "dedup_components": dedup_components_sql,
+        "dataset_split": """
+            WITH f AS (
+              SELECT lang,
+                     ('0x' || substr(md5(doc_id || ':7'), 1, 8))::BIGINT
+                       / 4294967296.0 AS frac
+              FROM documents
+            )
+            SELECT lang,
+                   CASE WHEN frac < 0.9 THEN 'train'
+                        WHEN frac < 0.95 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs
+            FROM f GROUP BY lang, split ORDER BY lang, split
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(doc_id || ':3'), 1, 8))::BIGINT
+                       / 4294967296.0 AS frac
+              FROM documents)
+            WHERE frac < CASE lang WHEN 'en' THEN 0.6 WHEN 'de' THEN 0.3
+                                   WHEN 'fr' THEN 0.3 ELSE 0.0 END
+            ORDER BY doc_id
+        """,
+        "det_shuffle": """
+            WITH r AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY md5(doc_id || ':1'), doc_id)
+                       - 1 AS shuffle_pos
+              FROM documents
+            )
+            SELECT doc_id, shuffle_pos, shuffle_pos % 8 AS shard
+            FROM r ORDER BY doc_id
+        """,
         "ivf_recall": ivf_recall_sql,
         "lsh_buckets": lsh_buckets_sql,
         "melt": f"""

@@ -123,18 +123,29 @@ def main() -> None:
                    partitions=spark.sparkContext.defaultParallelism * 2
                    ).select("url", "warc_ts", "text").cache()
     n_big = big.count()  # materialize generation outside the timer
-    sus_secs = None
-    for _ in range(2):  # best-of-2: steady-state, not first-touch
+    # round-3 protocol pin (BENCH.md): MEDIAN of 5 timed runs, with a
+    # pure-CPU co-tenancy probe recorded before and after — shared-host
+    # variance becomes visible in the artifact instead of silently moving
+    # the headline between rounds.
+    import statistics
+
+    probe_before = _probe_mops()
+    sus_runs = []
+    n_runs = int(os.environ.get("SPARK_GRAFT_SUSTAINED_RUNS", "5"))
+    for _ in range(n_runs):
         t0 = time.time()
         n_sus = extract_features(
             big, keys=("url", "warc_ts"), text_col="text",
             settings=ExtractionSettings(bin_width=1.0)).count()
-        secs = time.time() - t0
-        sus_secs = secs if sus_secs is None else min(sus_secs, secs)
+        sus_runs.append(time.time() - t0)
+    probe_after = _probe_mops()
+    sus_secs = statistics.median(sus_runs)
     timings["feature_extraction_sustained"] = round(sus_secs, 3)
     result_sustained = {
         "fv_rows_sustained": n_sus,
         "fv_per_sec_sustained": round(n_sus / sus_secs, 1),
+        "sustained_runs_sec": [round(r, 3) for r in sus_runs],
+        "probe_mops_per_core": {"before": probe_before, "after": probe_after},
     }
     big.unpersist()
 
@@ -250,6 +261,19 @@ def run_scaling(n_urls: int = 64000, lo: int = 4, hi: int = 16) -> dict:
         return scaling
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _probe_mops(procs: int = 4, n: int = 2_000_000) -> float:
+    """Co-tenancy probe: pure-python ops/sec/core (millions) at low
+    occupancy — a shared-host load indicator recorded next to each bench
+    headline so cross-round comparisons can spot a noisy neighbor."""
+    from multiprocessing import Pool
+
+    with Pool(procs) as p:
+        t0 = time.time()
+        p.map(_burn, [n] * procs)
+        dt = time.time() - t0
+    return round(procs * n / dt / procs / 1e6, 2)
 
 
 def _burn(n: int) -> int:

@@ -1,0 +1,149 @@
+"""Deterministic dataset sampling / splitting / shuffling — the operators a
+training-data pipeline needs between dedup and the trainer.
+
+Reference scope note: pyradiomics has no sampling stage (its batch driver
+enumerates every case, scripts/__init__.py:256-322); these exist for the
+LLM-training-pipeline surface. All three are hash-deterministic (md5 of
+``id || ':' || seed``): re-running on the same corpus reproduces the same
+split/sample/order bit-for-bit, rows added later don't move existing rows
+between splits, and the md5 derivation is engine-reproducible (the driver's
+DuckDB oracle computes the identical assignment).
+
+Scale notes (the design constraints, in order of importance):
+* ``split_dataset`` / ``stratified_sample`` are pure per-row projections /
+  filters — NO shuffle, no state; they push down to the scan and cost one
+  codegen stage at any corpus size.
+* ``deterministic_shuffle`` is ONE global range sort on the hash key
+  (sample-based range partitioning, the same machinery as orderBy) — the
+  one honest way to get a reproducible global permutation; the hash key is
+  uniform by construction so the range partitions are balanced regardless
+  of input skew. For training-data export prefer ``shuffle_pos % n_shards``
+  (also provided) over a driver-side ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 16^8 — the md5-prefix fraction denominator
+_DENOM = float(1 << 32)
+
+
+def hash_fraction(id_col, seed: int = 0) -> Column:
+    """Deterministic uniform [0, 1) value per id: first 8 hex digits of
+    md5(id ':' seed), over 2³². Same derivation as the hash_bucket
+    intensity mode (functions/text.py) — engine-reproducible."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat(c.cast("string"), F.lit(f":{seed}")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_DENOM)
+
+
+def split_dataset(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a deterministic split label ('train'/'val'/'test' by default)
+    from cumulative weight thresholds on the id's hash fraction.
+
+    Hash-based (NOT randomSplit): assignment is a pure function of the id,
+    so it is stable under re-runs, repartitioning, AND corpus growth — a
+    doc never migrates from test into train when new data arrives, which is
+    the property that keeps eval sets uncontaminated over time.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = float(sum(weights.values()))
+    frac = hash_fraction(id_col, seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = frac < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict | float,
+    strata_col: str | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic (per-id hash) sample; with ``strata_col`` + a dict of
+    per-stratum fractions, each stratum is sampled at its own rate (the
+    quality-tier downsampling move: keep 100% of high-quality docs, 10% of
+    mid, 1% of boilerplate). Unknown strata default to fraction 0.
+
+    Pure filter — no shuffle, no sampling state; unlike df.sample it is
+    reproducible across retries/partitionings and composable with the
+    split (independent seeds give independent hash draws).
+    """
+    frac = hash_fraction(id_col, seed)
+    if strata_col is None:
+        if not isinstance(fractions, (int, float)):
+            raise ValueError("scalar fraction required without strata_col")
+        return df.where(frac < F.lit(float(fractions)))
+    if not isinstance(fractions, dict):
+        raise ValueError("dict of per-stratum fractions required")
+    rate = None
+    for k, v in fractions.items():
+        cond = F.col(strata_col) == F.lit(k)
+        rate = F.when(cond, float(v)) if rate is None else rate.when(cond, float(v))
+    rate = rate.otherwise(0.0)
+    return df.where(frac < rate)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 0,
+    pos_col: str = "shuffle_pos",
+    n_shards: int | None = None,
+    shard_col: str = "shard",
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Reproducible global permutation with a 0-based global position, and
+    optionally a round-robin shard assignment (``pos % n_shards``) for
+    sharded training-data export.
+
+    NOT ``row_number() over (order by hash)``: a global window collapses
+    every row into ONE partition — the classic scale-killer. Instead the
+    hash fraction is cut into ``num_buckets`` explicit uniform buckets (a
+    pure function of the id — no range-sampler nondeterminism), bucket
+    sizes are counted (one cheap agg; ≤ num_buckets rows to the driver),
+    and pos = bucket offset + rank within bucket. One balanced shuffle on
+    the bucket key + one broadcast of the offset table, at any corpus
+    size. Bucket counting re-reads the input; pass a cached/checkpointed
+    df if the upstream is expensive.
+    """
+    frac = hash_fraction(id_col, seed)
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    bucket = F.least(F.floor(frac * num_buckets), F.lit(num_buckets - 1)) \
+        .cast("int")
+    src = df.withColumn("__shuf_bucket", bucket)
+    counts = src.groupBy("__shuf_bucket").count().collect()
+    sizes = {r["__shuf_bucket"]: r["count"] for r in counts}
+    rows, acc = [], 0
+    for b in sorted(sizes):
+        rows.append((b, acc))
+        acc += sizes[b]
+    spark = df.sparkSession
+    offsets = spark.createDataFrame(rows or [(0, 0)],
+                                    "__shuf_bucket int, __shuf_off long")
+    w = Window.partitionBy("__shuf_bucket").orderBy(h, F.col(id_col))
+    out = (
+        src.join(F.broadcast(offsets), "__shuf_bucket")
+        .withColumn(pos_col,
+                    (F.col("__shuf_off") + F.row_number().over(w) - 1)
+                    .cast("long"))
+        .drop("__shuf_bucket", "__shuf_off")
+    )
+    if n_shards is not None:
+        out = out.withColumn(shard_col, F.col(pos_col) % F.lit(n_shards))
+    return out

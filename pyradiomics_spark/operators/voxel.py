@@ -78,10 +78,9 @@ def voxel_feature_maps(
     Cost model: ~(2·radius+1)× the data volume of whole-doc extraction —
     inherent to voxel mode; still shuffle-free and Arrow-batched.
     """
-    from pyradiomics_spark.functions.intensity import apply_transform
     from pyradiomics_spark.kernels.batch import (
-        Ragged, firstorder_batch, glcm_batch, gldm_batch, ngtdm_batch,
-        runs_batch_features)
+        Ragged, discretize_batch, firstorder_batch, glcm_batch, gldm_batch,
+        ngtdm_batch, runs_batch_features, transform_batch)
 
     if settings is None:
         settings = ExtractionSettings(bin_width=1.0)
@@ -98,47 +97,47 @@ def voxel_feature_maps(
     src = df.select(*keys, text_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = pd.DataFrame(
+            columns=list(keys) + ["image_type", "pos"] + fcols)
         for pdf in batches:
-            imgs, lvls, kvs = [], [], []
-            for tup in pdf.itertuples(index=False):
-                kv = tup[: len(keys)]
-                text = tup[len(keys)] or ""
-                vals = text_to_intensity(
-                    text, settings.tokenizer, settings.intensity_mode,
+            # batched assembly (mirrors features._extract_batch): per-doc
+            # Python is ONLY the text decode; transform + discretize +
+            # the garbage-doc guard all run on one Ragged
+            arrays = [
+                text_to_intensity(
+                    t or "", settings.tokenizer, settings.intensity_mode,
                     settings.intensity_buckets).astype(np.float64)
-                if vals.size == 0:
-                    continue
-                img = apply_transform(image_type, vals, settings)
-                if settings.bin_count is None:
-                    # same garbage guard as extract_features: a doc whose
-                    # FBW level range exceeds max_gray_levels would blow
-                    # the n_windows×G² kernel grids — skip it (voxel maps
-                    # of garbage docs have no training value; the segment-
-                    # mode row for the doc carries the NaN signal)
-                    est_g = (np.floor(img.max() / settings.bin_width)
-                             - np.floor(img.min() / settings.bin_width) + 1)
-                    if est_g > settings.max_gray_levels:
-                        continue
-                imgs.append(img)
-                lvls.append(discretize(
-                    img, settings.bin_width, settings.bin_count))
-                kvs.append(kv)
-            if not imgs:
-                yield pd.DataFrame(
-                    columns=list(keys) + ["image_type", "pos"] + fcols)
+                for t in pdf[text_col].tolist()
+            ]
+            r0 = Ragged(arrays)
+            r_img = r0 if image_type == "original" else r0.with_x(
+                transform_batch(r0, image_type, settings))
+            keep = r0.lens > 0
+            if settings.bin_count is None and r_img.x.size:
+                # same garbage guard as extract_features: a doc whose FBW
+                # level range exceeds max_gray_levels would blow the
+                # n_windows×G² kernel grids — skip it (voxel maps of
+                # garbage docs have no training value; the segment-mode
+                # row for the doc carries the NaN signal)
+                fl = np.floor(r_img.x / settings.bin_width)
+                fmn, fmx = r_img.segmin(fl), r_img.segmax(fl)
+                with np.errstate(invalid="ignore"):
+                    keep &= ~((fmx - fmn + 1) > settings.max_gray_levels)
+            rk = r_img if bool(keep.all()) else r_img.masked(keep[r_img.doc])
+            if rk.x.size == 0:
+                yield empty
                 continue
+            conc_img = rk.x
+            conc_lvl = discretize_batch(
+                rk, settings.bin_width, settings.bin_count)
             # vectorized window construction: every ±radius window becomes
             # one pseudo-doc via a single fancy-indexed gather — no
             # per-position python loop (that costs tens of millions of
             # interpreter iterations per executor at corpus scale)
-            d_lens = np.array([a.size for a in imgs], dtype=np.int64)
-            D = len(imgs)
-            d_starts = np.zeros(D, dtype=np.int64)
-            np.cumsum(d_lens[:-1], out=d_starts[1:])
-            conc_img = np.concatenate(imgs)
-            conc_lvl = np.concatenate(lvls)
+            d_lens = rk.lens
+            d_starts = rk.starts
+            ddoc = rk.doc
             N = conc_img.size
-            ddoc = np.repeat(np.arange(D), d_lens)
             i_in = np.arange(N) - d_starts[ddoc]
             lo = np.maximum(i_in - radius, 0)
             hi = np.minimum(i_in + radius + 1, d_lens[ddoc])
@@ -211,9 +210,7 @@ def voxel_feature_maps(
             cols = ({k: np.concatenate([p[k] for p in parts])
                      for k in parts[0]} if len(parts) > 1 else parts[0])
             data = {
-                k: np.repeat(
-                    np.array([kv[i] for kv in kvs], dtype=object), d_lens)
-                for i, k in enumerate(keys)
+                k: np.repeat(pdf[k].to_numpy(), d_lens) for k in keys
             }
             data["image_type"] = image_type
             data["pos"] = out_pos.astype(np.int32)

@@ -1,0 +1,107 @@
+"""Deterministic split/sample/shuffle (operators.sampling): subset
+stability (the eval-contamination property), permutation exactness, bucket
+invariance, and the no-shuffle plan guarantees."""
+
+import hashlib
+
+import pytest
+
+from pyradiomics_spark.operators.sampling import (
+    deterministic_shuffle, hash_fraction, split_dataset, stratified_sample)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+
+
+def _expected_frac(i, seed):
+    return int(hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:8], 16) / 2**32
+
+
+def test_hash_fraction_matches_python_md5(spark, ids):
+    rows = ids.select("doc_id", hash_fraction("doc_id", 5).alias("f")).collect()
+    for r in rows[:50]:
+        assert r.f == pytest.approx(_expected_frac(r.doc_id, 5), abs=1e-12)
+
+
+def test_split_proportions_and_coverage(spark, ids):
+    out = split_dataset(ids, "doc_id", seed=1)
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 2000
+    assert 1700 < counts["train"] < 1890  # ~0.9 of 2000
+    assert counts.get("val", 0) > 40 and counts.get("test", 0) > 40
+
+
+def test_split_stable_under_corpus_growth(spark, ids):
+    """A doc's split NEVER changes when the corpus grows — the property
+    randomSplit does not have."""
+    small = ids.where("doc_id < 500")
+    a = {r.doc_id: r.split
+         for r in split_dataset(small, "doc_id", seed=9).collect()}
+    b = {r.doc_id: r.split
+         for r in split_dataset(ids, "doc_id", seed=9).collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_split_is_pure_projection(spark, ids):
+    plan = _plan(split_dataset(ids, "doc_id"))
+    assert "Exchange" not in plan
+
+
+def test_stratified_sample_rates(spark, ids):
+    from pyspark.sql import functions as F
+
+    df = ids.withColumn(
+        "tier", F.when(F.col("doc_id") % 2 == 0, "hi").otherwise("lo"))
+    out = stratified_sample(df, "doc_id", {"hi": 1.0, "lo": 0.1},
+                            strata_col="tier", seed=2)
+    counts = {r.tier: r["count"] for r in out.groupBy("tier").count().collect()}
+    assert counts["hi"] == 1000  # fraction 1.0 keeps everything
+    assert 50 < counts["lo"] < 160  # ~100
+    assert "Exchange" not in _plan(out)
+
+
+def test_stratified_unknown_stratum_dropped(spark, ids):
+    from pyspark.sql import functions as F
+
+    df = ids.withColumn("tier", F.lit("other"))
+    assert stratified_sample(df, "doc_id", {"hi": 1.0},
+                             strata_col="tier").count() == 0
+
+
+def test_deterministic_shuffle_is_exact_global_rank(spark, ids):
+    out = deterministic_shuffle(ids, "doc_id", seed=4, n_shards=4,
+                                num_buckets=8)
+    rows = out.collect()
+    assert sorted(r.shuffle_pos for r in rows) == list(range(2000))
+    expect = sorted(
+        (hashlib.md5(f"{i}:4".encode()).hexdigest(), i) for i in range(2000))
+    want = {i: p for p, (_, i) in enumerate(expect)}
+    for r in rows:
+        assert r.shuffle_pos == want[r.doc_id]
+        assert r.shard == r.shuffle_pos % 4
+
+
+def test_deterministic_shuffle_bucket_invariance(spark, ids):
+    """The global position is independent of the bucket count (buckets are
+    an execution detail, not a semantic knob)."""
+    a = {r.doc_id: r.shuffle_pos
+         for r in deterministic_shuffle(ids, "doc_id", seed=6,
+                                        num_buckets=4).collect()}
+    b = {r.doc_id: r.shuffle_pos
+         for r in deterministic_shuffle(ids, "doc_id", seed=6,
+                                        num_buckets=64).collect()}
+    assert a == b
+
+
+def test_shuffle_no_single_partition_window(spark, ids):
+    """The plan must partition the window by bucket — a global
+    single-partition Window would be the 100-TB killer."""
+    out = deterministic_shuffle(ids, "doc_id", num_buckets=16)
+    plan = _plan(out)
+    assert "__shuf_bucket" in plan  # window keyed by bucket
