@@ -1088,6 +1088,52 @@ def q_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "shuffle_pos", "shard").orderBy("doc_id")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing layout: docs in deterministic shuffle
+    order, concatenated, cut into 2048-token context windows (docs straddle
+    cuts). Oracle: single global window in DuckDB — valid because the
+    bucket-major/hash-minor order the operator uses equals the plain global
+    hash order (buckets cut on the hash's leading digits)."""
+    from pyradiomics_spark.operators.sampling import pack_sequences
+
+    t = _tokens(spark, sf_dir)
+    ntok = t.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    docs = (_read(spark, sf_dir, "documents").select("doc_id")
+            .join(ntok, "doc_id", "left").fillna(0, ["n_tokens"]))
+    out = pack_sequences(docs, "doc_id", "n_tokens", budget=2048, seed=5,
+                         num_buckets=8)
+    return out.select("doc_id", "n_tokens", "start_off", "pack_first",
+                      "pack_last").orderBy("doc_id")
+
+
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd update (operators.clustering): JVM-only
+    nearest-centroid assignment (zip_with/aggregate argmin, no UDF) + ONE
+    partial-aggregated shuffle for the per-cell per-dim means. k=4
+    deterministic md5-plane centroids; output = the updated centroid
+    matrix as (cell, idx, centroid, n) rows."""
+    import numpy as np
+
+    from pyradiomics_spark.operators.clustering import _as_double, assign_cells
+    from pyradiomics_spark.operators.similarity import _planes
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = _planes(4, 64, seed="kmeans-gate")
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    a = assign_cells(emb, cents)
+    return (
+        a.select("cell",
+                 F.posexplode(_as_double(F.col("embedding")))
+                 .alias("idx", "val"))
+        .groupBy("cell", "idx")
+        .agg(_rnd(F.avg("val"), 6).alias("centroid"),
+             F.count("*").alias("n"))
+        .select(F.col("cell").cast("long").alias("cell"),
+                F.col("idx").cast("long").alias("idx"), "centroid", "n")
+        .orderBy("cell", "idx")
+    )
+
+
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN end-to-end vs exact brute force: recall@5 per query (5
     queries, 8 deterministic md5-seeded centroids, nprobe=2). The DuckDB
@@ -1283,6 +1329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
         "det_shuffle": q_det_shuffle,
+        "pack_sequences": q_pack_sequences,
+        "kmeans_step": q_kmeans_step,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -1347,6 +1395,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT bucket, count(*) AS n_vecs
             FROM b GROUP BY bucket ORDER BY bucket
+        """
+    # k-means twin: same deterministic normalized md5-plane init as
+    # q_kmeans_step (seed "kmeans-gate"), one Lloyd update replayed in SQL
+    _km = _ivf_planes(4, 64, seed="kmeans-gate")
+    _km = _km / _np.linalg.norm(_km, axis=1, keepdims=True)
+    _km_rows = ",\n              ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            c, ", ".join(repr(float(v)) for v in _km[c]))
+        for c in range(4)
+    )
+    kmeans_step_sql = f"""
+            WITH emb AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+            ), cents AS (
+              SELECT * FROM (VALUES
+              {_km_rows}
+              ) t(cell, cv)
+            ), assign AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.v, c.cv) ASC, c.cell ASC) AS rn
+                FROM emb e CROSS JOIN cents c) WHERE rn = 1
+            ), ex AS (
+              SELECT cell, generate_subscripts(v, 1) - 1 AS idx, unnest(v) AS val
+              FROM assign
+            )
+            SELECT CAST(cell AS BIGINT) AS cell, CAST(idx AS BIGINT) AS idx,
+                   floor((avg(val)) * 1e6 + 0.50000095367431640625) / 1e6 AS centroid,
+                   count(*) AS n
+            FROM ex GROUP BY cell, idx ORDER BY cell, idx
         """
     ivf_recall_sql = f"""
             WITH emb AS (
@@ -1488,7 +1568,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shuffle_pos, shuffle_pos % 8 AS shard
             FROM r ORDER BY doc_id
         """,
+        "pack_sequences": f"""
+            WITH nt AS (
+              SELECT doc_id, count(*) AS n_tokens
+              FROM ({tokens}) GROUP BY doc_id
+            ), d AS (
+              SELECT doc.doc_id, coalesce(nt.n_tokens, 0) AS n_tokens,
+                     md5(doc.doc_id || ':5') AS h
+              FROM documents doc LEFT JOIN nt ON doc.doc_id = nt.doc_id
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY h, doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM d
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(cum - n_tokens AS BIGINT) AS start_off,
+                   CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_first,
+                   CAST(floor((cum - 1) / 2048.0) AS BIGINT) AS pack_last
+            FROM c ORDER BY doc_id
+        """,
         "ivf_recall": ivf_recall_sql,
+        "kmeans_step": kmeans_step_sql,
         "lsh_buckets": lsh_buckets_sql,
         "melt": f"""
             WITH wide AS (

@@ -147,3 +147,63 @@ def deterministic_shuffle(
     if n_shards is not None:
         out = out.withColumn(shard_col, F.col(pos_col) % F.lit(n_shards))
     return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    seed: int = 0,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """GPT-style sequence packing: documents are laid out in a
+    deterministic shuffled order, conceptually concatenated, and cut into
+    fixed ``budget``-token context windows (documents straddle cuts — the
+    standard pretraining packing, not first-fit bin packing).
+
+    Adds per-doc layout columns:
+      * ``bucket``      — layout bucket (uniform hash cut, execution unit)
+      * ``start_off``   — the doc's global token offset in the packed stream
+      * ``pack_first`` / ``pack_last`` — context-window ids the doc spans
+        (``start_off // budget`` .. ``(start_off + tokens − 1) // budget``;
+        zero-token docs contribute nothing — their pack_first just marks
+        where they would start).
+
+    Same scale shape as ``deterministic_shuffle``: token prefix-sums run
+    per uniform hash bucket (window partitioned by bucket — never global),
+    bucket token totals (≤ num_buckets rows) come to the driver once and go
+    back as a broadcast offset table. The global layout is a pure function
+    of (ids, token counts, seed) — independent of partitioning and of
+    bucket count, so a re-run or a differently-sized cluster cuts the
+    exact same context windows.
+    """
+    frac = hash_fraction(id_col, seed)
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    bucket = F.least(F.floor(frac * num_buckets), F.lit(num_buckets - 1)) \
+        .cast("int")
+    src = df.withColumn("__pk_bucket", bucket)
+    tok = F.col(token_col).cast("long")
+    counts = (src.groupBy("__pk_bucket")
+              .agg(F.sum(tok).alias("t")).collect())
+    sizes = {r["__pk_bucket"]: int(r["t"] or 0) for r in counts}
+    rows, acc = [], 0
+    for b in sorted(sizes):
+        rows.append((b, acc))
+        acc += sizes[b]
+    offsets = df.sparkSession.createDataFrame(
+        rows or [(0, 0)], "__pk_bucket int, __pk_off long")
+    w = Window.partitionBy("__pk_bucket").orderBy(h, F.col(id_col))
+    cum = F.sum(tok).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    out = (
+        src.join(F.broadcast(offsets), "__pk_bucket")
+        .withColumn("__pk_cum", cum + F.col("__pk_off"))
+        .withColumn("start_off", (F.col("__pk_cum") - tok).cast("long"))
+        .withColumn("pack_first",
+                    F.floor(F.col("start_off") / budget).cast("long"))
+        .withColumn("pack_last",
+                    F.floor((F.col("__pk_cum") - 1) / budget).cast("long"))
+        .withColumnRenamed("__pk_bucket", "bucket")
+        .drop("__pk_off", "__pk_cum")
+    )
+    return out

@@ -105,3 +105,45 @@ def test_shuffle_no_single_partition_window(spark, ids):
     out = deterministic_shuffle(ids, "doc_id", num_buckets=16)
     plan = _plan(out)
     assert "__shuf_bucket" in plan  # window keyed by bucket
+
+
+def test_pack_sequences_exact_layout(spark, ids):
+    """Layout matches the python ground truth: concat in md5-shuffled
+    order, cut at budget boundaries; invariant to num_buckets."""
+    from pyspark.sql import functions as F
+
+    from pyradiomics_spark.operators.sampling import pack_sequences
+
+    df = ids.withColumn("n_tok", (F.col("doc_id") % 37 + 1).cast("long"))
+    out = pack_sequences(df, "doc_id", "n_tok", budget=256, seed=11,
+                         num_buckets=8)
+    rows = {r.doc_id: r for r in out.collect()}
+    order = sorted(range(2000),
+                   key=lambda i: (hashlib.md5(f"{i}:11".encode()).hexdigest(), i))
+    off = 0
+    for i in order:
+        n = i % 37 + 1
+        r = rows[i]
+        assert r.start_off == off, i
+        assert r.pack_first == off // 256
+        assert r.pack_last == (off + n - 1) // 256
+        off += n
+    # bucket count is an execution detail, not a semantic knob
+    out2 = {r.doc_id: r.start_off
+            for r in pack_sequences(df, "doc_id", "n_tok", budget=256,
+                                    seed=11, num_buckets=64).collect()}
+    assert out2 == {i: rows[i].start_off for i in rows}
+
+
+def test_pack_sequences_zero_token_docs(spark):
+    from pyradiomics_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, 5)], "doc_id long, n_tok long")
+    rows = {r.doc_id: r for r in
+            pack_sequences(df, "doc_id", "n_tok", budget=8).collect()}
+    total = sum(r.start_off == 0 for r in rows.values())
+    assert total == 1  # exactly one stream head
+    spans = sum(max(r.pack_last - r.pack_first + 1, 0)
+                for r in rows.values() if r.n_tok > 0)
+    assert spans >= 2  # 15 tokens over budget 8 → some doc straddles a cut
