@@ -547,6 +547,48 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second STREAMING gate row: native session_window gap sessions run
+    through the real streaming engine (file source, availableNow,
+    complete-mode memory sink). Oracle: session_window(gap) on static data
+    ≡ lag/cumsum gap sessionization with session_end = max(ts) + gap —
+    DuckDB has no session_window, but the semantics are exactly
+    expressible; this closes the 'streaming session_window has no DuckDB
+    twin' gap (NEXT.md r2 item 4)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyradiomics_spark.streaming.sessions import stream_sessionize
+
+    ev = _read(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="pyrs_stream_sess_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "events.parquet"))
+    stream = (spark.readStream.schema(ev.schema).parquet(src)
+              .where(F.col("user_id") < 50)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    agg = stream_sessionize(stream, "user_id", "ts", gap="30 minutes",
+                            watermark="1 hour")
+    name = f"stream_sessionize_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True)
+         .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Voxel-mode analog: rolling first-order stats over a ±2 row frame
     (SURVEY §2.5 kernel-extraction row)."""
@@ -1299,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_forward": q_asof_join_forward,
         "tumbling_window": q_tumbling_window,
         "stream_tumbling": q_stream_tumbling,
+        "stream_sessionize": q_stream_sessionize,
         "rolling_stats": q_rolling_stats,
         "ngtdm_terms": q_ngtdm_terms,
         "gldm_dependence": q_gldm_dependence,
@@ -1813,6 +1856,27 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN signups s
               ON p.user_id = s.user_id AND p.ts >= s.signup_ts
             ORDER BY p.event_id
+        """,
+        "stream_sessionize": """
+            WITH e AS (
+              SELECT user_id, ts FROM events WHERE user_id < 50
+            ), d AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM d
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   max(ts) + INTERVAL '30 minutes' AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sess_id
+            ORDER BY user_id, session_start
         """,
         "stream_tumbling": """
             SELECT user_id,

@@ -97,6 +97,9 @@ def main() -> None:
         "tpch_q1", "tpch_q6", "top_customers", "dedup_exact", "text_quality",
         "minhash_signatures", "knn_cosine", "voxel_entropy",
         "lbp_codes", "wavelet_haar", "lsh_buckets", "ivf_recall",
+        # round 3 additions
+        "glcm_imc_doc", "dedup_components", "dataset_split",
+        "pack_sequences", "kmeans_step",
     ]
     for name in headline:
         if name not in qs:

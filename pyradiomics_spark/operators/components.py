@@ -91,14 +91,20 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    n_edges = edges.count()
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(edges)).localCheckpoint()
-        # convergence: edge sets equal ⇔ both directions of anti-join empty
-        changed = (
-            nxt.join(edges, [_U, _V], "left_anti").limit(1).count()
-            + edges.join(nxt, [_U, _V], "left_anti").limit(1).count())
-        edges = nxt
-        if changed == 0:
+        # convergence: both sets are distinct, so equal counts + one empty
+        # one-sided anti-join ⇔ equal sets. The count is nearly free off
+        # the checkpoint; the anti-join job only runs on count-stable
+        # rounds (typically just the final one) — per-round driver
+        # latency, not data volume, dominates this loop's wall time.
+        n_next = nxt.count()
+        converged = (
+            n_next == n_edges
+            and nxt.join(edges, [_U, _V], "left_anti").limit(1).count() == 0)
+        edges, n_edges = nxt, n_next
+        if converged:
             break
     else:
         raise RuntimeError(
