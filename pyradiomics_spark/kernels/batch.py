@@ -598,15 +598,16 @@ def _glcm_features_from_counts(r: Ragged, levels: np.ndarray, P: np.ndarray,
     P = P / norm[:, None, None]
 
     gl = np.arange(1, G + 1, dtype=np.float64)
-    i = gl[None, :, None]
-    j = gl[None, None, :]
     ng = r.segmax(levels.astype(np.float64))  # per-doc max level (B,)
     ng = np.maximum(ng, 1)
 
     px = P.sum(axis=2)                      # (B,G)
     py = P.sum(axis=1)
-    ux = np.sum(P * i, axis=(1, 2))
-    uy = np.sum(P * j, axis=(1, 2))
+    # moments from MARGINALS where algebra allows — Σ_ij P·f(i) ≡ Σ_g px·f(g)
+    # exactly; avoids a pile of (B,G,G) tensor sweeps (≈40% of this
+    # function's wall on a 15k-doc batch)
+    ux = px @ gl
+    uy = py @ gl
 
     # p(x+y) / p(x−y) via dense projection matrices (G², K)
     gsum = (gl[:, None] + gl[None, :]).ravel()
@@ -624,17 +625,21 @@ def _glcm_features_from_counts(r: Ragged, levels: np.ndarray, P: np.ndarray,
 
     HXY = -np.sum(P * np.log2(P + EPS), axis=(1, 2))
 
-    uxb = ux[:, None, None]
-    uyb = uy[:, None, None]
-    cprom = np.sum(P * ((i + j) - uxb - uyb) ** 4, axis=(1, 2))
-    cshade = np.sum(P * ((i + j) - uxb - uyb) ** 3, axis=(1, 2))
-    ctend = np.sum(P * ((i + j) - uxb - uyb) ** 2, axis=(1, 2))
-    contrast = np.sum(P * (i - j) ** 2, axis=(1, 2))
-    autoc = np.sum(P * (i * j), axis=(1, 2))
+    # cluster moments over p(x+y): Σ_ij P·g(i+j) ≡ Σ_k p_add·g(k)
+    dsum = k_sum[None, :] - ux[:, None] - uy[:, None]   # (B, 2G-1)
+    dsum2 = dsum * dsum
+    ctend = np.sum(p_add * dsum2, axis=1)
+    cshade = np.sum(p_add * dsum2 * dsum, axis=1)
+    cprom = np.sum(p_add * dsum2 * dsum2, axis=1)
+    contrast = p_sub @ (k_diff * k_diff)                # Σ_ij P·(i−j)²
+    autoc = np.einsum("bij,i,j->b", P, gl, gl)
 
-    sigx = np.sqrt(np.sum(P * (i - uxb) ** 2, axis=(1, 2)))
-    sigy = np.sqrt(np.sum(P * (j - uyb) ** 2, axis=(1, 2)))
-    corm = np.sum(P * (i - uxb) * (j - uyb), axis=(1, 2))
+    dx = gl[None, :] - ux[:, None]                      # (B,G)
+    dy = gl[None, :] - uy[:, None]
+    sumsq = np.sum(px * dx * dx, axis=1)                # ≡ Σ P (i−ux)² = σx²
+    sigx = np.sqrt(sumsq)
+    sigy = np.sqrt(np.sum(py * dy * dy, axis=1))
+    corm = autoc - ux * uy                              # Σ P (i−ux)(j−uy)
     with np.errstate(invalid="ignore"):
         corr = corm / (sigx * sigy + EPS)
     corr = np.where(sigx * sigy == 0, 1.0, corr)
@@ -673,7 +678,7 @@ def _glcm_features_from_counts(r: Ragged, levels: np.ndarray, P: np.ndarray,
     maxprob = P.reshape(B, -1).max(axis=1)
     sumavg = p_add @ k_sum
     sument = -np.sum(p_add * np.log2(p_add + EPS), axis=1)
-    sumsq = np.sum(P * (i - uxb) ** 2, axis=(1, 2))
+    # sumsq ≡ σx² — computed above from the px marginal
 
     # MCC: eigen on the compacted present-level submatrix. Docs are grouped
     # by their EXACT present-level pattern (np.unique over the (B, G) bool
@@ -890,24 +895,42 @@ def ngtdm_batch(r: Ragged, levels: np.ndarray, distances: tuple = (1,),
         div != 0, quad * s_i.sum(axis=1) / nvp_safe / np.where(div != 0, div, 1), 0.0)
 
     # p_zero masking: zero-p rows/cols contribute 0 automatically for
-    # Busyness numerator terms |i·pᵢ − j·pⱼ| ONLY if masked explicitly
-    pmask = (p_i > 0).astype(np.float64)  # (B,G)
+    # Busyness numerator terms |i·pᵢ − j·pⱼ| ONLY if masked explicitly.
+    # Busyness denominator Σ_ij |i·pᵢ − j·pⱼ| over PRESENT pairs: the
+    # classic sorted identity Σ_ij |vᵢ−vⱼ| = 2·Σ_k v₍ₖ₎·(2k − m + 1) per
+    # doc — one argsort over the ~B·ḡ present cells instead of a (B,G,G)
+    # tensor (was the single hottest block of this kernel).
+    pmask = p_i > 0  # (B,G)
     i_pi = iv[None, :] * p_i
-    absdiff = np.abs(i_pi[:, :, None] - i_pi[:, None, :])
-    mm = pmask[:, :, None] * pmask[:, None, :]
-    denom = (absdiff * mm).sum(axis=(1, 2))
+    pb, pg = np.nonzero(pmask)
+    v = i_pi[pb, pg]
+    order = np.lexsort((v, pb))
+    vb, vs = pb[order], v[order]
+    m_per = np.bincount(pb, minlength=B).astype(np.int64)
+    seg0 = np.zeros(B, dtype=np.int64)
+    np.cumsum(m_per[:-1], out=seg0[1:])
+    k_local = np.arange(vs.size) - seg0[vb]
+    coef = 2.0 * k_local - (m_per[vb] - 1)
+    denom = 2.0 * np.bincount(vb, weights=vs * coef, minlength=B)
     busy = np.where(denom != 0, sum_coarse / np.where(denom != 0, denom, 1), 0.0)
 
     pi_si = p_i * s_i
-    numer = (pi_si[:, :, None] + pi_si[:, None, :]) * mm
+    mm = pmask[:, :, None] & pmask[:, None, :]
+    numer = np.where(mm, pi_si[:, :, None] + pi_si[:, None, :], 0.0)
     divis = p_i[:, :, None] + p_i[:, None, :]
     divis = np.where(divis == 0, 1.0, divis)
     absdiff_iv = np.abs(iv[:, None] - iv[None, :])[None, :, :]
     complexity = (absdiff_iv * numer / divis).sum(axis=(1, 2)) / nvp_safe
 
+    # Strength numerator Σ_ij (pᵢ+pⱼ)·(i−j)² over present pairs factors
+    # through marginals: = 2·Σᵢ pᵢ·(ngp·i² − 2i·S1 + S2), S1/S2 = Σ j, Σ j²
+    # over present levels — (B,G) ops, no tensor.
     sum_s = s_i.sum(axis=1)
-    strength_num = ((p_i[:, :, None] + p_i[:, None, :]) * mm
-                    * (iv[:, None] - iv[None, :])[None, :, :] ** 2).sum(axis=(1, 2))
+    S1 = (pmask * iv[None, :]).sum(axis=1)
+    S2 = (pmask * (iv * iv)[None, :]).sum(axis=1)
+    term = (ngp[:, None] * (iv * iv)[None, :]
+            - 2.0 * iv[None, :] * S1[:, None] + S2[:, None])
+    strength_num = 2.0 * (p_i * term).sum(axis=1)
     strength = np.where(sum_s != 0, strength_num / np.where(sum_s != 0, sum_s, 1), 0.0)
 
     out = {"Coarseness": coarse, "Contrast": contrast, "Busyness": busy,

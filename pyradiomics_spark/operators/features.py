@@ -193,11 +193,13 @@ def _extract_batch(texts, settings: ExtractionSettings, image_type: str = "origi
         gldm_batch, ngtdm_batch, normalize_batch, resegment_batch,
         runs_batch_features, seqshape_batch, transform_batch)
 
+    from pyradiomics_spark.functions.text import batch_text_to_intensity
+
     arrays = [
-        text_to_intensity(t or "", settings.tokenizer,
-                          settings.intensity_mode,
-                          settings.intensity_buckets).astype(np.float64)
-        for t in texts
+        a.astype(np.float64)
+        for a in batch_text_to_intensity(
+            texts, settings.tokenizer, settings.intensity_mode,
+            settings.intensity_buckets)
     ]
     r0 = Ragged(arrays)
     if settings.normalize and r0.x.size:

@@ -20,7 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from pyradiomics_spark.config import EPS, ExtractionSettings
-from pyradiomics_spark.functions.text import text_to_intensity
+from pyradiomics_spark.functions.text import (batch_text_to_intensity,
+                                              text_to_intensity)
 from pyradiomics_spark.kernels import discretize
 
 
@@ -104,10 +105,10 @@ def voxel_feature_maps(
             # Python is ONLY the text decode; transform + discretize +
             # the garbage-doc guard all run on one Ragged
             arrays = [
-                text_to_intensity(
-                    t or "", settings.tokenizer, settings.intensity_mode,
-                    settings.intensity_buckets).astype(np.float64)
-                for t in pdf[text_col].tolist()
+                a.astype(np.float64)
+                for a in batch_text_to_intensity(
+                    pdf[text_col].tolist(), settings.tokenizer,
+                    settings.intensity_mode, settings.intensity_buckets)
             ]
             r0 = Ragged(arrays)
             r_img = r0 if image_type == "original" else r0.with_x(

@@ -87,3 +87,52 @@ def test_resegment_modes():
     assert resegment_bounds(v, (0.1, 0.9), "relative") == (1.0, 9.0)
     lo, hi = resegment_bounds(v, (-1, 1), "sigma")
     np.testing.assert_allclose([lo, hi], [0.0, 10.0])
+
+
+def test_batch_text_to_intensity_parity():
+    """The byte-level batch decode must match the per-doc path exactly —
+    including the cases bytes can't see (unicode whitespace \xa0/ ,
+    CJK multibyte lengths), ascii control separators \x1c-\x1f, empty and
+    None docs, and docs adjacent in the concat buffer."""
+    from pyradiomics_spark.functions.text import (
+        batch_text_to_intensity, text_to_intensity)
+
+    texts = [
+        "hello world", "", None, "  leading and   runs  ", "one",
+        "tabs\tand\nnewlines\x0bx", "a\x1cb\x1dc\x1ed\x1fe",
+        "nbsp\xa0separated", " line sep", "中文 文本 测试",
+        "mixed ascii 和 中文", "emoji 🚀 boom", "x" * 300,
+        "end-nonspace", "start right after prev",
+        " ", "\t\t", "ünïcödé wörds",
+    ]
+    got = batch_text_to_intensity(texts)
+    for t, g in zip(texts, got):
+        want = text_to_intensity(t or "")
+        assert g.dtype == want.dtype, t
+        assert np.array_equal(g, want), (t, g, want)
+
+
+def test_batch_text_to_intensity_other_modes_fall_back():
+    from pyradiomics_spark.functions.text import (
+        batch_text_to_intensity, text_to_intensity)
+
+    texts = ["hello world", "abc123 def"]
+    for kw in ({"mode": "hash_bucket"}, {"tokenizer": "bpe_regex"}):
+        got = batch_text_to_intensity(texts, **kw)
+        for t, g in zip(texts, got):
+            assert np.array_equal(g, text_to_intensity(t, **{
+                {"mode": "mode", "tokenizer": "tokenizer"}[k]: v
+                for k, v in kw.items()}))
+
+
+def test_batch_text_to_intensity_random_ascii_fuzz():
+    rng = np.random.default_rng(0)
+    from pyradiomics_spark.functions.text import (
+        batch_text_to_intensity, text_to_intensity)
+
+    alphabet = list("ab c\t\n\x1c\x1f  xyz0")
+    texts = ["".join(rng.choice(alphabet, size=rng.integers(0, 40)))
+             for _ in range(200)]
+    got = batch_text_to_intensity(texts)
+    for t, g in zip(texts, got):
+        assert np.array_equal(g, text_to_intensity(t)), repr(t)
