@@ -153,40 +153,48 @@ def batch_text_to_intensity(
 ) -> list:
     """Per-doc intensity arrays for a whole Arrow batch at once.
 
-    Fast path (whitespace tokenizer + token_len + pure-ascii doc): ONE
-    byte-level numpy pass over the concatenated batch — whitespace mask →
-    token-run starts → run lengths via searchsorted — instead of a Python
-    len() per token (the decode was ~1/3 of kernel wall at ~280 ns/token;
-    this is ~10 numpy ops per BATCH). Byte semantics are exact because for
-    ascii text byte length == char length and str.split()'s ascii
-    whitespace set is the 10 bytes in _ASCII_WS; any non-ascii doc (which
-    may contain unicode whitespace like \\xa0 that bytes can't see) falls
-    back to the per-doc path, as does any other tokenizer/mode. Parity
-    with text_to_intensity is pinned per-doc in tests/test_text.py.
+    Fast path (whitespace tokenizer + token_len): ONE byte-level numpy
+    pass over the UTF-8-concatenated batch — whitespace mask → paired
+    token start/end runs — instead of a Python len() per token (the decode
+    was ~1/3 of kernel wall at ~280 ns/token; this is ~10 numpy ops per
+    BATCH). Byte semantics are exact for arbitrary UTF-8: multi-byte
+    sequences never contain bytes < 0x80, so the 10 _ASCII_WS bytes always
+    mean real ascii whitespace, and the token byte length IS the token_len
+    intensity. The one hazard is genuine unicode whitespace (U+0085,
+    U+00A0, U+1680, U+2000–200A, U+2028/29/2F, U+205F, U+3000 — separators
+    for str.split() that the byte mask can't see): a vectorized scan for
+    their UTF-8 lead pairs routes only the (rare) docs containing a
+    suspect sequence to the per-doc path — conservatively, since e.g.
+    \\xe2\\x80 also prefixes dashes. Other tokenizers/modes fall back
+    wholesale. Parity is pinned per-doc in tests/test_text.py.
     """
     if tokenizer != "whitespace" or mode != "token_len":
         return [text_to_intensity(t or "", tokenizer, mode, buckets)
                 for t in texts]
     out: list = [None] * len(texts)
-    fast_idx: list = []
-    enc: list = []
-    for i, t in enumerate(texts):
-        t = t or ""
-        if t.isascii():
-            fast_idx.append(i)
-            enc.append(t.encode("ascii"))
-        else:
-            out[i] = text_to_intensity(t)
-    if not enc:
-        return out
+    enc = [(t or "").encode("utf-8") for t in texts]
     lens = np.fromiter((len(b) for b in enc), np.int64, len(enc))
     starts = np.zeros(lens.size + 1, dtype=np.int64)
     np.cumsum(lens, out=starts[1:])
     a = np.frombuffer(b"".join(enc), dtype=np.uint8)
     if a.size == 0:
-        for i in fast_idx:
-            out[i] = np.zeros(0, dtype=np.int64)
-        return out
+        empty = np.zeros(0, dtype=np.int64)
+        return [empty] * len(texts)
+    # unicode-ws suspect scan restricted to multi-byte lead bytes (≥ 0xC2):
+    # one full pass + tiny index ops instead of eight 22-MB boolean sweeps
+    hi_pos = np.nonzero(a >= 0xC2)[0]
+    hi_pos = hi_pos[hi_pos < a.size - 1]
+    sus_pos = np.empty(0, dtype=np.int64)
+    if hi_pos.size:
+        lead, nxt = a[hi_pos], a[hi_pos + 1]
+        sus = (
+            ((lead == 0xC2) & ((nxt == 0x85) | (nxt == 0xA0)))
+            | ((lead == 0xE1) & (nxt == 0x9A))
+            | ((lead == 0xE2) & ((nxt == 0x80) | (nxt == 0x81)))
+            | ((lead == 0xE3) & (nxt == 0x80)))
+        sus_pos = hi_pos[sus]
+    slow_docs = (set(np.searchsorted(starts, sus_pos, side="right") - 1)
+                 if sus_pos.size else ())
     ws = _ASCII_WS[a]
     nonspace = ~ws
     prev_nonspace = np.empty_like(nonspace)
@@ -207,8 +215,10 @@ def batch_text_to_intensity(
     counts = np.diff(np.searchsorted(s_pos, starts))
     bounds = np.zeros(lens.size, dtype=np.int64)
     np.cumsum(counts[:-1], out=bounds[1:])
-    for j, i in enumerate(fast_idx):
-        lo = bounds[j]
-        hi = lo + counts[j]
-        out[i] = tok_len[lo:hi]
+    for i in range(len(texts)):
+        if i in slow_docs:
+            out[i] = text_to_intensity(texts[i] or "")
+        else:
+            lo = bounds[i]
+            out[i] = tok_len[lo:lo + counts[i]]
     return out

@@ -428,9 +428,11 @@ def firstorder_batch(r: Ragged, levels: np.ndarray, voxel_array_shift: float = 0
     mx = r.segmax(r.x)
 
     d = r.x - mean[r.doc]
-    m2 = r.segsum(d * d) / safe_n
-    m3 = r.segsum(d * d * d) / safe_n
-    m4 = r.segsum(d * d * d * d) / safe_n
+    d2 = d * d
+    d3 = d2 * d  # same left-to-right FP order as d*d*d
+    m2 = r.segsum(d2) / safe_n
+    m3 = r.segsum(d3) / safe_n
+    m4 = r.segsum(d3 * d) / safe_n
     # truly-flat docs must hit the m2==0 fixup exactly; sequential reduceat
     # sums can leave a ~1e-32 residue where numpy's pairwise mean gives an
     # exact 0 (e.g. 8 × the same irrational transform value)

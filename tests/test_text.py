@@ -136,3 +136,20 @@ def test_batch_text_to_intensity_random_ascii_fuzz():
     got = batch_text_to_intensity(texts)
     for t, g in zip(texts, got):
         assert np.array_equal(g, text_to_intensity(t)), repr(t)
+
+
+def test_batch_text_to_intensity_unicode_whitespace_exhaustive():
+    """Every unicode whitespace char str.split() honors must route its doc
+    to the slow path (or be handled identically); CJK/latin non-ascii
+    WITHOUT unicode whitespace must take the fast byte path correctly."""
+    from pyradiomics_spark.functions.text import (
+        batch_text_to_intensity, text_to_intensity)
+
+    uws = ["\x85", "\xa0", " ", " ", " ", " ",
+           " ", " ", " ", " ", "　"]
+    texts = [f"aa{w}bb cc" for w in uws]
+    texts += ["中文文本 测试 ok", "naïve café résumé", "ß sharp ß",
+              "dash–separated words", "quote “word” end"]
+    got = batch_text_to_intensity(texts)
+    for t, g in zip(texts, got):
+        assert np.array_equal(g, text_to_intensity(t)), repr(t)
