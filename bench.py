@@ -154,8 +154,13 @@ def main() -> None:
 
     tmp = tempfile.mkdtemp(prefix="bench_pipe_")
     try:
-        pages = pages_df(spark, n_urls=1000,
-                         partitions=spark.sparkContext.defaultParallelism * 2)
+        # materialize the synthetic corpus OUTSIDE the timer (round-3
+        # protocol): a real pipeline reads committed storage — timing the
+        # generator conflated ~5 s of synthesis into the pipeline number
+        pages_df(spark, n_urls=1000,
+                 partitions=spark.sparkContext.defaultParallelism * 2
+                 ).write.mode("overwrite").parquet(f"{tmp}/pages")
+        pages = spark.read.parquet(f"{tmp}/pages")
         t0 = time.time()
         pipe_metrics = full_pipeline(pages, out_path=f"{tmp}/out")
         timings["full_pipeline"] = round(time.time() - t0, 3)

@@ -57,7 +57,12 @@ def full_pipeline(
         ).alias("cut_ts"),
     )
 
-    served = asof_join(cuts, feats, on="url", left_ts="cut_ts", right_ts="warc_ts")
+    # deterministic_ties=False: extraction output is keyed by the scan's
+    # (url, warc_ts), which is unique per construction — the tie-dedupe
+    # exchange would re-shuffle the 108-column payload for nothing (the
+    # exact hot-path case the BENCH.md as-of note describes)
+    served = asof_join(cuts, feats, on="url", left_ts="cut_ts",
+                       right_ts="warc_ts", deterministic_ties=False)
 
     sessions = sessionize(pages.select("url", "warc_ts"), "url", "warc_ts",
                           gap_seconds=session_gap_seconds)
