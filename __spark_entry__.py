@@ -1148,6 +1148,24 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "pack_last").orderBy("doc_id")
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of doc length per lang — Spark's
+    `percentile` (exact, rank (n−1)·q linear interpolation) vs DuckDB
+    `quantile_cont` (same definition). The corpus-stats primitive a
+    curation pipeline uses to pick length-filter thresholds; at 100 TB
+    swap in approx_percentile (t-digest) — this row pins the exact
+    semantics both engines agree on."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang").agg(
+            _rnd(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+            _rnd(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90"),
+            _rnd(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99"),
+            F.count("*").alias("n_docs"),
+        ).orderBy("lang")
+    )
+
+
 def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One distributed Lloyd update (operators.clustering): JVM-only
     nearest-centroid assignment (zip_with/aggregate argmin, no UDF) + ONE
@@ -1374,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_shuffle": q_det_shuffle,
         "pack_sequences": q_pack_sequences,
         "kmeans_step": q_kmeans_step,
+        "length_quantiles": q_length_quantiles,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -1633,6 +1652,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivf_recall": ivf_recall_sql,
         "kmeans_step": kmeans_step_sql,
+        "length_quantiles": """
+            SELECT lang,
+                   floor((quantile_cont(n_chars, 0.5)) * 1e6 + 0.50000095367431640625) / 1e6 AS p50,
+                   floor((quantile_cont(n_chars, 0.9)) * 1e6 + 0.50000095367431640625) / 1e6 AS p90,
+                   floor((quantile_cont(n_chars, 0.99)) * 1e6 + 0.50000095367431640625) / 1e6 AS p99,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
         "lsh_buckets": lsh_buckets_sql,
         "melt": f"""
             WITH wide AS (

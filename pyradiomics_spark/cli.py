@@ -32,6 +32,10 @@ def main(argv=None) -> int:
                         "(the reference's --mode voxel analog)")
     p.add_argument("--radius", type=int, default=2,
                    help="voxel-mode kernel radius (kernelRadius analog)")
+    p.add_argument("--skip-nans", action="store_true",
+                   help="emit long format (url, ts, feature, value) with "
+                        "NaN features dropped — the reference CLI's "
+                        "--skip-nans (scripts/__init__.py:470-477)")
     p.add_argument("--format", choices=("parquet", "csv", "json"),
                    default="parquet",
                    help="output format (reference CLI writes csv/json/txt)")
@@ -56,6 +60,14 @@ def main(argv=None) -> int:
     keys = tuple(args.keys.split(","))
 
     def write(out):
+        if args.skip_nans:
+            from pyspark.sql import functions as F
+
+            from pyradiomics_spark.operators.features import melt_features
+
+            mkeys = keys + ("pos",) if "pos" in out.columns else keys
+            out = melt_features(out, keys=mkeys).where(
+                F.col("value").isNotNull() & ~F.isnan("value"))
         w = out.write.mode("overwrite")
         if args.format == "csv":
             w.option("header", True).csv(args.output)

@@ -193,6 +193,27 @@ def test_cli_voxel_mode_and_csv(spark, pages, tmp_path):
     assert out.count() > n_pages  # one row per token position
 
 
+def test_cli_skip_nans_long_format(spark, pages, tmp_path):
+    """--skip-nans emits the reference CLI's long format with NaN features
+    dropped (scripts/__init__.py:470-477 analog)."""
+    from pyspark.sql import functions as F
+
+    from pyradiomics_spark.cli import main
+
+    inp = str(tmp_path / "pages_sn")
+    outp = str(tmp_path / "long")
+    pages.limit(5).write.parquet(inp)
+    rc = main([
+        "--input", inp, "--output", outp, "--skip-nans",
+        "--keys", "url,warc_ts"])
+    assert rc == 0
+    out = spark.read.parquet(outp)
+    assert set(out.columns) == {"url", "warc_ts", "image_type",
+                                "feature_name", "value"}
+    assert out.count() > 0
+    assert out.where(F.isnan("value")).count() == 0
+
+
 def test_full_pipeline_demo(spark, pages, tmp_path):
     from pyradiomics_spark.plans.demo import full_pipeline
 
