@@ -152,6 +152,18 @@ def main() -> None:
     }
     big.unpersist()
 
+    # end-to-end curation composition (exact dedup → near-dup components →
+    # quality → split → packing) over the sf documents table
+    from pyradiomics_spark.plans.curation import curate
+
+    docs_cur = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    t0 = time.time()
+    cur = curate(docs_cur)
+    timings["curation_pipeline"] = round(time.time() - t0, 3)
+    result_cur = {"curation_train_docs": cur["n_train_docs"],
+                  "curation_windows": cur["n_context_windows"]}
+
     tmp = tempfile.mkdtemp(prefix="bench_pipe_")
     try:
         # materialize the synthetic corpus OUTSIDE the timer (round-3
@@ -189,6 +201,7 @@ def main() -> None:
         "cores": cpus,
         **result_sustained,
         **result_pipe,
+        **result_cur,
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING"):
