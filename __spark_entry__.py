@@ -486,6 +486,31 @@ def q_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match-staleness bound (pandas merge_asof
+    ``tolerance`` analog): matches older than 7 days are nulled — the
+    serving-layer rule 'a feature vector too stale to trust is no match'.
+    Oracle: DuckDB ASOF JOIN + a CASE that voids out-of-tolerance rows."""
+    from pyradiomics_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    signups = ev.where(F.col("event_type") == "signup").select(
+        F.col("user_id"),
+        F.col("ts").cast("timestamp").alias("signup_ts"),
+        F.col("value").alias("signup_value"),
+    )
+    joined = asof_join(
+        purchases, signups, on="user_id", left_ts="ts",
+        right_ts="signup_ts", tolerance_seconds=7 * 86400.0)
+    return joined.select(
+        "event_id", "user_id",
+        F.col("signup_ts").cast("timestamp_ntz").alias("signup_ts"),
+        _rnd("signup_value", 6).alias("signup_value"),
+    ).orderBy("event_id")
+
+
 def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregate (streaming-shape op in batch)."""
     ev = _read(spark, sf_dir, "events")
@@ -1357,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "asof_join_salted": q_asof_join_salted,
         "asof_join_forward": q_asof_join_forward,
+        "asof_join_tolerance": q_asof_join_tolerance,
         "tumbling_window": q_tumbling_window,
         "stream_tumbling": q_stream_tumbling,
         "stream_sessionize": q_stream_sessionize,
@@ -1841,6 +1867,26 @@ def oracle_sql() -> dict[str, str]:
                          OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING)) * 1e6 + 0.50000095367431640625) / 1e6 AS last_purchase_value
             FROM events ORDER BY event_id
+        """,
+        "asof_join_tolerance": """
+            WITH purchases AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+            ), signups AS (
+              SELECT user_id, ts AS signup_ts, value AS signup_value
+              FROM events WHERE event_type = 'signup'
+            ), j AS (
+              SELECT p.event_id, p.user_id, p.ts, s.signup_ts, s.signup_value
+              FROM purchases p
+              ASOF LEFT JOIN signups s
+                ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+            )
+            SELECT event_id, user_id,
+                   CASE WHEN ts - signup_ts <= INTERVAL 7 DAY
+                        THEN signup_ts END AS signup_ts,
+                   CASE WHEN ts - signup_ts <= INTERVAL 7 DAY
+                        THEN floor((signup_value) * 1e6 + 0.50000095367431640625) / 1e6
+                   END AS signup_value
+            FROM j ORDER BY event_id
         """,
         "asof_join": """
             WITH purchases AS (
