@@ -1191,6 +1191,43 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination check (operators.sampling): docs in
+    DIFFERENT splits sharing a 16-token prefix (the practical
+    boilerplate-net; exact-content mode is the curate() invariant). 50/50
+    split so the corpus's prefix-collision pairs actually cross."""
+    from pyradiomics_spark.operators.sampling import (
+        cross_split_contamination, split_dataset)
+
+    docs = _read(spark, sf_dir, "documents")
+    split = split_dataset(docs, "doc_id", weights={"a": 0.5, "b": 0.5},
+                          seed=11)
+    return cross_split_contamination(
+        split, "doc_id", "text", prefix_tokens=16).orderBy("id_a", "id_b")
+
+
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means curation QA: per-cell majority-label purity of the k=4
+    assignment against the embeddings table's ground-truth labels."""
+    import numpy as np
+
+    from pyradiomics_spark.operators.clustering import (assign_cells,
+                                                        cluster_purity)
+    from pyradiomics_spark.operators.similarity import _planes
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = _planes(4, 64, seed="kmeans-gate")
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    a = assign_cells(emb, cents)
+    return (
+        cluster_purity(a, "label")
+        .select(F.col("cell").cast("long").alias("cell"),
+                "n_majority", "n_total",
+                _rnd("purity", 6).alias("purity"))
+        .orderBy("cell")
+    )
+
+
 def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One distributed Lloyd update (operators.clustering): JVM-only
     nearest-centroid assignment (zip_with/aggregate argmin, no UDF) + ONE
@@ -1419,6 +1456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "kmeans_step": q_kmeans_step,
         "length_quantiles": q_length_quantiles,
+        "split_contamination": q_split_contamination,
+        "cluster_purity": q_cluster_purity,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -1678,6 +1717,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivf_recall": ivf_recall_sql,
         "kmeans_step": kmeans_step_sql,
+        "split_contamination": """
+            WITH s AS (
+              SELECT doc_id, text,
+                     CASE WHEN ('0x' || substr(md5(doc_id || ':11'), 1, 8))::BIGINT
+                               / 4294967296.0 < 0.5
+                          THEN 'a' ELSE 'b' END AS split
+              FROM documents
+            ), p AS (
+              SELECT doc_id, split,
+                     array_to_string(string_split(text, ' ')[1:16], ' ') AS pre
+              FROM s
+            )
+            SELECT a.doc_id AS id_a, a.split AS split_a,
+                   b.doc_id AS id_b, b.split AS split_b
+            FROM p a JOIN p b
+              ON a.pre = b.pre AND a.doc_id < b.doc_id AND a.split <> b.split
+            ORDER BY id_a, id_b
+        """,
+        "cluster_purity": f"""
+            WITH emb AS (
+              SELECT vec_id, label,
+                     list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+            ), cents AS (
+              SELECT * FROM (VALUES
+              {_km_rows}
+              ) t(cell, cv)
+            ), assign AS (
+              SELECT vec_id, label, cell FROM (
+                SELECT e.vec_id, e.label, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.v, c.cv) ASC, c.cell ASC) AS rn
+                FROM emb e CROSS JOIN cents c) WHERE rn = 1
+            ), by_lab AS (
+              SELECT cell, label, count(*) AS n FROM assign GROUP BY cell, label
+            )
+            SELECT CAST(cell AS BIGINT) AS cell,
+                   max(n) AS n_majority, CAST(sum(n) AS BIGINT) AS n_total,
+                   floor((max(n) * 1.0 / sum(n)) * 1e6 + 0.50000095367431640625) / 1e6 AS purity
+            FROM by_lab GROUP BY cell ORDER BY cell
+        """,
         "length_quantiles": """
             SELECT lang,
                    floor((quantile_cont(n_chars, 0.5)) * 1e6 + 0.50000095367431640625) / 1e6 AS p50,

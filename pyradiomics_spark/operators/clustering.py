@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -79,6 +79,26 @@ def kmeans_step(
         new[r.cell][r.idx] = r.s / r.n
         counts[r.cell] = int(r.n)
     return new, counts
+
+
+def cluster_purity(
+    assigned: DataFrame,
+    label_col: str,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Per-cluster purity against ground-truth labels — the curation-QA
+    metric for a fitted quantizer (cell → majority label fraction). Two
+    partial-aggregated shuffles on (cell, label) then cell; ≤ k·|labels|
+    intermediate rows regardless of corpus size."""
+    by = (assigned.groupBy(cell_col, label_col)
+          .agg(F.count("*").alias("n")))
+    return (
+        by.withColumn("__tot", F.sum("n").over(Window.partitionBy(cell_col)))
+        .groupBy(cell_col)
+        .agg(F.max("n").alias("n_majority"),
+             F.max("__tot").alias("n_total"))
+        .withColumn("purity", F.col("n_majority") / F.col("n_total"))
+    )
 
 
 def kmeans_fit(

@@ -99,6 +99,47 @@ def stratified_sample(
     return df.where(frac < rate)
 
 
+def cross_split_contamination(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str = "split",
+    prefix_tokens: int | None = None,
+) -> DataFrame:
+    """Train/test DECONTAMINATION check: pairs of docs in *different*
+    splits sharing content — each row is an eval doc whose answer leaked
+    into train. ``prefix_tokens=None`` keys on the byte-identical full
+    text (exact contamination — structurally impossible after
+    exact-dedup-then-split, which curate() relies on);
+    ``prefix_tokens=N`` keys on the first N space-tokens (the practical
+    decontamination net: boilerplate-headed near-copies).
+
+    One shuffle on the content-key hash; skew-safe unless one literal
+    document/prefix dominates the corpus, in which case the dedup stage
+    upstream was skipped.
+    """
+    if prefix_tokens is None:
+        key = F.col(text_col).cast("binary")
+    else:
+        key = F.concat_ws(
+            " ", F.slice(F.split(F.col(text_col), " "), 1, prefix_tokens)
+        ).cast("binary")
+    h = df.select(
+        F.col(id_col), F.col(split_col), F.sha2(key, 256).alias("__h"))
+    a, b = h.alias("a"), h.alias("b")
+    return (
+        a.join(b, (F.col("a.__h") == F.col("b.__h"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+               & (F.col(f"a.{split_col}") != F.col(f"b.{split_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"a.{split_col}").alias("split_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"b.{split_col}").alias("split_b"),
+        )
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     id_col: str,

@@ -34,7 +34,8 @@ from pyradiomics_spark.operators.dedup import (exact_dedup,
                                                minhash_lsh_candidates,
                                                minhash_signatures,
                                                ngram_jaccard_pairs)
-from pyradiomics_spark.operators.sampling import (pack_sequences,
+from pyradiomics_spark.operators.sampling import (cross_split_contamination,
+                                                  pack_sequences,
                                                   split_dataset)
 
 
@@ -102,6 +103,11 @@ def curate(
     assert n_exact <= n_raw and n_neardup <= n_exact and n_kept <= n_neardup
     # packed layout is gapless: max(start+len) == Σ len
     assert int(totals["end"] or 0) == n_tokens
+    # decontamination: exact dedup ran BEFORE the split, so no eval doc
+    # can share byte-identical content with a train doc
+    n_contam = cross_split_contamination(
+        split, id_col, text_col).count()
+    assert n_contam == 0, f"{n_contam} cross-split exact-content pairs"
 
     if out_path:
         packed.drop("bucket").write.mode("overwrite").parquet(
@@ -119,4 +125,5 @@ def curate(
         "n_train_docs": n_train,
         "n_train_tokens": n_tokens,
         "n_context_windows": n_packs,
+        "cross_split_contamination": n_contam,
     }

@@ -147,3 +147,21 @@ def test_pack_sequences_zero_token_docs(spark):
     spans = sum(max(r.pack_last - r.pack_first + 1, 0)
                 for r in rows.values() if r.n_tok > 0)
     assert spans >= 2  # 15 tokens over budget 8 → some doc straddles a cut
+
+
+def test_cross_split_contamination(spark):
+    from pyradiomics_spark.operators.sampling import cross_split_contamination
+
+    df = spark.createDataFrame(
+        [(1, "same exact text", "train"), (2, "same exact text", "test"),
+         (3, "same exact text", "train"),  # same split as 1 — not a pair
+         (4, "different text entirely", "test"),
+         (5, "common prefix words here then tail one", "train"),
+         (6, "common prefix words here then tail two", "test")],
+        "doc_id long, text string, split string")
+    exact = cross_split_contamination(df, "doc_id", "text")
+    assert [(r.id_a, r.id_b) for r in exact.orderBy("id_a", "id_b").collect()] \
+        == [(1, 2), (2, 3)]
+    pre = cross_split_contamination(df, "doc_id", "text", prefix_tokens=5)
+    got = {(r.id_a, r.id_b) for r in pre.collect()}
+    assert (5, 6) in got  # caught by the 5-token prefix net
