@@ -180,8 +180,31 @@ def batch_text_to_intensity(
     if a.size == 0:
         empty = np.zeros(0, dtype=np.int64)
         return [empty] * len(texts)
+    tok_len, counts, sus_pos = _token_lens_from_bytes(a, starts)
+    slow_docs = (set(np.searchsorted(starts, sus_pos, side="right") - 1)
+                 if sus_pos.size else ())
+    bounds = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(counts[:-1], out=bounds[1:])
+    for i in range(len(texts)):
+        if i in slow_docs:
+            out[i] = text_to_intensity(texts[i] or "")
+        else:
+            lo = bounds[i]
+            out[i] = tok_len[lo:lo + counts[i]]
+    return out
+
+
+def _token_lens_from_bytes(a: np.ndarray, starts: np.ndarray):
+    """Core byte-level tokenizer over a concatenated UTF-8 buffer.
+
+    ``a``: uint8 buffer of all docs back-to-back; ``starts``: int64 doc
+    byte offsets (size n_docs+1, starts[-1] == a.size). Returns
+    (tok_len [int64, all tokens in order], counts [tokens per doc],
+    sus_pos [byte positions of possible unicode-whitespace sequences —
+    docs containing one need the per-doc python fallback]).
+    """
     # unicode-ws suspect scan restricted to multi-byte lead bytes (≥ 0xC2):
-    # one full pass + tiny index ops instead of eight 22-MB boolean sweeps
+    # one full pass + tiny index ops instead of eight full boolean sweeps
     hi_pos = np.nonzero(a >= 0xC2)[0]
     hi_pos = hi_pos[hi_pos < a.size - 1]
     sus_pos = np.empty(0, dtype=np.int64)
@@ -193,8 +216,6 @@ def batch_text_to_intensity(
             | ((lead == 0xE2) & ((nxt == 0x80) | (nxt == 0x81)))
             | ((lead == 0xE3) & (nxt == 0x80)))
         sus_pos = hi_pos[sus]
-    slow_docs = (set(np.searchsorted(starts, sus_pos, side="right") - 1)
-                 if sus_pos.size else ())
     ws = _ASCII_WS[a]
     nonspace = ~ws
     prev_nonspace = np.empty_like(nonspace)
@@ -213,12 +234,59 @@ def batch_text_to_intensity(
     tok_len = np.nonzero(tok_end)[0] - s_pos + 1
     # tokens-per-doc: one searchsorted over the (small) doc-starts array
     counts = np.diff(np.searchsorted(s_pos, starts))
-    bounds = np.zeros(lens.size, dtype=np.int64)
-    np.cumsum(counts[:-1], out=bounds[1:])
-    for i in range(len(texts)):
-        if i in slow_docs:
-            out[i] = text_to_intensity(texts[i] or "")
-        else:
-            lo = bounds[i]
-            out[i] = tok_len[lo:lo + counts[i]]
-    return out
+    return tok_len, counts, sus_pos
+
+
+def arrow_token_lens(text_array):
+    """ZERO-COPY decode of a pyarrow string array straight from its Arrow
+    buffers (validity, offsets, UTF-8 data) — no python strings are ever
+    materialized; the value buffer IS the concatenated corpus the
+    byte-level tokenizer wants. Returns (tok_len_concat int64, counts
+    int64 per doc) or None when the batch needs the python path (a
+    unicode-whitespace suspect sequence is present — rare, and correctness
+    beats zero-copy there).
+
+    Null docs decode as empty (0 tokens), matching ``text or ""``.
+    """
+    import pyarrow as pa
+
+    arr = text_array
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    elif pa.types.is_string(arr.type):
+        off_dtype = np.int32
+    else:
+        return None
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    validity, offsets_buf, data_buf = arr.buffers()
+    offsets = np.frombuffer(offsets_buf, dtype=off_dtype,
+                            count=n + 1, offset=arr.offset * np.dtype(off_dtype).itemsize
+                            ).astype(np.int64)
+    if data_buf is None:  # all-null column
+        return np.empty(0, dtype=np.int64), np.zeros(n, dtype=np.int64)
+    data = np.frombuffer(data_buf, dtype=np.uint8)
+    lo, hi = offsets[0], offsets[-1]
+    a = data[lo:hi]
+    starts = offsets - lo
+    if arr.null_count:
+        # rebuild the buffer without the null docs' (undefined) bytes:
+        # cheapest correct handling — null rows become zero-length segments
+        valid = np.asarray(arr.is_valid(), dtype=bool)
+        lens = np.where(valid, np.diff(starts), 0)
+        starts2 = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts2[1:])
+        keep = np.ones(a.size, dtype=bool)
+        for i in np.nonzero(~valid)[0]:
+            keep[starts[i]:starts[i + 1]] = False
+        a = a[keep]
+        starts = starts2
+    if a.size == 0:
+        return np.empty(0, dtype=np.int64), np.zeros(n, dtype=np.int64)
+    tok_len, counts, sus_pos = _token_lens_from_bytes(a, starts)
+    if sus_pos.size:
+        return None
+    return tok_len, counts

@@ -60,6 +60,22 @@ class Ragged:
         # would truncate the segment before a trailing empty doc
         self._ne_starts = self.starts[self.nonempty]
 
+    @classmethod
+    def from_concat(cls, x: np.ndarray, lens: np.ndarray) -> "Ragged":
+        """Build directly from an already-concatenated value array + per-doc
+        lengths (the Arrow string-buffer fast path: no per-doc python
+        arrays are ever materialized)."""
+        r = object.__new__(cls)
+        r.lens = np.asarray(lens, dtype=np.int64)
+        r.B = r.lens.size
+        r.starts = np.zeros(r.B, dtype=np.int64)
+        np.cumsum(r.lens[:-1], out=r.starts[1:])
+        r.x = np.asarray(x)
+        r.doc = np.repeat(np.arange(r.B), r.lens)
+        r.nonempty = r.lens > 0
+        r._ne_starts = r.starts[r.nonempty]
+        return r
+
     def with_x(self, new_x: np.ndarray) -> "Ragged":
         """Same layout, different values (for derived image types)."""
         clone = object.__new__(Ragged)

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from typing import Iterable, Iterator
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -201,7 +203,18 @@ def _extract_batch(texts, settings: ExtractionSettings, image_type: str = "origi
             texts, settings.tokenizer, settings.intensity_mode,
             settings.intensity_buckets)
     ]
-    r0 = Ragged(arrays)
+    return _extract_from_ragged(Ragged(arrays), settings, image_type)
+
+
+def _extract_from_ragged(r0, settings: ExtractionSettings,
+                         image_type: str = "original") -> dict:
+    """Kernel stage of _extract_batch over a prebuilt Ragged (the Arrow
+    zero-copy path feeds this directly — no per-doc python arrays)."""
+    from pyradiomics_spark.kernels.batch import (
+        discretize_batch, firstorder_batch, glcm_batch,
+        gldm_batch, ngtdm_batch, normalize_batch, resegment_batch,
+        runs_batch_features, seqshape_batch, transform_batch)
+
     if settings.normalize and r0.x.size:
         r0 = r0.with_x(normalize_batch(
             r0, settings.normalize_scale, settings.remove_outliers))
@@ -335,23 +348,80 @@ def extract_features(
 
     out_cols = list(keys) + ["image_type", "diag_n_tokens", "diag_n_valid"] + fcols
     fast = _batch_fast_path(settings)
+    # zero-copy Arrow path: the string column's value buffer IS the
+    # concatenated UTF-8 corpus the byte tokenizer wants — mapInArrow skips
+    # the Arrow→pandas python-string materialization entirely (the largest
+    # non-kernel cost of the extraction stage). Falls back to the pandas
+    # path per batch when a unicode-whitespace suspect is present, and
+    # wholesale for non-default tokenizer/intensity settings.
+    use_arrow = (fast and settings.tokenizer == "whitespace"
+                 and settings.intensity_mode == "token_len"
+                 and not os.environ.get("PYRS_NO_ARROW"))
+
+    def _pandas_frames(pdf: pd.DataFrame):
+        frames = []
+        texts = pdf[text_col].tolist()
+        for it in image_types:
+            cols = _extract_batch(texts, settings, image_type=it)
+            data = {k: pdf[k].to_numpy() for k in keys}
+            data["image_type"] = it
+            data["diag_n_tokens"] = cols["diag_n_tokens"]
+            data["diag_n_valid"] = cols["diag_n_valid"]
+            for c in fcols:
+                data[c] = cols.get(c, np.nan)
+            frames.append(pd.DataFrame(data, columns=out_cols))
+        return frames
+
+    def run_arrow(batches):
+        import pyarrow as pa
+
+        from pyradiomics_spark.functions.text import arrow_token_lens
+        from pyradiomics_spark.kernels.batch import Ragged
+
+        out_schema = None
+        for rb in batches:
+            if out_schema is None:
+                names = [f.name for f in rb.schema]
+                ti = names.index(text_col)
+                key_idx = [names.index(k) for k in keys]
+                out_schema = pa.schema(
+                    [(k, rb.schema.field(k).type) for k in keys]
+                    + [("image_type", pa.string()),
+                       ("diag_n_tokens", pa.int32()),
+                       ("diag_n_valid", pa.int32())]
+                    + [(c, pa.float64()) for c in fcols])
+            parsed = arrow_token_lens(rb.column(ti))
+            if parsed is None:  # unicode-ws suspect in batch → pandas path
+                for f in _pandas_frames(rb.to_pandas()):
+                    yield pa.RecordBatch.from_pandas(
+                        f, schema=out_schema, preserve_index=False)
+                continue
+            tok_len, counts = parsed
+            r0 = Ragged.from_concat(tok_len.astype(np.float64), counts)
+            n = rb.num_rows
+            for it in image_types:
+                cols = _extract_from_ragged(r0, settings, image_type=it)
+                arrays = [rb.column(i) for i in key_idx]
+                arrays.append(pa.array([it] * n, type=pa.string()))
+                arrays.append(pa.array(
+                    np.asarray(cols["diag_n_tokens"], dtype=np.int32)))
+                arrays.append(pa.array(
+                    np.asarray(cols["diag_n_valid"], dtype=np.int32)))
+                for c in fcols:
+                    v = cols.get(c)
+                    if v is None:
+                        arrays.append(pa.array(np.full(n, np.nan)))
+                    else:
+                        arrays.append(pa.array(
+                            np.asarray(v, dtype=np.float64)))
+                yield pa.RecordBatch.from_arrays(arrays, names=out_cols)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if fast:
-                frames = []
-                texts = pdf[text_col].tolist()
-                for it in image_types:
-                    cols = _extract_batch(texts, settings, image_type=it)
-                    # one dict → one DataFrame (no column-by-column inserts:
-                    # avoids pandas block fragmentation + its copy churn)
-                    data = {k: pdf[k].to_numpy() for k in keys}
-                    data["image_type"] = it
-                    data["diag_n_tokens"] = cols["diag_n_tokens"]
-                    data["diag_n_valid"] = cols["diag_n_valid"]
-                    for c in fcols:
-                        data[c] = cols.get(c, np.nan)
-                    frames.append(pd.DataFrame(data, columns=out_cols))
+                # one dict → one DataFrame per image type (no column-by-
+                # column inserts: avoids pandas block fragmentation churn)
+                frames = _pandas_frames(pdf)
                 yield frames[0] if len(frames) == 1 else pd.concat(
                     frames, ignore_index=True)
                 continue
@@ -371,6 +441,8 @@ def extract_features(
                     rows.append(row)
             yield pd.DataFrame(rows, columns=out_cols)
 
+    if use_arrow:
+        return src.mapInArrow(run_arrow, schema=schema)
     return src.mapInPandas(run, schema=schema)
 
 

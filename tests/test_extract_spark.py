@@ -73,3 +73,29 @@ def test_extraction_plan_is_shuffle_free(spark, pages):
     out = extract_features(pages)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # no shuffle for per-doc extraction
+
+
+def test_extraction_arrow_suspect_and_null_fallback(spark):
+    """The mapInArrow zero-copy path must agree with the per-doc kernels
+    even when a batch contains unicode-whitespace docs (per-batch pandas
+    fallback) or nulls (zero-length segments)."""
+    from pyradiomics_spark.functions.text import text_to_intensity
+    from pyradiomics_spark.operators.features import (_extract_one,
+                                                      extract_features)
+
+    rows = [("u1", "normal doc text here with several words"),
+            ("u2", "nbsp\xa0joined words plus more"),
+            ("u3", None),
+            ("u4", "中文 文本 测试 ok fine")]
+    df = spark.createDataFrame(rows, "url string, text string")
+    st = ExtractionSettings(bin_width=1.0)
+    out = extract_features(df, keys=("url",), settings=st).toPandas()
+    assert len(out) == 4
+    got = dict(zip(out.url, out.firstorder_Mean))
+    for u, t in rows:
+        feats = _extract_one(text_to_intensity(t or "").astype(float), st)
+        want = feats.get("original:firstorder_Mean", float("nan"))
+        if np.isnan(want):
+            assert np.isnan(got[u]), u
+        else:
+            assert got[u] == pytest.approx(want, rel=1e-12), u
