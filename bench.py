@@ -279,9 +279,39 @@ def run_scaling(n_urls: int = 64000, lo: int = 4, hi: int = 16) -> dict:
         if retention > 0:
             scaling["efficiency_hw_normalized"] = round(
                 scaling["efficiency"] / retention, 3)
+        # the zero-copy engine is partially MEMORY-bound: record the box's
+        # streaming-bandwidth retention at the same occupancy step so the
+        # efficiency number can be read against the DRAM ceiling, not just
+        # the cpu-frequency one (see BENCH.md round-3 scaling discussion)
+        scaling["mem_stream_retention"] = round(_mem_retention(lo, hi), 3)
         return scaling
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _mem_stream(_: int) -> float:
+    import numpy as _np
+
+    a = _np.ones(25_000_000)  # 200 MB working set — far past L3
+    s = 0.0
+    for _i in range(6):
+        s += float((a * 1.000001).sum())
+    return s
+
+
+def _mem_retention(lo: int, hi: int) -> float:
+    """Per-proc STREAMING-memory throughput at hi vs lo busy procs — the
+    DRAM-bandwidth analog of _cpu_retention (whose tiny working set only
+    sees frequency/steal)."""
+    from multiprocessing import Pool
+
+    rates = {}
+    for procs in (lo, hi):
+        with Pool(procs) as p:
+            t0 = time.time()
+            p.map(_mem_stream, [0] * procs)
+            rates[procs] = procs / (time.time() - t0) / procs
+    return rates[hi] / rates[lo] if rates[lo] else 0.0
 
 
 def _probe_mops(procs: int = 4, n: int = 2_000_000) -> float:
