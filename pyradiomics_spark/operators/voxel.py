@@ -12,6 +12,7 @@ the reference's ``voxelBatch`` (base.py:214-237).
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -97,20 +98,10 @@ def voxel_feature_maps(
               + ", ".join(f"`{c}` double" for c in fcols))
     src = df.select(*keys, text_col)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        empty = pd.DataFrame(
-            columns=list(keys) + ["image_type", "pos"] + fcols)
-        for pdf in batches:
-            # batched assembly (mirrors features._extract_batch): per-doc
-            # Python is ONLY the text decode; transform + discretize +
-            # the garbage-doc guard all run on one Ragged
-            arrays = [
-                a.astype(np.float64)
-                for a in batch_text_to_intensity(
-                    pdf[text_col].tolist(), settings.tokenizer,
-                    settings.intensity_mode, settings.intensity_buckets)
-            ]
-            r0 = Ragged(arrays)
+    def core(r0: "Ragged"):
+        """(d_lens, out_pos, cols) for one decoded batch, or None when no
+        doc survives — shared by the pandas and zero-copy Arrow paths."""
+        if True:
             r_img = r0 if image_type == "original" else r0.with_x(
                 transform_batch(r0, image_type, settings))
             keep = r0.lens > 0
@@ -126,8 +117,7 @@ def voxel_feature_maps(
                     keep &= ~((fmx - fmn + 1) > settings.max_gray_levels)
             rk = r_img if bool(keep.all()) else r_img.masked(keep[r_img.doc])
             if rk.x.size == 0:
-                yield empty
-                continue
+                return None
             conc_img = rk.x
             conc_lvl = discretize_batch(
                 rk, settings.bin_width, settings.bin_count)
@@ -210,6 +200,30 @@ def voxel_feature_maps(
                 parts.append(kernel_cols(rw, conc_lvl[srcix]))
             cols = ({k: np.concatenate([p[k] for p in parts])
                      for k in parts[0]} if len(parts) > 1 else parts[0])
+            return d_lens, out_pos, cols
+
+    use_arrow = (settings.tokenizer == "whitespace"
+                 and settings.intensity_mode == "token_len"
+                 and not os.environ.get("PYRS_NO_ARROW"))
+
+    def _decode_pandas(texts):
+        arrays = [
+            a.astype(np.float64)
+            for a in batch_text_to_intensity(
+                texts, settings.tokenizer,
+                settings.intensity_mode, settings.intensity_buckets)
+        ]
+        return Ragged(arrays)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = pd.DataFrame(
+            columns=list(keys) + ["image_type", "pos"] + fcols)
+        for pdf in batches:
+            res = core(_decode_pandas(pdf[text_col].tolist()))
+            if res is None:
+                yield empty
+                continue
+            d_lens, out_pos, cols = res
             data = {
                 k: np.repeat(pdf[k].to_numpy(), d_lens) for k in keys
             }
@@ -219,6 +233,49 @@ def voxel_feature_maps(
                 data[c] = cols.get(c, np.nan)
             yield pd.DataFrame(data, columns=list(keys) + ["image_type", "pos"] + fcols)
 
+    def run_arrow(batches):
+        """Zero-copy boundary (mirrors features.extract_features): token
+        arrays straight from the Arrow string buffers in, RecordBatches
+        from numpy out; keys repeated per token position via Arrow take."""
+        import pyarrow as pa
+
+        from pyradiomics_spark.functions.text import arrow_token_lens
+
+        out_schema = None
+        for rb in batches:
+            if out_schema is None:
+                names = [f.name for f in rb.schema]
+                ti = names.index(text_col)
+                key_idx = [names.index(k) for k in keys]
+                out_schema = pa.schema(
+                    [(k, rb.schema.field(k).type) for k in keys]
+                    + [("image_type", pa.string()), ("pos", pa.int32())]
+                    + [(c, pa.float64()) for c in fcols])
+            parsed = arrow_token_lens(rb.column(ti))
+            if parsed is None:  # unicode-ws suspect → pandas fallback
+                pdf = rb.to_pandas()
+                res = core(_decode_pandas(pdf[text_col].tolist()))
+            else:
+                tok_len, counts = parsed
+                res = core(Ragged.from_concat(
+                    tok_len.astype(np.float64), counts))
+            if res is None:
+                continue
+            d_lens, out_pos, cols = res
+            rep = pa.array(np.repeat(np.arange(rb.num_rows), d_lens))
+            arrays = [rb.column(i).take(rep) for i in key_idx]
+            n_out = out_pos.size
+            arrays.append(pa.array([image_type] * n_out, type=pa.string()))
+            arrays.append(pa.array(out_pos.astype(np.int32)))
+            for c in fcols:
+                v = cols.get(c)
+                arrays.append(pa.array(
+                    np.full(n_out, np.nan) if v is None
+                    else np.asarray(v, dtype=np.float64)))
+            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+    if use_arrow:
+        return src.mapInArrow(run_arrow, schema=schema)
     return src.mapInPandas(run, schema=schema)
 
 
