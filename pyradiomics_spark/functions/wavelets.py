@@ -411,6 +411,10 @@ def _q_root_groups(K: int) -> list:
                     groups.append([z, roots[j]])
                     break
     groups.sort(key=lambda g: -abs(g[0]))
+    if sum(len(g) for g in groups) != len(roots):
+        raise ValueError(
+            f"Q_{K} root grouping lost a root (numpy np.roots conjugate "
+            "pairing drifted) — bior/rbio construction cannot proceed")
     return groups
 
 
@@ -442,7 +446,29 @@ def bior_lowpass_pair(N: int, M: int) -> tuple[np.ndarray, np.ndarray]:
                  for z in groups[gi]]
     dec = _SQRT2 * np.convolve(_binom_lo(dec_pow), _q_factor_poly(dec_roots))
     rec = _SQRT2 * np.convolve(_binom_lo(rec_pow), _q_factor_poly(rec_roots))
+    # fail-fast guard: _BIOR_FAMILY's split indices refer to _q_root_groups'
+    # |root|-sorted order, which ultimately rests on np.roots output. A
+    # numpy change that re-orders near-equal-magnitude groups would silently
+    # swap analysis/synthesis factors — so pin one published coefficient per
+    # bank and refuse to construct a reordered one.
+    for bank, idx, want in _BIOR_SPOT[(N, M)]:
+        got = (dec if bank == "dec" else rec)[idx]
+        if abs(got - want) > 1e-8:
+            raise ValueError(
+                f"bior{N}.{M} {bank}_lo[{idx}] = {got!r}, expected {want!r} "
+                "(published table): Q-root group order drifted — re-derive "
+                "the split indices in _BIOR_FAMILY")
     return dec, rec
+
+
+# published spot values (pywt/Matlab tables) guarding the non-spline
+# root-split members against np.roots ordering drift:
+# {(N,M): ((bank, index, value), ...)}
+_BIOR_SPOT = {
+    (4, 4): (("dec", 0, 0.03782845550699535), ("rec", 0, -0.06453888262893856)),
+    (5, 5): (("dec", 0, 0.039687088347405), ("rec", 5, 0.899506109748648)),
+    (6, 8): (("dec", 0, 0.001908831736481), ("dec", 8, 0.825922997458402)),
+}
 
 
 def _center_pad(h: np.ndarray, L: int) -> np.ndarray:

@@ -657,7 +657,11 @@ def _glcm_features_from_counts(r: Ragged, levels: np.ndarray, P: np.ndarray,
     sumsq = np.sum(px * dx * dx, axis=1)                # ≡ Σ P (i−ux)² = σx²
     sigx = np.sqrt(sumsq)
     sigy = np.sqrt(np.sum(py * dy * dy, axis=1))
-    corm = autoc - ux * uy                              # Σ P (i−ux)(j−uy)
+    # Σ P (i−ux)(j−uy) from CENTERED products (same form as the per-doc
+    # kernel, glcm.py:158) — the algebraic shortcut autoc − ux·uy is exact
+    # but catastrophically cancels for near-flat high-G docs where
+    # σx·σy ≈ 0; one (B,G,G) einsum buys full precision there
+    corm = np.einsum("bij,bi,bj->b", P, dx, dy)
     with np.errstate(invalid="ignore"):
         corr = corm / (sigx * sigy + EPS)
     corr = np.where(sigx * sigy == 0, 1.0, corr)

@@ -91,6 +91,9 @@ def stratified_sample(
         return df.where(frac < F.lit(float(fractions)))
     if not isinstance(fractions, dict):
         raise ValueError("dict of per-stratum fractions required")
+    if not fractions:
+        # every stratum is "unknown" → fraction 0: empty result, explicitly
+        return df.where(F.lit(False))
     rate = None
     for k, v in fractions.items():
         cond = F.col(strata_col) == F.lit(k)

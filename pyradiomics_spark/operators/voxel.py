@@ -101,106 +101,105 @@ def voxel_feature_maps(
     def core(r0: "Ragged"):
         """(d_lens, out_pos, cols) for one decoded batch, or None when no
         doc survives — shared by the pandas and zero-copy Arrow paths."""
-        if True:
-            r_img = r0 if image_type == "original" else r0.with_x(
-                transform_batch(r0, image_type, settings))
-            keep = r0.lens > 0
-            if settings.bin_count is None and r_img.x.size:
-                # same garbage guard as extract_features: a doc whose FBW
-                # level range exceeds max_gray_levels would blow the
-                # n_windows×G² kernel grids — skip it (voxel maps of
-                # garbage docs have no training value; the segment-mode
-                # row for the doc carries the NaN signal)
-                fl = np.floor(r_img.x / settings.bin_width)
-                fmn, fmx = r_img.segmin(fl), r_img.segmax(fl)
-                with np.errstate(invalid="ignore"):
-                    keep &= ~((fmx - fmn + 1) > settings.max_gray_levels)
-            rk = r_img if bool(keep.all()) else r_img.masked(keep[r_img.doc])
-            if rk.x.size == 0:
-                return None
-            conc_img = rk.x
-            conc_lvl = discretize_batch(
-                rk, settings.bin_width, settings.bin_count)
-            # vectorized window construction: every ±radius window becomes
-            # one pseudo-doc via a single fancy-indexed gather — no
-            # per-position python loop (that costs tens of millions of
-            # interpreter iterations per executor at corpus scale)
-            d_lens = rk.lens
-            d_starts = rk.starts
-            ddoc = rk.doc
-            N = conc_img.size
-            i_in = np.arange(N) - d_starts[ddoc]
-            lo = np.maximum(i_in - radius, 0)
-            hi = np.minimum(i_in + radius + 1, d_lens[ddoc])
-            wlen = (hi - lo).astype(np.int64)
-            out_pos = i_in
+        r_img = r0 if image_type == "original" else r0.with_x(
+            transform_batch(r0, image_type, settings))
+        keep = r0.lens > 0
+        if settings.bin_count is None and r_img.x.size:
+            # same garbage guard as extract_features: a doc whose FBW
+            # level range exceeds max_gray_levels would blow the
+            # n_windows×G² kernel grids — skip it (voxel maps of
+            # garbage docs have no training value; the segment-mode
+            # row for the doc carries the NaN signal)
+            fl = np.floor(r_img.x / settings.bin_width)
+            fmn, fmx = r_img.segmin(fl), r_img.segmax(fl)
+            with np.errstate(invalid="ignore"):
+                keep &= ~((fmx - fmn + 1) > settings.max_gray_levels)
+        rk = r_img if bool(keep.all()) else r_img.masked(keep[r_img.doc])
+        if rk.x.size == 0:
+            return None
+        conc_img = rk.x
+        conc_lvl = discretize_batch(
+            rk, settings.bin_width, settings.bin_count)
+        # vectorized window construction: every ±radius window becomes
+        # one pseudo-doc via a single fancy-indexed gather — no
+        # per-position python loop (that costs tens of millions of
+        # interpreter iterations per executor at corpus scale)
+        d_lens = rk.lens
+        d_starts = rk.starts
+        ddoc = rk.doc
+        N = conc_img.size
+        i_in = np.arange(N) - d_starts[ddoc]
+        lo = np.maximum(i_in - radius, 0)
+        hi = np.minimum(i_in + radius + 1, d_lens[ddoc])
+        wlen = (hi - lo).astype(np.int64)
+        out_pos = i_in
 
-            # voxelBatch analog (base.py:202-221): the batched texture
-            # kernels materialize (n_windows × G × G) float64 grids, so an
-            # unchunked Arrow batch of ordinary web docs (10k rows × 100s
-            # of tokens × G up to 128) would allocate tens of GB. Slice the
-            # window set so the largest per-chunk grid stays bounded; the
-            # kernels are pure per-pseudo-doc so chunking is result-exact.
-            g_batch = max(int(conc_lvl.max()), 1)
-            if settings.voxel_batch > 0:
-                chunk = settings.voxel_batch
-            else:  # adaptive: ~64 MB per GLCM tensor
-                chunk = max(256, (64 << 20) // (g_batch * g_batch * 8))
-            want = set(classes)
+        # voxelBatch analog (base.py:202-221): the batched texture
+        # kernels materialize (n_windows × G × G) float64 grids, so an
+        # unchunked Arrow batch of ordinary web docs (10k rows × 100s
+        # of tokens × G up to 128) would allocate tens of GB. Slice the
+        # window set so the largest per-chunk grid stays bounded; the
+        # kernels are pure per-pseudo-doc so chunking is result-exact.
+        g_batch = max(int(conc_lvl.max()), 1)
+        if settings.voxel_batch > 0:
+            chunk = settings.voxel_batch
+        else:  # adaptive: ~64 MB per GLCM tensor
+            chunk = max(256, (64 << 20) // (g_batch * g_batch * 8))
+        want = set(classes)
 
-            def kernel_cols(rw: Ragged, lv: np.ndarray) -> dict:
-                c: dict = {}
-                if "firstorder" in want:
-                    for f, v in firstorder_batch(
-                            rw, lv, settings.voxel_array_shift).items():
-                        c[f"firstorder_{f}"] = v
-                if "glcm" in want:
-                    for f, v in glcm_batch(rw, lv, settings.distances,
-                                           settings.symmetrical_glcm,
-                                           settings.weighting_norm).items():
-                        c[f"glcm_{f}"] = v
-                if "glrlm" in want or "glszm" in want:
-                    rl, sz = runs_batch_features(rw, lv)
-                    if "glrlm" in want:
-                        for f, v in rl.items():
-                            c[f"glrlm_{f}"] = v
-                    if "glszm" in want:
-                        for f, v in sz.items():
-                            c[f"glszm_{f}"] = v
-                if "ngtdm" in want:
-                    for f, v in ngtdm_batch(
-                            rw, lv, settings.distances).items():
-                        c[f"ngtdm_{f}"] = v
-                if "gldm" in want:
-                    for f, v in gldm_batch(rw, lv, settings.gldm_a,
-                                           settings.distances).items():
-                        c[f"gldm_{f}"] = v
-                return c
+        def kernel_cols(rw: Ragged, lv: np.ndarray) -> dict:
+            c: dict = {}
+            if "firstorder" in want:
+                for f, v in firstorder_batch(
+                        rw, lv, settings.voxel_array_shift).items():
+                    c[f"firstorder_{f}"] = v
+            if "glcm" in want:
+                for f, v in glcm_batch(rw, lv, settings.distances,
+                                       settings.symmetrical_glcm,
+                                       settings.weighting_norm).items():
+                    c[f"glcm_{f}"] = v
+            if "glrlm" in want or "glszm" in want:
+                rl, sz = runs_batch_features(rw, lv)
+                if "glrlm" in want:
+                    for f, v in rl.items():
+                        c[f"glrlm_{f}"] = v
+                if "glszm" in want:
+                    for f, v in sz.items():
+                        c[f"glszm_{f}"] = v
+            if "ngtdm" in want:
+                for f, v in ngtdm_batch(
+                        rw, lv, settings.distances).items():
+                    c[f"ngtdm_{f}"] = v
+            if "gldm" in want:
+                for f, v in gldm_batch(rw, lv, settings.gldm_a,
+                                       settings.distances).items():
+                    c[f"gldm_{f}"] = v
+            return c
 
-            parts: list[dict] = []
-            for a in range(0, N, chunk):
-                b = min(a + chunk, N)
-                w = wlen[a:b]
-                ws = np.zeros(b - a, dtype=np.int64)
-                np.cumsum(w[:-1], out=ws[1:])
-                tot = int(w.sum())
-                # per-chunk gather of window contents (also bounds the
-                # (2·radius+1)× expanded copy to the chunk, not the batch)
-                p_out = np.repeat(np.arange(a, b), w)
-                off = np.arange(tot) - np.repeat(ws, w)
-                srcix = d_starts[ddoc[p_out]] + lo[p_out] + off
-                rw = object.__new__(Ragged)
-                rw.B = b - a
-                rw.lens = w
-                rw.starts = ws
-                rw.x = conc_img[srcix]
-                rw.doc = p_out - a
-                rw.nonempty = w > 0
-                rw._ne_starts = ws[rw.nonempty]
-                parts.append(kernel_cols(rw, conc_lvl[srcix]))
-            cols = ({k: np.concatenate([p[k] for p in parts])
-                     for k in parts[0]} if len(parts) > 1 else parts[0])
-            return d_lens, out_pos, cols
+        parts: list[dict] = []
+        for a in range(0, N, chunk):
+            b = min(a + chunk, N)
+            w = wlen[a:b]
+            ws = np.zeros(b - a, dtype=np.int64)
+            np.cumsum(w[:-1], out=ws[1:])
+            tot = int(w.sum())
+            # per-chunk gather of window contents (also bounds the
+            # (2·radius+1)× expanded copy to the chunk, not the batch)
+            p_out = np.repeat(np.arange(a, b), w)
+            off = np.arange(tot) - np.repeat(ws, w)
+            srcix = d_starts[ddoc[p_out]] + lo[p_out] + off
+            rw = object.__new__(Ragged)
+            rw.B = b - a
+            rw.lens = w
+            rw.starts = ws
+            rw.x = conc_img[srcix]
+            rw.doc = p_out - a
+            rw.nonempty = w > 0
+            rw._ne_starts = ws[rw.nonempty]
+            parts.append(kernel_cols(rw, conc_lvl[srcix]))
+        cols = ({k: np.concatenate([p[k] for p in parts])
+                 for k in parts[0]} if len(parts) > 1 else parts[0])
+        return d_lens, out_pos, cols
 
     use_arrow = (settings.tokenizer == "whitespace"
                  and settings.intensity_mode == "token_len"

@@ -20,23 +20,38 @@ Scale shape: exact dedup = one sha2 shuffle; near-dup = banded equi-joins
 + O(log² n) component rounds; quality/split = pure projections; packing =
 one bucketed window + an offset broadcast. Nothing collects to the driver
 except the ≤ num_buckets offset tables and the metrics dict.
+
+Metrics are SINGLE-PASS: each stage contributes a boolean flag column on
+one shared lineage instead of materializing a filtered frame, so all four
+stage counts come from ONE aggregation over the persisted flag table. (At
+100 TB a ``count()`` per stage is a full job over non-materialized
+lineage — five full corpus passes for bookkeeping.)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyradiomics_spark.functions.textstats import (quality_features,
                                                    repetition_ratio)
-from pyradiomics_spark.operators.components import dedup_by_components
-from pyradiomics_spark.operators.dedup import (exact_dedup,
-                                               minhash_lsh_candidates,
+from pyradiomics_spark.operators.components import connected_components
+from pyradiomics_spark.operators.dedup import (minhash_lsh_candidates,
                                                minhash_signatures,
                                                ngram_jaccard_pairs)
 from pyradiomics_spark.operators.sampling import (cross_split_contamination,
                                                   pack_sequences,
                                                   split_dataset)
+
+_FLAGS = ("__exact", "__surv", "__kept")
+
+
+def _check(cond: bool, msg: str) -> None:
+    """Composition invariants are production gates, not debug asserts —
+    they must survive ``python -O`` (a stripped decontamination check is a
+    silent training-data leak)."""
+    if not cond:
+        raise RuntimeError(f"curation invariant violated: {msg}")
 
 
 def curate(
@@ -56,66 +71,92 @@ def curate(
     """Run the full curation pipeline; returns a metrics dict (stage
     counts + leak-style invariant checks). ``out_path`` commits the packed
     train split and the val/test doc lists as parquet."""
-    n_raw = docs.count()
+    # 1. exact dedup as a FLAG: min-id row per distinct content hash
+    # survives (same semantics as operators.dedup.exact_dedup — one sha2
+    # shuffle, here a window so the losers stay on the lineage for the
+    # single metrics pass). dup_count rides along for the committed output.
+    w_exact = Window.partitionBy(
+        F.sha2(F.col(text_col).cast("binary"), 256))
+    flagged = docs.withColumn(
+        "__exact", F.row_number().over(w_exact.orderBy(id_col)) == 1
+    ).withColumn("dup_count", F.count("*").over(w_exact))
 
-    # 1. exact dedup on content hash — one shuffle
-    exact = exact_dedup(docs, id_col, text_col)
-    n_exact = exact.count()
-
-    # 2. near-dup clusters: candidates → verify → components → 1 survivor.
-    # Transitive-safe: a–b–c chains collapse to ONE doc (pairwise
-    # loser-dropping would keep a leaf), see operators.components.
+    # 2. near-dup clusters over the exact survivors: candidates → verify →
+    # components → 1 survivor. Transitive-safe: a–b–c chains collapse to
+    # ONE doc (pairwise loser-dropping would keep a leaf), see
+    # operators.components. The component loop is inherently iterative
+    # (its own bounded jobs); its LOSER set comes back as a flag join.
+    exact = flagged.where("__exact")
     sigs = minhash_signatures(exact, id_col, text_col, num_hashes, shingle_n)
     cand = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
     verified = ngram_jaccard_pairs(
         exact, id_col, text_col, shingle_n, cand).where(
         F.col("jaccard") >= jaccard_threshold)
-    deduped = dedup_by_components(exact, verified, id_col).cache()
-    n_neardup = deduped.count()
+    comp = connected_components(verified, "id_a", "id_b")
+    losers = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col), F.lit(True).alias("__loser"))
+    flagged = (
+        flagged.join(losers, id_col, "left")
+        .withColumn("__surv",
+                    F.col("__exact") & F.col("__loser").isNull())
+        .drop("__loser"))
 
-    # 3. quality filter — pure projection
-    scored = quality_features(deduped, text_col).withColumn(
+    # 3+4. quality filter + deterministic split — pure projections, so they
+    # stack onto the same lineage as more flag columns
+    flagged = quality_features(flagged, text_col).withColumn(
         "rep_ratio", repetition_ratio(F.col(text_col)))
-    kept = scored.where(
-        (F.col("quality_score") >= min_quality)
+    flagged = flagged.withColumn(
+        "__kept",
+        F.col("__surv")
+        & (F.col("quality_score") >= min_quality)
         & (F.coalesce(F.col("rep_ratio"), F.lit(0.0)) <= max_repetition))
-    n_kept = kept.count()
+    flagged = split_dataset(flagged, id_col, seed=seed).persist()
 
-    # 4. deterministic split — stable under corpus growth
-    split = split_dataset(kept, id_col, seed=seed)
+    # ONE metrics job for every stage count (was: one count() per stage)
+    stage = flagged.agg(
+        F.count("*").alias("raw"),
+        F.sum(F.col("__exact").cast("long")).alias("exact"),
+        F.sum(F.col("__surv").cast("long")).alias("surv"),
+        F.sum(F.col("__kept").cast("long")).alias("kept")).collect()[0]
+    n_raw, n_exact = int(stage["raw"]), int(stage["exact"] or 0)
+    n_neardup, n_kept = int(stage["surv"] or 0), int(stage["kept"] or 0)
 
     # 5. pack the train split into fixed context windows
-    train = split.where(F.col("split") == "train")
+    kept = flagged.where("__kept").drop(*_FLAGS)
+    train = kept.where(F.col("split") == "train")
     packed = pack_sequences(
         train.withColumn("__n_tok",
                          F.size(F.filter(F.split(F.col(text_col), " "),
                                          lambda x: x != ""))),
         id_col, "__n_tok", budget=pack_budget, seed=seed)
-    n_train = packed.count()
+    # one job for count + token totals + layout extent (was two)
     totals = packed.agg(
+        F.count("*").alias("n"),
         F.sum("__n_tok").alias("tok"),
         F.max(F.col("start_off") + F.col("__n_tok")).alias("end"),
     ).collect()[0]
+    n_train = int(totals["n"])
     n_tokens = int(totals["tok"] or 0)
     n_packs = -(-n_tokens // pack_budget) if n_tokens else 0
 
     # invariants (the composition contract)
-    assert n_exact <= n_raw and n_neardup <= n_exact and n_kept <= n_neardup
+    _check(n_exact <= n_raw and n_neardup <= n_exact and n_kept <= n_neardup,
+           "stage counts must be monotone non-increasing")
     # packed layout is gapless: max(start+len) == Σ len
-    assert int(totals["end"] or 0) == n_tokens
+    _check(int(totals["end"] or 0) == n_tokens,
+           "packed layout has gaps (max(start+len) != total tokens)")
     # decontamination: exact dedup ran BEFORE the split, so no eval doc
     # can share byte-identical content with a train doc
-    n_contam = cross_split_contamination(
-        split, id_col, text_col).count()
-    assert n_contam == 0, f"{n_contam} cross-split exact-content pairs"
+    n_contam = cross_split_contamination(kept, id_col, text_col).count()
+    _check(n_contam == 0, f"{n_contam} cross-split exact-content pairs")
 
     if out_path:
         packed.drop("bucket").write.mode("overwrite").parquet(
             f"{out_path}/train_packed")
-        split.where(F.col("split") != "train").select(
+        kept.where(F.col("split") != "train").select(
             id_col, "split").write.mode("overwrite").parquet(
             f"{out_path}/holdout_ids")
-    deduped.unpersist()
+    flagged.unpersist()
 
     return {
         "n_raw": n_raw,
