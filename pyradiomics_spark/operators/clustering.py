@@ -8,10 +8,13 @@ md5-plane init it reuses, so a fitted quantizer slot-compatibly replaces
 ``ivf_topk``'s fixed centroids).
 
 Spark design (the 100-TB shape):
-* assignment is 100% JVM — per-centroid squared distances via
+* assignment is shuffle-free in both arms and auto-dispatches on k·dim:
+  small quantizers stay 100% JVM (per-centroid squared distances via
   ``zip_with``/``aggregate`` array expressions, argmin via a sorted
-  struct-array literal (k is small; the expression tree is k wide), no
-  Python UDF, no shuffle;
+  struct-array literal), production quantizers (k=1024+, dim=768) cross
+  the Arrow boundary once per batch to a broadcast-numpy gemm — an
+  expression tree k·dim literals wide would hit Catalyst analysis and
+  JVM codegen limits long before data volume matters;
 * the update is ONE partial-aggregated shuffle: explode to (cell, dim_idx)
   and groupBy-sum — map-side combine reduces every partition to ≤ k·dim
   rows, so shuffle volume is partitions × k × dim regardless of corpus
@@ -29,6 +32,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyradiomics_spark.operators.similarity import EXPR_MAX_TERMS
+
 
 def _as_double(vec_col):
     return F.transform(vec_col, lambda x: x.cast("double"))
@@ -41,18 +46,64 @@ def _sqdist(vec, cent: np.ndarray):
         F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _assign_cells_arrow(
+    df: DataFrame,
+    cents: np.ndarray,
+    vec_col: str,
+    cell_col: str,
+) -> DataFrame:
+    """Broadcast-numpy nearest-centroid assignment: ONE gemm per Arrow
+    batch via the ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖² expansion — plan size is
+    O(1) in k·dim, shuffle-free, and np.argmin's first-minimum rule is the
+    same lowest-cell tie break as the expression arm's array_sort."""
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(cents))
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {cell_col} int"
+
+    def run(batches):
+        C = bc.value
+        c2 = (C * C).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+            pdf = pdf.copy()
+            pdf[cell_col] = np.argmin(d2, axis=1).astype(np.int32)
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def assign_cells(
     df: DataFrame,
     centroids: np.ndarray,
     vec_col: str = "embedding",
     cell_col: str = "cell",
+    method: str = "auto",
 ) -> DataFrame:
     """Nearest-centroid (squared-euclidean) assignment, ties to the lowest
-    cell id — deterministic, pure JVM expression, no shuffle."""
+    cell id — deterministic and shuffle-free in both arms.
+
+    ``expr``: pure JVM expression (whole-stage codegen) embedding each
+    centroid coordinate as a literal — the right arm while k·dim is small.
+    ``arrow``: broadcast centroid matrix + one BLAS gemm per Arrow batch —
+    the scale arm; a production quantizer (k=1024+, dim=768) as literals
+    would be a ~10⁶-node expression tree (Catalyst analysis blowup, 64KB
+    codegen method limit). ``auto`` dispatches on EXPR_MAX_TERMS, the same
+    small/large boundary pattern as the reference's C dispatch
+    (/root/reference/radiomics/base.py:181-198) and asof_join_auto."""
+    cents = np.asarray(centroids, dtype=float)
+    if method == "auto":
+        method = "expr" if cents.size <= EXPR_MAX_TERMS else "arrow"
+    if method == "arrow":
+        return _assign_cells_arrow(df, cents, vec_col, cell_col)
     vec = _as_double(F.col(vec_col))
     arr = F.array(*[
         F.struct(_sqdist(vec, c).alias("d"), F.lit(i).alias("cell"))
-        for i, c in enumerate(np.asarray(centroids, dtype=float))
+        for i, c in enumerate(cents)
     ])
     return df.withColumn(cell_col, F.array_sort(arr)[0]["cell"])
 
@@ -61,23 +112,29 @@ def kmeans_step(
     df: DataFrame,
     centroids: np.ndarray,
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> tuple[np.ndarray, dict]:
     """One Lloyd update: assign → per-cell per-dim mean. Returns
     (new_centroids, counts-per-cell); empty cells keep their old centroid
-    (the standard Lloyd fixup)."""
+    (the standard Lloyd fixup). The update stays ONE partial-aggregated
+    shuffle in both assignment arms; the ≤ k·dim result lands driver-side
+    through Arrow (vectorized fill, no per-row Python at large k·dim)."""
     cents = np.asarray(centroids, dtype=float)
-    a = assign_cells(df, cents, vec_col)
+    a = assign_cells(df, cents, vec_col, method=method)
     stats = (
         a.select("cell", F.posexplode(_as_double(F.col(vec_col)))
                  .alias("idx", "val"))
         .groupBy("cell", "idx")
         .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
-        .collect())  # ≤ k·dim aggregated rows
+        .toPandas())  # ≤ k·dim aggregated rows
     new = cents.copy()
-    counts: dict = {}
-    for r in stats:
-        new[r.cell][r.idx] = r.s / r.n
-        counts[r.cell] = int(r.n)
+    ci = stats["cell"].to_numpy(dtype=np.int64)
+    di = stats["idx"].to_numpy(dtype=np.int64)
+    n = stats["n"].to_numpy(dtype=np.float64)
+    new[ci, di] = stats["s"].to_numpy(dtype=np.float64) / n
+    first = stats["idx"] == 0
+    counts = dict(zip(ci[first].tolist(),
+                      n[first].astype(np.int64).tolist()))
     return new, counts
 
 
@@ -108,6 +165,7 @@ def kmeans_fit(
     iters: int = 5,
     vec_col: str = "embedding",
     seed: str = "kmeans-init",
+    method: str = "auto",
 ) -> np.ndarray:
     """Fixed-iteration Lloyd from the deterministic md5-plane init
     (operators.similarity._planes) — reproducible without any RNG state;
@@ -117,5 +175,5 @@ def kmeans_fit(
     cents = _planes(k, dim, seed=seed)
     cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
     for _ in range(iters):
-        cents, _counts = kmeans_step(df, cents, vec_col)
+        cents, _counts = kmeans_step(df, cents, vec_col, method=method)
     return cents

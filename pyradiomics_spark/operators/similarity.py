@@ -25,6 +25,32 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# k·dim (literal nodes) above which centroid/plane scoring switches from
+# the builtin-expression arm to the broadcast-numpy Arrow arm. The
+# expression arm embeds every centroid coordinate as F.lit — at curation
+# scale (k=1024+, dim=768) that is a ~10⁶-node expression tree: Catalyst
+# analysis blowup and the 64KB JVM codegen method limit long before data
+# volume matters. The analog of the reference's C-boundary dispatch
+# (/root/reference/radiomics/base.py:181-198): small problems stay in the
+# engine's native expression layer, large ones cross to the vectorized
+# kernel.
+EXPR_MAX_TERMS = 8192
+
+
+def _matmul_scores(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, k) dot-product scores via one BLAS gemm; rows with non-finite
+    entries propagate NaN (the expression arm does the same)."""
+    return X @ C.T
+
+
+def _topn_desc(scores: np.ndarray, n: int) -> np.ndarray:
+    """Per-row top-n column indices by DESCENDING score, ties broken to the
+    HIGHER index — bitwise the order of ``reverse(array_sort(struct(score,
+    cell)))`` in the expression arm."""
+    k = scores.shape[1]
+    rev = np.argsort(-scores[:, ::-1], axis=1, kind="stable")[:, :n]
+    return (k - 1) - rev
+
 
 def cosine_expr(a, b):
     """cos(a,b) as a builtin column expression over two array columns."""
@@ -78,6 +104,40 @@ def _planes(n_planes: int, dim: int, seed: str = "pyradiomics-spark") -> np.ndar
     return out
 
 
+def _nearest_cells_arrow(
+    df: DataFrame,
+    cents_normalized: np.ndarray,
+    vec_col: str,
+    n: int,
+    out_col: str,
+) -> DataFrame:
+    """Broadcast-numpy top-n nearest centroids by cosine (centroids
+    pre-normalized, so dot-product rank ≡ cosine rank per row). Appends
+    ``out_col``: int when n == 1, array<int> otherwise. Tie order matches
+    the expression arm (descending score, then descending cell)."""
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(cents_normalized))
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + (f", {out_col} int" if n == 1 else f", {out_col} array<int>")
+
+    def run(batches):
+        C = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            top = _topn_desc(_matmul_scores(X, C), n)
+            pdf = pdf.copy()
+            if n == 1:
+                pdf[out_col] = top[:, 0].astype(np.int32)
+            else:
+                pdf[out_col] = list(top.astype(np.int32))
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def hyperplane_buckets(
     df: DataFrame,
     id_col: str,
@@ -85,13 +145,44 @@ def hyperplane_buckets(
     n_planes: int = 8,
     dim: int = 64,
     seed: str = "pyradiomics-spark",
+    method: str = "auto",
 ) -> DataFrame:
     """Add an LSH ``bucket`` int column = sign pattern of n fixed planes.
 
-    The plane dot products are builtin expressions over array literals —
-    deterministic, no UDF, reproducible on any executor count.
+    Deterministic and reproducible on any executor count in BOTH arms:
+    ``expr`` evaluates the plane dot products as builtin expressions over
+    array literals (whole-stage codegen, right while n_planes·dim stays
+    small); ``arrow`` broadcasts the plane matrix and signs a BLAS gemm
+    per Arrow batch (the scale arm — plan size is O(1) in n_planes·dim).
+    ``auto`` dispatches on EXPR_MAX_TERMS.
     """
     planes = _planes(n_planes, dim, seed)
+    if method == "auto":
+        method = "expr" if n_planes * dim <= EXPR_MAX_TERMS else "arrow"
+    int_t = "int" if n_planes <= 30 else "bigint"
+    if method == "arrow":
+        import pandas as pd
+
+        bc = df.sparkSession.sparkContext.broadcast(
+            np.ascontiguousarray(planes))
+        pows = (2 ** np.arange(n_planes, dtype=np.int64))
+        out_schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        ) + f", bucket {int_t}"
+
+        def run(batches):
+            P = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                bits = _matmul_scores(X, P) > 0
+                pdf = pdf.copy()
+                pdf["bucket"] = (bits @ pows).astype(
+                    np.int32 if n_planes <= 30 else np.int64)
+                yield pdf
+
+        return df.mapInPandas(run, schema=out_schema)
     bucket = F.lit(0)
     for p in range(n_planes):
         lit_plane = F.array(*[F.lit(float(x)) for x in planes[p]])
@@ -114,31 +205,55 @@ def ivf_topk(
     n_cells: int = 16,
     nprobe: int = 4,
     dim: int = 64,
+    centroids: np.ndarray | None = None,
+    method: str = "auto",
 ) -> DataFrame:
-    """IVF-style ANN: fixed pseudo-random centroids (deterministic), corpus
-    rows assigned to nearest cell, queries probe their nprobe nearest cells.
-    Approximate; recall rises with nprobe. Scale path: the per-cell join
-    replaces the full cross product."""
-    cents = _planes(n_cells, dim, seed="ivf-centroids")
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    """IVF-style ANN: fixed pseudo-random centroids (deterministic, or a
+    trained quantizer via ``centroids`` — e.g. clustering.kmeans_fit),
+    corpus rows assigned to nearest cell, queries probe their nprobe
+    nearest cells. Approximate; recall rises with nprobe. Scale path: the
+    per-cell join replaces the full cross product.
 
-    def nearest_cells(vec, n):
-        scores = [
-            (c, cosine_expr(vec, F.array(*[F.lit(float(x)) for x in cents[c]])))
-            for c in range(n_cells)
-        ]
-        arr = F.array(*[
-            F.struct(s.alias("score"), F.lit(c).alias("cell")) for c, s in scores
-        ])
-        top = F.slice(F.reverse(F.array_sort(arr)), 1, n)
-        return F.transform(top, lambda s: s["cell"])
+    Coarse quantization dispatches like assign_cells: the expression arm
+    embeds centroids as literals (fine while n_cells·dim is small), the
+    ``arrow`` arm broadcasts the centroid matrix and ranks one gemm per
+    Arrow batch — production quantizers (n_cells=1024+, dim=768) would
+    otherwise build a ~10⁶-node plan. The bucket-refine cosine below is
+    per-PAIR (no literals) and stays JVM in both arms.
+    """
+    if centroids is None:
+        cents = _planes(n_cells, dim, seed="ivf-centroids")
+    else:
+        cents = np.asarray(centroids, dtype=float)
+        n_cells, dim = cents.shape
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    if method == "auto":
+        method = "expr" if n_cells * dim <= EXPR_MAX_TERMS else "arrow"
 
-    corpus_cells = corpus.withColumn(
-        "cell", nearest_cells(F.col(vec_col), 1)[0]
-    )
-    query_cells = queries.withColumn(
-        "cell", F.explode(nearest_cells(F.col(vec_col), nprobe))
-    ).select(query_id_col, F.col(vec_col).alias("__qvec"), "cell")
+    if method == "arrow":
+        corpus_cells = _nearest_cells_arrow(corpus, cents, vec_col, 1, "cell")
+        query_cells = (
+            _nearest_cells_arrow(queries, cents, vec_col, nprobe, "__cells")
+            .select(query_id_col, F.col(vec_col).alias("__qvec"),
+                    F.explode("__cells").alias("cell")))
+    else:
+        def nearest_cells(vec, n):
+            scores = [
+                (c, cosine_expr(vec, F.array(*[F.lit(float(x)) for x in cents[c]])))
+                for c in range(n_cells)
+            ]
+            arr = F.array(*[
+                F.struct(s.alias("score"), F.lit(c).alias("cell")) for c, s in scores
+            ])
+            top = F.slice(F.reverse(F.array_sort(arr)), 1, n)
+            return F.transform(top, lambda s: s["cell"])
+
+        corpus_cells = corpus.withColumn(
+            "cell", nearest_cells(F.col(vec_col), 1)[0]
+        )
+        query_cells = queries.withColumn(
+            "cell", F.explode(nearest_cells(F.col(vec_col), nprobe))
+        ).select(query_id_col, F.col(vec_col).alias("__qvec"), "cell")
 
     scored = corpus_cells.join(F.broadcast(query_cells), "cell").withColumn(
         "cosine", cosine_expr(F.col(vec_col), F.col("__qvec"))

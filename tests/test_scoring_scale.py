@@ -1,0 +1,116 @@
+"""Scale-hardened centroid/plane scoring: the broadcast-numpy Arrow arm
+must agree with the literal-expression arm (same cells, buckets, top-k)
+and keep the logical plan O(1) in k·dim — a production quantizer
+(k=256+, dim=768) as literals would be a ~10⁶-node expression tree."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from pyradiomics_spark.operators.clustering import assign_cells, kmeans_step
+from pyradiomics_spark.operators.similarity import (
+    EXPR_MAX_TERMS, hyperplane_buckets, ivf_topk, _planes)
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(7)
+
+
+def _vec_df(spark, X, id0=0):
+    rows = [(id0 + i, [float(v) for v in x]) for i, x in enumerate(X)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_assign_cells_arms_agree(spark, rng):
+    X = rng.normal(size=(60, 16))
+    cents = rng.normal(size=(6, 16))
+    df = _vec_df(spark, X)
+    by_id = lambda d: {r.vec_id: r.cell for r in d.collect()}
+    e = by_id(assign_cells(df, cents, method="expr"))
+    a = by_id(assign_cells(df, cents, method="arrow"))
+    assert e == a
+    # and both match the straight numpy argmin
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    want = dict(enumerate(np.argmin(d2, axis=1).tolist()))
+    assert e == want
+
+
+def test_hyperplane_arms_agree(spark, rng):
+    X = rng.normal(size=(50, 24))
+    df = _vec_df(spark, X)
+    e = {r.vec_id: r.bucket for r in hyperplane_buckets(
+        df, "vec_id", "embedding", 10, 24, method="expr").collect()}
+    a = {r.vec_id: r.bucket for r in hyperplane_buckets(
+        df, "vec_id", "embedding", 10, 24, method="arrow").collect()}
+    assert e == a
+
+
+def test_ivf_topk_arms_agree(spark, rng):
+    dim = 16
+    C = rng.normal(size=(100, dim))
+    Q = C[[3, 40, 77]] + rng.normal(scale=0.05, size=(3, dim))
+    corpus = _vec_df(spark, C)
+    queries = spark.createDataFrame(
+        [(i, [float(v) for v in q]) for i, q in enumerate(Q)],
+        "query_id long, embedding array<double>")
+    kw = dict(k=3, n_cells=8, nprobe=3, dim=dim)
+    key = lambda d: sorted(map(tuple, d.select(
+        "query_id", "vec_id", "rank").collect()))
+    assert key(ivf_topk(corpus, queries, method="expr", **kw)) \
+        == key(ivf_topk(corpus, queries, method="arrow", **kw))
+
+
+def test_auto_dispatch_boundary(spark, rng):
+    df = _vec_df(spark, rng.normal(size=(4, 8)))
+    small = assign_cells(df, np.zeros((4, 8)))          # 32 terms → expr
+    big = assign_cells(df, np.zeros((EXPR_MAX_TERMS // 8 + 1, 8)))
+    assert "mapinpandas" not in small._jdf.queryExecution().toString().lower()
+    assert "mapinpandas" in big._jdf.queryExecution().toString().lower()
+
+
+def test_production_quantizer_scale(spark, rng):
+    """k=256 × dim=768 (≈200k literals if done as expressions): the arrow
+    arm must produce numpy-exact assignments with a BOUNDED plan."""
+    k, dim, n = 256, 768, 300
+    X = rng.normal(size=(n, dim))
+    cents = _planes(k, dim, seed="scale-test")
+    df = _vec_df(spark, X)
+    assigned = assign_cells(df, cents)  # auto → arrow at this k·dim
+    plan = assigned._jdf.queryExecution().toString()
+    assert len(plan) < 20_000, f"plan not bounded: {len(plan)} chars"
+    got = {r.vec_id: r.cell for r in assigned.collect()}
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    want = dict(enumerate(np.argmin(d2, axis=1).tolist()))
+    assert got == want
+
+
+def test_kmeans_step_at_scale_matches_numpy(spark, rng):
+    k, dim, n = 256, 768, 400
+    X = rng.normal(size=(n, dim))
+    cents = _planes(k, dim, seed="scale-km")
+    df = _vec_df(spark, X)
+    new, counts = kmeans_step(df, cents)  # auto → arrow assignment
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    cells = np.argmin(d2, axis=1)
+    want = cents.copy()
+    for c in np.unique(cells):
+        want[c] = X[cells == c].mean(axis=0)
+    assert np.allclose(new, want, atol=1e-9)
+    assert counts == {int(c): int((cells == c).sum()) for c in np.unique(cells)}
+
+
+def test_ivf_trained_quantizer_at_scale(spark, rng):
+    """ivf_topk with a trained k=64 × dim=768 quantizer (49k terms → arrow)
+    returns sane neighbors for a self-query."""
+    dim = 768
+    C = rng.normal(size=(120, dim))
+    corpus = _vec_df(spark, C)
+    queries = spark.createDataFrame(
+        [(0, [float(v) for v in C[11]])],
+        "query_id long, embedding array<double>")
+    cents = _planes(64, dim, seed="scale-ivf")
+    out = ivf_topk(corpus, queries, k=1, centroids=cents, nprobe=4)
+    rows = out.collect()
+    assert rows and rows[0].vec_id == 11 and rows[0].cosine > 0.999
