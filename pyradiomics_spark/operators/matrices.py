@@ -12,6 +12,7 @@ keeps the schema fixed across documents (matrix shapes vary per case).
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -81,6 +82,34 @@ def _matrix_rows(levels: np.ndarray, settings: ExtractionSettings, classes) -> l
     return rows
 
 
+def _cell_blocks(val_arrays, settings: ExtractionSettings, classes):
+    """Concatenated long-form cell columns for a batch of per-doc value
+    arrays: (doc_idx, matrix, i, j, value, angle) numpy arrays, or None
+    when the batch produced no cells. Python touches docs and classes,
+    never individual cells."""
+    d_blocks, m_blocks = [], []
+    i_blocks, j_blocks, v_blocks, a_blocks = [], [], [], []
+    for d, vals in enumerate(val_arrays):
+        if vals.size == 0:
+            continue
+        levels = discretize(vals, settings.bin_width, settings.bin_count)
+        for cls, iv, jv, vv, av in _matrix_arrays(levels, settings, classes):
+            if vv.size == 0:
+                continue
+            d_blocks.append(np.full(vv.size, d, dtype=np.int64))
+            m_blocks.append(np.full(vv.size, cls, dtype=object))
+            i_blocks.append(iv)
+            j_blocks.append(jv)
+            v_blocks.append(vv.astype(np.float64))
+            a_blocks.append(av)
+    if not v_blocks:
+        return None
+    return (np.concatenate(d_blocks), np.concatenate(m_blocks),
+            np.concatenate(i_blocks), np.concatenate(j_blocks),
+            np.concatenate(v_blocks),
+            np.concatenate(a_blocks).astype(np.int32))
+
+
 def extract_matrices(
     df: DataFrame,
     keys: tuple = ("url", "warc_ts"),
@@ -88,7 +117,11 @@ def extract_matrices(
     settings: ExtractionSettings | None = None,
     classes=MATRIX_CLASSES,
 ) -> DataFrame:
-    """Long-form texture matrices per input row. Shuffle-free mapInPandas."""
+    """Long-form texture matrices per input row. Shuffle-free; on default
+    text settings the input crosses the same zero-copy mapInArrow boundary
+    as extract_features / voxel_feature_maps (string buffers → byte
+    tokenizer, keys carried by Arrow ``take`` — no python strings, no
+    pandas), with the pandas path as the fallback arm."""
     if settings is None:
         settings = ExtractionSettings()
     keys = tuple(keys)
@@ -99,47 +132,72 @@ def extract_matrices(
               "value double, angle int")
     src = df.select(*keys, text_col)
     classes = tuple(classes)
+    cols = list(keys) + ["matrix", "i", "j", "value", "angle"]
+    use_arrow = (settings.tokenizer == "whitespace"
+                 and settings.intensity_mode == "token_len"
+                 and not os.environ.get("PYRS_NO_ARROW"))
+
+    def _pandas_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = [
+            text_to_intensity(
+                t or "", settings.tokenizer, settings.intensity_mode,
+                settings.intensity_buckets).astype(np.float64)
+            for t in pdf[text_col].tolist()
+        ]
+        blocks = _cell_blocks(vals, settings, classes)
+        if blocks is None:
+            return pd.DataFrame(columns=cols)
+        d, m, iv, jv, vv, av = blocks
+        data = {k: pdf[k].to_numpy()[d] for k in keys}
+        data["matrix"] = m
+        data["i"] = iv
+        data["j"] = jv
+        data["value"] = vv
+        data["angle"] = av
+        return pd.DataFrame(data, columns=cols)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = list(keys) + ["matrix", "i", "j", "value", "angle"]
         for pdf in batches:
-            # per-doc numpy column blocks, concatenated once per batch —
-            # Python touches docs and classes, never individual cells
-            kv_blocks: list = []      # (kv tuple, n_cells) per block
-            m_blocks, i_blocks, j_blocks, v_blocks, a_blocks = \
-                [], [], [], [], []
-            for tup in pdf.itertuples(index=False):
-                kv = tup[: len(keys)]
-                text = tup[len(keys)] or ""
-                vals = text_to_intensity(
-                    text, settings.tokenizer, settings.intensity_mode,
-                    settings.intensity_buckets).astype(np.float64)
-                if vals.size == 0:
-                    continue
-                levels = discretize(vals, settings.bin_width, settings.bin_count)
-                for cls, iv, jv, vv, av in _matrix_arrays(
-                        levels, settings, classes):
-                    if vv.size == 0:
-                        continue
-                    kv_blocks.append((kv, vv.size))
-                    m_blocks.append(np.full(vv.size, cls, dtype=object))
-                    i_blocks.append(iv)
-                    j_blocks.append(jv)
-                    v_blocks.append(vv.astype(np.float64))
-                    a_blocks.append(av)
-            if not v_blocks:
-                yield pd.DataFrame(columns=cols)
-                continue
-            data = {}
-            for ki, k in enumerate(keys):
-                data[k] = np.repeat(
-                    np.array([kv[ki] for kv, _ in kv_blocks], dtype=object),
-                    np.array([n for _, n in kv_blocks], dtype=np.int64))
-            data["matrix"] = np.concatenate(m_blocks)
-            data["i"] = np.concatenate(i_blocks)
-            data["j"] = np.concatenate(j_blocks)
-            data["value"] = np.concatenate(v_blocks)
-            data["angle"] = np.concatenate(a_blocks).astype(np.int32)
-            yield pd.DataFrame(data, columns=cols)
+            yield _pandas_frame(pdf)
 
+    def run_arrow(batches):
+        import pyarrow as pa
+
+        from pyradiomics_spark.functions.text import arrow_token_lens
+
+        out_schema = None
+        for rb in batches:
+            if out_schema is None:
+                names = [f.name for f in rb.schema]
+                ti = names.index(text_col)
+                key_idx = [names.index(k) for k in keys]
+                out_schema = pa.schema(
+                    [(k, rb.schema.field(k).type) for k in keys]
+                    + [("matrix", pa.string()), ("i", pa.float64()),
+                       ("j", pa.float64()), ("value", pa.float64()),
+                       ("angle", pa.int32())])
+            parsed = arrow_token_lens(rb.column(ti))
+            if parsed is None:  # unicode-ws suspect in batch → pandas path
+                yield pa.RecordBatch.from_pandas(
+                    _pandas_frame(rb.to_pandas()), schema=out_schema,
+                    preserve_index=False)
+                continue
+            tok_len, counts = parsed
+            vals = np.split(tok_len.astype(np.float64),
+                            np.cumsum(counts)[:-1])
+            blocks = _cell_blocks(vals, settings, classes)
+            if blocks is None:
+                continue
+            d, m, iv, jv, vv, av = blocks
+            take = pa.array(d, type=pa.int64())
+            arrays = [rb.column(i).take(take) for i in key_idx]
+            arrays.append(pa.array(m, type=pa.string()))
+            arrays.append(pa.array(iv, type=pa.float64()))
+            arrays.append(pa.array(jv, type=pa.float64()))
+            arrays.append(pa.array(vv, type=pa.float64()))
+            arrays.append(pa.array(av, type=pa.int32()))
+            yield pa.RecordBatch.from_arrays(arrays, names=cols)
+
+    if use_arrow:
+        return src.mapInArrow(run_arrow, schema=schema)
     return src.mapInPandas(run, schema=schema)

@@ -99,3 +99,28 @@ def test_extraction_arrow_suspect_and_null_fallback(spark):
             assert np.isnan(got[u]), u
         else:
             assert got[u] == pytest.approx(want, rel=1e-12), u
+
+
+def test_matrices_arrow_matches_pandas(spark, monkeypatch):
+    """extract_matrices' zero-copy mapInArrow arm must be cell-identical to
+    the pandas arm, including unicode-whitespace fallback batches, null and
+    empty docs."""
+    import pandas as pd
+
+    from pyradiomics_spark.operators.matrices import extract_matrices
+
+    rows = [("u1", "aa bbb c dddd ee fff aa bbb"),
+            ("u2", "nbsp\xa0joined words plus more extra tokens"),
+            ("u3", None),
+            ("u4", ""),
+            ("u5", "中文 文本 测试 ok fine again")]
+    df = spark.createDataFrame(rows, "url string, text string")
+    st = ExtractionSettings(bin_width=1.0)
+    key = ["url", "matrix", "i", "j", "angle"]
+    a = extract_matrices(df, keys=("url",), settings=st).toPandas()
+    monkeypatch.setenv("PYRS_NO_ARROW", "1")
+    b = extract_matrices(df, keys=("url",), settings=st).toPandas()
+    assert len(a) == len(b) and len(a) > 0
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
