@@ -936,13 +936,30 @@ def ngtdm_batch(r: Ragged, levels: np.ndarray, distances: tuple = (1,),
     denom = 2.0 * np.bincount(vb, weights=vs * coef, minlength=B)
     busy = np.where(denom != 0, sum_coarse / np.where(denom != 0, denom, 1), 0.0)
 
+    # Complexity Σ_{i,j present} |i−j|·(pᵢsᵢ + pⱼsⱼ)/(pᵢ + pⱼ) over PRESENT
+    # pairs only — an in-doc pairwise gather over the ~Σ ḡ_b² present-level
+    # pairs instead of three (B,G,G) float tensors (this was the last
+    # full-tensor sweep; the kernels are partially DRAM-bound at 32 cores
+    # and web docs have ḡ ≪ G, so the gather is both smaller and avoids
+    # the masked-divide temporaries). Reuses the present-cell segment
+    # bookkeeping (pb/pg/m_per/seg0) built for Busyness above.
     pi_si = p_i * s_i
-    mm = pmask[:, :, None] & pmask[:, None, :]
-    numer = np.where(mm, pi_si[:, :, None] + pi_si[:, None, :], 0.0)
-    divis = p_i[:, :, None] + p_i[:, None, :]
-    divis = np.where(divis == 0, 1.0, divis)
-    absdiff_iv = np.abs(iv[:, None] - iv[None, :])[None, :, :]
-    complexity = (absdiff_iv * numer / divis).sum(axis=(1, 2)) / nvp_safe
+    pvals = p_i[pb, pg]
+    svals = pi_si[pb, pg]
+    ivals = iv[pg]
+    npair = m_per * m_per
+    doc_pair = np.repeat(np.arange(B), npair)
+    poff = np.zeros(B, dtype=np.int64)
+    np.cumsum(npair[:-1], out=poff[1:])
+    t = np.arange(doc_pair.size, dtype=np.int64) - poff[doc_pair]
+    mloc = m_per[doc_pair]
+    gi = seg0[doc_pair] + t // mloc
+    gj = seg0[doc_pair] + t % mloc
+    # present cells have pᵢ > 0, so the divisor needs no zero guard
+    contrib = (np.abs(ivals[gi] - ivals[gj]) * (svals[gi] + svals[gj])
+               / (pvals[gi] + pvals[gj]))
+    complexity = np.bincount(doc_pair, weights=contrib,
+                             minlength=B) / nvp_safe
 
     # Strength numerator Σ_ij (pᵢ+pⱼ)·(i−j)² over present pairs factors
     # through marginals: = 2·Σᵢ pᵢ·(ngp·i² − 2i·S1 + S2), S1/S2 = Σ j, Σ j²

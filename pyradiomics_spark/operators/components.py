@@ -91,19 +91,33 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    n_edges = edges.count()
+
+    def _sig(df: DataFrame) -> tuple:
+        """(count, order-invariant content checksum) in ONE job off the
+        checkpoint. The checksum sums the upper 32 bits of xxhash64(u, v):
+        each term < 2³², so the sum stays overflow-safe (ANSI mode) up to
+        ~2³¹ edges per partition tree — far past any real dup graph."""
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.shiftrightunsigned(F.xxhash64(_U, _V), 32)).alias("h"),
+        ).collect()[0]
+        return int(r["n"]), int(r["h"] or 0)
+
+    sig = _sig(edges)
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(edges)).localCheckpoint()
-        # convergence: both sets are distinct, so equal counts + one empty
-        # one-sided anti-join ⇔ equal sets. The count is nearly free off
-        # the checkpoint; the anti-join job only runs on count-stable
-        # rounds (typically just the final one) — per-round driver
-        # latency, not data volume, dominates this loop's wall time.
-        n_next = nxt.count()
+        # convergence: both sets are distinct, so equal sets ⇔ equal counts
+        # + empty one-sided anti-join. One agg job per round gets count AND
+        # checksum; the exact anti-join confirmation only runs once both
+        # are stable — star rounds routinely plateau on count while still
+        # moving edges, and the checksum filters those plateaus out, so
+        # the anti-join fires on (typically) just the true final round.
+        # Per-round driver latency, not data volume, dominates this loop.
+        nsig = _sig(nxt)
         converged = (
-            n_next == n_edges
+            nsig == sig
             and nxt.join(edges, [_U, _V], "left_anti").limit(1).count() == 0)
-        edges, n_edges = nxt, n_next
+        edges, sig = nxt, nsig
         if converged:
             break
     else:

@@ -338,7 +338,15 @@ def extract_features(
     if not df.isStreaming:  # streams parallelize per micro-batch source split
         spark = df.sparkSession
         slots = spark.sparkContext.defaultParallelism
-        if src.rdd.getNumPartitions() < slots:
+        # cheap pre-check: ≥ slots input files ⇒ ≥ slots scan splits, so the
+        # big-corpus planning path never converts the plan to an RDD lineage
+        # on the driver (src.rdd materializes one per call); only genuinely
+        # small scans (few files / non-file relations) pay the exact check
+        try:
+            n_files = len(src.inputFiles())
+        except Exception:  # non-file relation (e.g. createDataFrame)
+            n_files = 0
+        if n_files < slots and src.rdd.getNumPartitions() < slots:
             # 1×slots measured fastest for the batched kernel (bigger
             # batches amortize; AQE handles stragglers at real scale)
             src = src.repartition(slots)
