@@ -63,3 +63,32 @@ def test_curate_deterministic(spark, corpus):
     a = curate(corpus, seed=3, jaccard_threshold=0.6, bands=16)
     b = curate(corpus, seed=3, jaccard_threshold=0.6, bands=16)
     assert a == b
+
+
+def test_curate_metrics_single_pass(spark, corpus, monkeypatch):
+    """Stage metrics must come from ONE aggregation over the flag lineage,
+    not a count() per stage (at 100 TB each count() is a full corpus
+    pass). The only count() actions allowed in curate() are the
+    connected-components convergence confirmation and the decontamination
+    check; driver collects stay bounded (two metric aggs + the CC
+    signature per round + the packing offset tables)."""
+    from pyspark.sql import DataFrame
+
+    n_raw = corpus.count()
+    calls = {"count": 0, "collect": 0}
+    orig_count, orig_collect = DataFrame.count, DataFrame.collect
+
+    def counted_count(self):
+        calls["count"] += 1
+        return orig_count(self)
+
+    def counted_collect(self):
+        calls["collect"] += 1
+        return orig_collect(self)
+
+    monkeypatch.setattr(DataFrame, "count", counted_count)
+    monkeypatch.setattr(DataFrame, "collect", counted_collect)
+    m = curate(corpus, seed=3, jaccard_threshold=0.6, bands=16)
+    assert m["n_raw"] == n_raw
+    assert calls["count"] <= 2, f"per-stage count() crept back: {calls}"
+    assert calls["collect"] <= 12, f"unbounded driver collects: {calls}"
