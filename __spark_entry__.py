@@ -1291,6 +1291,50 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_assign_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment through the broadcast-numpy ARROW arm:
+    k=144 × dim=64 = 9216 terms > EXPR_MAX_TERMS, so auto-dispatch crosses
+    the Arrow boundary (operators.clustering._assign_cells_arrow — one
+    BLAS gemm per batch, plan O(1) in k·dim). Output: per-cell membership
+    count + id checksum, so ANY flipped assignment reddens the row. The
+    DuckDB twin re-derives the identical md5-expanded centroids IN SQL
+    (generate_series + md5, no literal blobs) and replays the argmin
+    relationally — the cross-engine gate for the scale arm."""
+    from pyradiomics_spark.operators.clustering import assign_cells
+
+    from pyradiomics_spark.operators.similarity import _planes
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = _planes(144, 64, seed="assign-arrow-gate")
+    a = assign_cells(emb, cents)  # auto → arrow at this k·dim
+    return (
+        a.groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(F.count("*").alias("n_vecs"),
+             F.sum("vec_id").alias("sum_vec_id"))
+        .orderBy("cell")
+    )
+
+
+def q_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED-quantizer-shaped centroid set (144 × 64 >
+    EXPR_MAX_TERMS → the coarse quantization runs on the Arrow arm, the
+    bucket-refine cosine stays JVM). Integer output (query_id, vec_id,
+    rank) keeps the row robust to engine-specific float summation; the
+    same ranking-margin caveat as ivf_recall applies."""
+    from pyradiomics_spark.operators.similarity import _planes, ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cents = _planes(144, 64, seed="ivf-arrow-gate")
+    out = ivf_topk(emb, queries, k=5, nprobe=2, centroids=cents)
+    return out.select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
 def q_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long melt via builtin stack (operators.features.melt_features
     form) — the long-format feature serving layout; DuckDB twin is UNPIVOT."""
@@ -1469,6 +1513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lbp_codes": q_lbp_codes,
         "wavelet_haar": q_wavelet_haar,
         "ivf_recall": q_ivf_recall,
+        "assign_arrow": q_assign_arrow,
+        "ivf_topk_arrow": q_ivf_arrow,
         "lsh_buckets": q_lsh_buckets,
         "repetition": q_repetition,
         "hash_bucket": q_hash_bucket,
@@ -1600,6 +1646,70 @@ def oracle_sql() -> dict[str, str]:
             FROM q LEFT JOIN hits h ON q.query_id = h.query_id
             ORDER BY q.query_id
         """
+    # Arrow-arm twins: the SAME md5-expanded planes re-derived IN SQL
+    # (generate_series + md5 + hex-parse — byte-exact vs similarity._planes
+    # by np.array_equal), so no ~200 KB literal centroid blobs in the oracle
+    def _md5_planes_cte(seed: str, k: int, dim: int) -> str:
+        return f"""hx AS (
+              SELECT p.p AS p, i.i AS i,
+                     md5('{seed}:' || p.p || ':' || i.i) AS h
+              FROM generate_series(0, {k - 1}) p(p),
+                   generate_series(0, {dim // 4 - 1}) i(i)
+            ), vals AS (
+              SELECT p, i * 4 + o.off AS idx,
+                     2.0 * (('0x' || substr(h, o.off * 8 + 1, 8))::BIGINT
+                            / 4294967296.0) - 1.0 AS val
+              FROM hx, generate_series(0, 3) o(off)
+            ), rawc AS (
+              SELECT p AS cell, list(val ORDER BY idx) AS cv
+              FROM vals GROUP BY p
+            )"""
+
+    assign_arrow_sql = f"""
+            WITH emb AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+            ), {_md5_planes_cte("assign-arrow-gate", 144, 64)}, assign AS (
+              SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.v, c.cv) ASC, c.cell ASC) AS rn
+                FROM emb e CROSS JOIN rawc c) WHERE rn = 1
+            )
+            SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n_vecs,
+                   CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+            FROM assign GROUP BY cell ORDER BY cell
+        """
+    ivf_arrow_sql = f"""
+            WITH emb AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+            ), q AS (
+              SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5
+            ), {_md5_planes_cte("ivf-arrow-gate", 144, 64)}, cents AS (
+              SELECT cell,
+                     list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cv
+              FROM rawc
+            ), corpus_assign AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell DESC) AS rn
+                FROM emb e CROSS JOIN cents c) WHERE rn = 1
+            ), query_probe AS (
+              SELECT query_id, qv, cell FROM (
+                SELECT q.query_id, q.qv, c.cell,
+                       row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell DESC) AS rn
+                FROM q CROSS JOIN cents c) WHERE rn <= 2
+            )
+            SELECT query_id, vec_id, rank FROM (
+              SELECT p.query_id, a.vec_id,
+                     row_number() OVER (PARTITION BY p.query_id
+                       ORDER BY list_cosine_similarity(a.v, p.qv) DESC, a.vec_id) AS rank
+              FROM corpus_assign a JOIN query_probe p ON a.cell = p.cell)
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """
     simhash_sql = f"""
             WITH toks AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -1716,6 +1826,8 @@ def oracle_sql() -> dict[str, str]:
             FROM c ORDER BY doc_id
         """,
         "ivf_recall": ivf_recall_sql,
+        "assign_arrow": assign_arrow_sql,
+        "ivf_topk_arrow": ivf_arrow_sql,
         "kmeans_step": kmeans_step_sql,
         "split_contamination": """
             WITH s AS (
