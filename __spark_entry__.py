@@ -1335,6 +1335,31 @@ def q_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_matrix_glcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-tier extraction surface (operators.matrices.extract_matrices,
+    the P_glcm analog of reference tests/test_matrices.py) through its
+    zero-copy mapInArrow path, cross-engine: long-form symmetric normalized
+    GLCM cells per doc at bin_width=1. The kernel's count/total division
+    and DuckDB's are the same integer inputs, so the doubles agree exactly;
+    6-dp gate rounding on top."""
+    from pyradiomics_spark.config import ExtractionSettings
+    from pyradiomics_spark.operators.matrices import extract_matrices
+
+    docs = _read(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200).select("doc_id", "text")
+    st = ExtractionSettings(bin_width=1.0)
+    out = extract_matrices(docs, keys=("doc_id",), settings=st,
+                           classes=("glcm",))
+    return (
+        out.select("doc_id", "matrix",
+                   F.col("i").cast("long").alias("i"),
+                   F.col("j").cast("long").alias("j"),
+                   _rnd("value", 6).alias("p"),
+                   F.col("angle").cast("long").alias("angle"))
+        .orderBy("doc_id", "i", "j")
+    )
+
+
 def q_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long melt via builtin stack (operators.features.melt_features
     form) — the long-format feature serving layout; DuckDB twin is UNPIVOT."""
@@ -1515,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": q_ivf_recall,
         "assign_arrow": q_assign_arrow,
         "ivf_topk_arrow": q_ivf_arrow,
+        "matrix_glcm": q_matrix_glcm,
         "lsh_buckets": q_lsh_buckets,
         "repetition": q_repetition,
         "hash_bucket": q_hash_bucket,
@@ -1828,6 +1854,29 @@ def oracle_sql() -> dict[str, str]:
         "ivf_recall": ivf_recall_sql,
         "assign_arrow": assign_arrow_sql,
         "ivf_topk_arrow": ivf_arrow_sql,
+        "matrix_glcm": f"""
+            WITH lv AS (
+              SELECT doc_id, pos,
+                     tok_len - min(tok_len) OVER (PARTITION BY doc_id) + 1 AS level
+              FROM ({tokens}) WHERE doc_id < 200
+            ), pairs AS (
+              SELECT doc_id, level AS i,
+                     lead(level) OVER (PARTITION BY doc_id ORDER BY pos) AS j
+              FROM lv
+            ), sym AS (
+              SELECT doc_id, i, j FROM pairs WHERE j IS NOT NULL
+              UNION ALL
+              SELECT doc_id, j AS i, i AS j FROM pairs WHERE j IS NOT NULL
+            ), cnt AS (
+              SELECT doc_id, i, j, count(*) AS c FROM sym GROUP BY doc_id, i, j
+            )
+            SELECT doc_id, 'glcm' AS matrix,
+                   CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+                   floor((c * 1.0 / sum(c) OVER (PARTITION BY doc_id)) * 1e6
+                         + 0.50000095367431640625) / 1e6 AS p,
+                   CAST(0 AS BIGINT) AS angle
+            FROM cnt ORDER BY doc_id, i, j
+        """,
         "kmeans_step": kmeans_step_sql,
         "split_contamination": """
             WITH s AS (
