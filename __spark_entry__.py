@@ -1335,6 +1335,47 @@ def q_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third STREAMING gate row — the north-rule core on the streaming
+    engine: point-in-time serving via streaming.sessions.stream_asof_sink
+    (file source → foreachBatch micro-batch as-of join against the static
+    snapshot → exactly-once batch_id-partitioned parquet sink), committed
+    output compared against the SAME DuckDB native ASOF oracle as the
+    batch asof_join row. Stream ≡ batch here because each micro-batch
+    joins against the full static history — the contract the sink's
+    docstring pins."""
+    import shutil
+    import tempfile
+
+    from pyradiomics_spark.streaming.sessions import stream_asof_sink
+
+    ev = _read(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="pyrs_stream_asof_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "events.parquet"))
+    stream = (spark.readStream.schema(ev.schema).parquet(src)
+              .where(F.col("event_type") == "purchase")
+              .select("event_id", "user_id", "ts", "value"))
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts"),
+        F.col("value").alias("signup_value"))
+    out = os.path.join(tmp, "out")
+    q = (stream_asof_sink(
+            stream, signups, on="user_id", left_ts="ts",
+            right_ts="signup_ts", out_path=out,
+            checkpoint=os.path.join(tmp, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .select("event_id", "user_id", "signup_ts",
+                _rnd("signup_value", 6).alias("signup_value"))
+        .orderBy("event_id")
+    )
+
+
 def q_matrix_glcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matrix-tier extraction surface (operators.matrices.extract_matrices,
     the P_glcm analog of reference tests/test_matrices.py) through its
@@ -1492,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window": q_tumbling_window,
         "stream_tumbling": q_stream_tumbling,
         "stream_sessionize": q_stream_sessionize,
+        "stream_asof": q_stream_asof,
         "rolling_stats": q_rolling_stats,
         "ngtdm_terms": q_ngtdm_terms,
         "gldm_dependence": q_gldm_dependence,
@@ -2128,6 +2170,23 @@ def oracle_sql() -> dict[str, str]:
                         THEN floor((signup_value) * 1e6 + 0.50000095367431640625) / 1e6
                    END AS signup_value
             FROM j ORDER BY event_id
+        """,
+        # streaming serve twin (stream_asof): identical semantics to the
+        # batch as-of — each micro-batch joins the full static history —
+        # so the oracle is the same native ASOF query
+        "stream_asof": """
+            WITH purchases AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+            ), signups AS (
+              SELECT user_id, ts AS signup_ts, value AS signup_value
+              FROM events WHERE event_type = 'signup'
+            )
+            SELECT p.event_id, p.user_id, s.signup_ts,
+                   floor((s.signup_value) * 1e6 + 0.50000095367431640625) / 1e6 AS signup_value
+            FROM purchases p
+            ASOF LEFT JOIN signups s
+              ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+            ORDER BY p.event_id
         """,
         "asof_join": """
             WITH purchases AS (
