@@ -100,6 +100,9 @@ def main() -> None:
         # round 3 additions
         "glcm_imc_doc", "dedup_components", "dataset_split",
         "pack_sequences", "kmeans_step",
+        # round 4 additions: Arrow-arm scoring at production k·dim, the
+        # matrix-tier Arrow surface, the streaming as-of serve
+        "assign_arrow", "matrix_glcm", "stream_asof",
     ]
     for name in headline:
         if name not in qs:
