@@ -63,15 +63,18 @@ def _assign_cells_arrow(
     ) + f", {cell_col} int"
 
     def run(batches):
+        from pyradiomics_spark.operators.similarity import (
+            _masked_int_col, _stack_vecs)
+
         C = bc.value
         c2 = (C * C).sum(axis=1)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            X, valid = _stack_vecs(pdf[vec_col], C.shape[1])
             d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
             pdf = pdf.copy()
-            pdf[cell_col] = np.argmin(d2, axis=1).astype(np.int32)
+            pdf[cell_col] = _masked_int_col(np.argmin(d2, axis=1), valid)
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
@@ -105,7 +108,12 @@ def assign_cells(
         F.struct(_sqdist(vec, c).alias("d"), F.lit(i).alias("cell"))
         for i, c in enumerate(cents)
     ])
-    return df.withColumn(cell_col, F.array_sort(arr)[0]["cell"])
+    # null embedding → null cell (unguarded, the all-null distance structs
+    # would sort to an arbitrary-but-valid-looking cell id)
+    return df.withColumn(
+        cell_col,
+        F.when(F.col(vec_col).isNull(), F.lit(None).cast("int"))
+        .otherwise(F.array_sort(arr)[0]["cell"]))
 
 
 def kmeans_step(

@@ -43,6 +43,44 @@ def _matmul_scores(X: np.ndarray, C: np.ndarray) -> np.ndarray:
     return X @ C.T
 
 
+def _stack_vecs(col, dim: int) -> tuple:
+    """(X float64 (n_valid, dim), valid bool mask) from a pandas column of
+    embedding lists. Null embeddings are masked out (→ null output, same
+    contract as the guarded expression arms); a ragged or wrong-width
+    vector raises a clear error instead of a cryptic BLAS/object-dtype one
+    (at 100 TB a schema-drifted shard should fail loudly, not score
+    garbage)."""
+    vals = col.tolist()
+    valid = np.array([v is not None for v in vals], dtype=bool)
+    rows = [v for v, m in zip(vals, valid) if m]
+    if not rows:
+        return np.empty((0, dim)), valid
+    widths = {len(v) for v in rows}
+    if widths != {dim}:
+        raise ValueError(
+            f"embedding width mismatch: expected {dim}, batch has "
+            f"{sorted(widths)}")
+    return np.asarray(rows, dtype=np.float64), valid
+
+
+def _masked_int_col(values, valid: np.ndarray):
+    """Nullable Int32 pandas column: next value for each valid row, NA for
+    masked (null-embedding) rows."""
+    import pandas as pd
+
+    it = iter(values)
+    return pd.array([int(next(it)) if m else None for m in valid],
+                    dtype="Int32")
+
+
+def _masked_int64_col(values, valid: np.ndarray):
+    import pandas as pd
+
+    it = iter(values)
+    return pd.array([int(next(it)) if m else None for m in valid],
+                    dtype="Int64")
+
+
 def _topn_desc(scores: np.ndarray, n: int) -> np.ndarray:
     """Per-row top-n column indices by DESCENDING score, ties broken to the
     HIGHER index — bitwise the order of ``reverse(array_sort(struct(score,
@@ -126,13 +164,14 @@ def _nearest_cells_arrow(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            X, valid = _stack_vecs(pdf[vec_col], C.shape[1])
             top = _topn_desc(_matmul_scores(X, C), n)
             pdf = pdf.copy()
             if n == 1:
-                pdf[out_col] = top[:, 0].astype(np.int32)
+                pdf[out_col] = _masked_int_col(top[:, 0], valid)
             else:
-                pdf[out_col] = list(top.astype(np.int32))
+                it = iter(list(top.astype(np.int32)))
+                pdf[out_col] = [next(it) if m else None for m in valid]
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
@@ -175,11 +214,12 @@ def hyperplane_buckets(
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                X, valid = _stack_vecs(pdf[vec_col], dim)
                 bits = _matmul_scores(X, P) > 0
                 pdf = pdf.copy()
-                pdf["bucket"] = (bits @ pows).astype(
-                    np.int32 if n_planes <= 30 else np.int64)
+                masked = (_masked_int_col if n_planes <= 30
+                          else _masked_int64_col)
+                pdf["bucket"] = masked(bits @ pows, valid)
                 yield pdf
 
         return df.mapInPandas(run, schema=out_schema)
@@ -192,7 +232,12 @@ def hyperplane_buckets(
             lambda acc, v: acc + v,
         )
         bucket = bucket + F.when(dot > 0, F.lit(2 ** p)).otherwise(0)
-    return df.withColumn("bucket", bucket)
+    # null embedding → null bucket (unguarded, null>0 would silently fold
+    # every null vec into bucket 0 — a wrong-but-plausible answer)
+    return df.withColumn(
+        "bucket",
+        F.when(F.col(vec_col).isNull(), F.lit(None).cast(int_t))
+        .otherwise(bucket))
 
 
 def ivf_topk(
@@ -248,11 +293,18 @@ def ivf_topk(
             top = F.slice(F.reverse(F.array_sort(arr)), 1, n)
             return F.transform(top, lambda s: s["cell"])
 
+        # null embedding → null cell (drops out of the cell equi-join);
+        # explode of a null probe array likewise drops the query row
         corpus_cells = corpus.withColumn(
-            "cell", nearest_cells(F.col(vec_col), 1)[0]
+            "cell",
+            F.when(F.col(vec_col).isNull(), F.lit(None).cast("int"))
+            .otherwise(nearest_cells(F.col(vec_col), 1)[0])
         )
         query_cells = queries.withColumn(
-            "cell", F.explode(nearest_cells(F.col(vec_col), nprobe))
+            "cell",
+            F.explode(F.when(F.col(vec_col).isNull(),
+                             F.lit(None).cast("array<int>"))
+                      .otherwise(nearest_cells(F.col(vec_col), nprobe)))
         ).select(query_id_col, F.col(vec_col).alias("__qvec"), "cell")
 
     scored = corpus_cells.join(F.broadcast(query_cells), "cell").withColumn(

@@ -114,3 +114,43 @@ def test_ivf_trained_quantizer_at_scale(spark, rng):
     out = ivf_topk(corpus, queries, k=1, centroids=cents, nprobe=4)
     rows = out.collect()
     assert rows and rows[0].vec_id == 11 and rows[0].cosine > 0.999
+
+
+def test_null_embeddings_yield_null_not_garbage(spark):
+    """Null embedding → null cell/bucket in BOTH arms. Unguarded, the
+    expression arm folds null vectors into an arbitrary-but-plausible cell
+    (all-null distance structs still sort) — a silent wrong answer at
+    production scale."""
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, None), (2, [0.0, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = np.eye(2, 4)
+    for method in ("expr", "arrow"):
+        got = {r.vec_id: r.cell
+               for r in assign_cells(df, cents, method=method).collect()}
+        assert got == {0: 0, 1: None, 2: 1}, method
+        b = {r.vec_id: r.bucket for r in hyperplane_buckets(
+            df, "vec_id", "embedding", 4, 4, method=method).collect()}
+        assert b[1] is None and b[0] is not None and b[2] is not None, method
+
+
+def test_null_embedding_rows_drop_from_ivf(spark, rng):
+    dim = 8
+    C = rng.normal(size=(20, dim))
+    rows = [(i, [float(v) for v in C[i]]) for i in range(20)] + [(99, None)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(0, [float(v) for v in C[5]])], "query_id long, embedding array<double>")
+    for method in ("expr", "arrow"):
+        out = ivf_topk(corpus, queries, k=3, n_cells=4, nprobe=2, dim=dim,
+                       method=method).collect()
+        assert out and all(r.vec_id != 99 for r in out), method
+
+
+def test_ragged_embedding_fails_loudly_on_arrow_arm(spark):
+    """A schema-drifted shard (wrong vector width) must raise a clear
+    error, not score garbage through a misaligned gemm."""
+    bad = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0, 4.0])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="width mismatch"):
+        assign_cells(bad, np.eye(2, 4), method="arrow").collect()
