@@ -619,29 +619,38 @@ def _glcm_features_from_counts(r: Ragged, levels: np.ndarray, P: np.ndarray,
     ng = r.segmax(levels.astype(np.float64))  # per-doc max level (B,)
     ng = np.maximum(ng, 1)
 
-    px = P.sum(axis=2)                      # (B,G)
-    py = P.sum(axis=1)
+    # ---- nonzero-cell gather view -------------------------------------
+    # Web docs occupy far fewer than G² co-occurrence cells, so every
+    # remaining Σ_ij f(P_ij) reduction runs over the observed cells only
+    # (bincount gathers) instead of (B,G,G) tensor sweeps — this removes
+    # ALL full-tensor log2/multiply passes except the marginal-product
+    # entropy HXY2 (own present-pair gather below) and the MCC eigen
+    # stage (which needs dense per-pattern submatrices anyway).
+    # Pair-less docs have all-NaN rows after the 0/NaN normalize; NaN is
+    # "nonzero", so their cells enter the gathers and poison the per-doc
+    # bincount sums to NaN — exactly the dense path's semantics.
+    cb, ci, cj = np.nonzero(P)
+    cv = P[cb, ci, cj]
+
+    px = np.bincount(cb * G + ci, weights=cv, minlength=B * G
+                     ).astype(np.float64).reshape(B, G)
+    py = np.bincount(cb * G + cj, weights=cv, minlength=B * G
+                     ).astype(np.float64).reshape(B, G)
     # moments from MARGINALS where algebra allows — Σ_ij P·f(i) ≡ Σ_g px·f(g)
-    # exactly; avoids a pile of (B,G,G) tensor sweeps (≈40% of this
-    # function's wall on a 15k-doc batch)
     ux = px @ gl
     uy = py @ gl
 
-    # p(x+y) / p(x−y) via dense projection matrices (G², K)
-    gsum = (gl[:, None] + gl[None, :]).ravel()
-    gdiff = np.abs(gl[:, None] - gl[None, :]).ravel()
+    # p(x+y) / p(x−y) straight from the cells: k = (i+j) / |i−j|
     Ksum = 2 * G - 1
-    Msum = np.zeros((G * G, Ksum))
-    Msum[np.arange(G * G), (gsum - 2).astype(int)] = 1.0
-    Mdiff = np.zeros((G * G, G))
-    Mdiff[np.arange(G * G), gdiff.astype(int)] = 1.0
-    Pf = P.reshape(B, G * G)
-    p_add = Pf @ Msum                       # (B, 2G-1), k value = idx+2
-    p_sub = Pf @ Mdiff                      # (B, G),   k value = idx
+    p_add = np.bincount(cb * Ksum + (ci + cj), weights=cv,
+                        minlength=B * Ksum).astype(np.float64).reshape(B, Ksum)
+    p_sub = np.bincount(cb * G + np.abs(ci - cj), weights=cv,
+                        minlength=B * G).astype(np.float64).reshape(B, G)
     k_sum = np.arange(2, 2 * G + 1, dtype=np.float64)
     k_diff = np.arange(0, G, dtype=np.float64)
 
-    HXY = -np.sum(P * np.log2(P + EPS), axis=(1, 2))
+    HXY = -np.bincount(cb, weights=cv * np.log2(cv + EPS),
+                       minlength=B).astype(np.float64)
 
     # cluster moments over p(x+y): Σ_ij P·g(i+j) ≡ Σ_k p_add·g(k)
     dsum = k_sum[None, :] - ux[:, None] - uy[:, None]   # (B, 2G-1)
@@ -650,7 +659,8 @@ def _glcm_features_from_counts(r: Ragged, levels: np.ndarray, P: np.ndarray,
     cshade = np.sum(p_add * dsum2 * dsum, axis=1)
     cprom = np.sum(p_add * dsum2 * dsum2, axis=1)
     contrast = p_sub @ (k_diff * k_diff)                # Σ_ij P·(i−j)²
-    autoc = np.einsum("bij,i,j->b", P, gl, gl)
+    autoc = np.bincount(cb, weights=cv * gl[ci] * gl[cj],
+                        minlength=B).astype(np.float64)
 
     dx = gl[None, :] - ux[:, None]                      # (B,G)
     dy = gl[None, :] - uy[:, None]
@@ -660,8 +670,9 @@ def _glcm_features_from_counts(r: Ragged, levels: np.ndarray, P: np.ndarray,
     # Σ P (i−ux)(j−uy) from CENTERED products (same form as the per-doc
     # kernel, glcm.py:158) — the algebraic shortcut autoc − ux·uy is exact
     # but catastrophically cancels for near-flat high-G docs where
-    # σx·σy ≈ 0; one (B,G,G) einsum buys full precision there
-    corm = np.einsum("bij,bi,bj->b", P, dx, dy)
+    # σx·σy ≈ 0; the centered cell gather buys full precision there
+    corm = np.bincount(cb, weights=cv * dx[cb, ci] * dy[cb, cj],
+                       minlength=B).astype(np.float64)
     with np.errstate(invalid="ignore"):
         corr = corm / (sigx * sigy + EPS)
     corr = np.where(sigx * sigy == 0, 1.0, corr)
@@ -669,13 +680,37 @@ def _glcm_features_from_counts(r: Ragged, levels: np.ndarray, P: np.ndarray,
     diffavg = p_sub @ k_diff
     diffent = -np.sum(p_sub * np.log2(p_sub + EPS), axis=1)
     diffvar = np.sum(p_sub * (k_diff[None, :] - diffavg[:, None]) ** 2, axis=1)
-    jener = np.sum(P * P, axis=(1, 2))
+    jener = np.bincount(cb, weights=cv * cv, minlength=B).astype(np.float64)
 
     HX = -np.sum(px * np.log2(px + EPS), axis=1)
     HY = -np.sum(py * np.log2(py + EPS), axis=1)
-    pxy = px[:, :, None] * py[:, None, :]
-    HXY1 = -np.sum(P * np.log2(pxy + EPS), axis=(1, 2))
-    HXY2 = -np.sum(pxy * np.log2(pxy + EPS), axis=(1, 2))
+    HXY1 = -np.bincount(
+        cb, weights=cv * np.log2(px[cb, ci] * py[cb, cj] + EPS),
+        minlength=B).astype(np.float64)
+    # HXY2 = −Σ pxᵢ·pyⱼ·log2(pxᵢ·pyⱼ+EPS) needs the full marginal product
+    # grid, but only cells with BOTH marginals positive contribute (a zero
+    # marginal makes the term an exact ±0.0) — gather the in-doc cross
+    # pairs of positive-marginal levels instead of the (B,G,G) pxy tensor.
+    # Pair-less docs have all-NaN marginals (px>0 False) → no pairs; their
+    # dense value is NaN, restored explicitly below.
+    xb, xg = np.nonzero(px > 0)
+    yb, yg = np.nonzero(py > 0)
+    mx = np.bincount(xb, minlength=B)
+    my = np.bincount(yb, minlength=B)
+    sx = np.zeros(B, dtype=np.int64)
+    np.cumsum(mx[:-1], out=sx[1:])
+    sy = np.zeros(B, dtype=np.int64)
+    np.cumsum(my[:-1], out=sy[1:])
+    npxy = mx * my
+    docp = np.repeat(np.arange(B), npxy)
+    offp = np.zeros(B, dtype=np.int64)
+    np.cumsum(npxy[:-1], out=offp[1:])
+    tt = np.arange(docp.size, dtype=np.int64) - offp[docp]
+    myd = my[docp]
+    prod = px[xb, xg][sx[docp] + tt // myd] * py[yb, yg][sy[docp] + tt % myd]
+    HXY2 = -np.bincount(docp, weights=prod * np.log2(prod + EPS),
+                        minlength=B).astype(np.float64)
+    HXY2[~(mass > 0)] = np.nan
     div = np.fmax(HX, HY)
     with np.errstate(invalid="ignore"):
         imc1 = np.where(div != 0, (HXY - HXY1) / np.where(div != 0, div, 1.0), 0.0)
@@ -697,7 +732,9 @@ def _glcm_features_from_counts(r: Ragged, levels: np.ndarray, P: np.ndarray,
                      else _present_counts(r, levels, G, valid) > 0)
     n_pres_early = present_early.sum(axis=1)
     invvar = np.where(n_pres_early <= 1, 0.0, invvar)
-    maxprob = P.reshape(B, -1).max(axis=1)
+    maxprob = np.zeros(B)
+    with np.errstate(invalid="ignore"):
+        np.maximum.at(maxprob, cb, cv)  # NaN cells of pair-less docs propagate
     sumavg = p_add @ k_sum
     sument = -np.sum(p_add * np.log2(p_add + EPS), axis=1)
     # sumsq ≡ σx² — computed above from the px marginal
