@@ -92,3 +92,13 @@ def test_curate_metrics_single_pass(spark, corpus, monkeypatch):
     assert m["n_raw"] == n_raw
     assert calls["count"] <= 2, f"per-stage count() crept back: {calls}"
     assert calls["collect"] <= 12, f"unbounded driver collects: {calls}"
+
+
+def test_curate_empty_corpus(spark, tmp_path):
+    """Degenerate input (empty corpus) flows through every stage without
+    crashing — the resume/backfill path can legitimately hand the pipeline
+    zero new rows."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    m = curate(empty, out_path=str(tmp_path / "empty_out"))
+    assert m["n_raw"] == 0 and m["n_train_docs"] == 0
+    assert m["n_train_tokens"] == 0 and m["cross_split_contamination"] == 0
