@@ -540,13 +540,16 @@ def glcm_batch(r: Ragged, levels: np.ndarray, distances: tuple = (1,),
             w = np.ones(len(distances))
         else:
             w = np.exp(-np.asarray(distances, dtype=np.float64) ** 2)
-        P = None
+        parts_c, parts_v = [], []
         for wi, d in zip(w, distances):
-            Pd = _glcm_raw(r, levels, int(d), G, valid)
+            codes, cnts = _glcm_cells(r, levels, int(d), G, valid)
             if symmetric:
-                Pd = Pd + Pd.transpose(0, 2, 1)
-            P = wi * Pd if P is None else P + wi * Pd
-        return _glcm_features_from_counts(r, levels, P, G, valid,
+                codes, cnts = _sym_cells(codes, cnts, G)
+            parts_c.append(codes)
+            parts_v.append(wi * cnts)
+        codes, cnts = _merge_cells(np.concatenate(parts_c),
+                                   np.concatenate(parts_v))
+        return _glcm_features_from_counts(r, levels, codes, cnts, G, valid,
                                           present=present)
     if len(distances) == 1:
         return _glcm_one_distance(r, levels, int(distances[0]),
@@ -575,10 +578,13 @@ def glcm_batch(r: Ragged, levels: np.ndarray, distances: tuple = (1,),
     return out
 
 
-def _glcm_raw(r: Ragged, levels: np.ndarray, dist: int, G: int,
-              valid: np.ndarray | None) -> np.ndarray:
-    """(B, G, G) directed pair counts at one distance; pairs need both ends
-    in the same doc AND valid (masked positions break adjacency like
+def _glcm_cells(r: Ragged, levels: np.ndarray, dist: int, G: int,
+                valid: np.ndarray | None) -> tuple:
+    """SPARSE directed pair counts at one distance as (codes, counts):
+    code = doc·G² + i·G + j over observed pairs only — the dense
+    (B, G, G) bincount build was the engine's last O(B·G²) memory term
+    (1.3 GB per 10k-row Arrow batch at the G=128 cap). Pairs need both
+    ends in the same doc AND valid (masked positions break adjacency like
     out-of-ROI voxels, cmatrices.c:4-92 bounds/mask checks)."""
     n = levels.size
     if n > dist:
@@ -590,8 +596,22 @@ def _glcm_raw(r: Ragged, levels: np.ndarray, dist: int, G: int,
         dd = r.doc[:-dist][same]
     else:
         li = lj = dd = np.empty(0, dtype=np.int64)
-    return np.bincount(dd * G * G + li * G + lj, minlength=r.B * G * G).reshape(
-        r.B, G, G).astype(np.float64)
+    codes, counts = np.unique(dd * (G * G) + li * G + lj, return_counts=True)
+    return codes, counts.astype(np.float64)
+
+
+def _sym_cells(codes: np.ndarray, counts: np.ndarray, G: int) -> tuple:
+    """P + Pᵀ in cell space: concatenate with transposed codes, re-sum."""
+    d, rem = np.divmod(codes, G * G)
+    i, j = np.divmod(rem, G)
+    return _merge_cells(np.concatenate([codes, d * (G * G) + j * G + i]),
+                        np.concatenate([counts, counts]))
+
+
+def _merge_cells(codes: np.ndarray, counts: np.ndarray) -> tuple:
+    u, inv = np.unique(codes, return_inverse=True)
+    return u, np.bincount(inv, weights=counts,
+                          minlength=u.size).astype(np.float64)
 
 
 def _glcm_one_distance(r: Ragged, levels: np.ndarray, dist: int,
@@ -599,43 +619,43 @@ def _glcm_one_distance(r: Ragged, levels: np.ndarray, dist: int,
                        valid: np.ndarray | None = None,
                        present: np.ndarray | None = None) -> dict:
     G = max(int(levels.max()) if levels.size else 1, 1)
-    P = _glcm_raw(r, levels, dist, G, valid)
+    codes, cnts = _glcm_cells(r, levels, dist, G, valid)
     if symmetric:
-        P = P + P.transpose(0, 2, 1)  # symmetrize
-    return _glcm_features_from_counts(r, levels, P, G, valid,
+        codes, cnts = _sym_cells(codes, cnts, G)
+    return _glcm_features_from_counts(r, levels, codes, cnts, G, valid,
                                       mask_empty=mask_empty, present=present)
 
 
-def _glcm_features_from_counts(r: Ragged, levels: np.ndarray, P: np.ndarray,
+def _glcm_features_from_counts(r: Ragged, levels: np.ndarray,
+                               codes: np.ndarray, cnts: np.ndarray,
                                G: int, valid: np.ndarray | None,
                                mask_empty: bool = False,
                                present: np.ndarray | None = None) -> dict:
+    """Every GLCM reduction from SPARSE observed cells (codes =
+    doc·G² + i·G + j, counts): O(cells) work and memory — no (B,G,G)
+    tensor is ever materialized except the per-pattern MCC submatrices.
+    Pair-less docs (no cells) would silently read as all-zero through the
+    gathers, so every quantity the dense algebra turned NaN for them is
+    NaN-fixed explicitly right after construction — downstream flows,
+    guards, and mask_empty semantics are unchanged."""
     B = r.B
-    mass = P.sum(axis=(1, 2))
+    cb, rem = np.divmod(codes, G * G)
+    ci, cj = np.divmod(rem, G)
+    mass = np.bincount(cb, weights=cnts, minlength=B).astype(np.float64)
     norm = np.where(mass > 0, mass, np.nan)
-    P = P / norm[:, None, None]
+    empty = ~(mass > 0)
+    cv = cnts / norm[cb]   # cells exist ⇒ their doc's mass > 0
 
     gl = np.arange(1, G + 1, dtype=np.float64)
     ng = r.segmax(levels.astype(np.float64))  # per-doc max level (B,)
     ng = np.maximum(ng, 1)
 
-    # ---- nonzero-cell gather view -------------------------------------
-    # Web docs occupy far fewer than G² co-occurrence cells, so every
-    # remaining Σ_ij f(P_ij) reduction runs over the observed cells only
-    # (bincount gathers) instead of (B,G,G) tensor sweeps — this removes
-    # ALL full-tensor log2/multiply passes except the marginal-product
-    # entropy HXY2 (own present-pair gather below) and the MCC eigen
-    # stage (which needs dense per-pattern submatrices anyway).
-    # Pair-less docs have all-NaN rows after the 0/NaN normalize; NaN is
-    # "nonzero", so their cells enter the gathers and poison the per-doc
-    # bincount sums to NaN — exactly the dense path's semantics.
-    cb, ci, cj = np.nonzero(P)
-    cv = P[cb, ci, cj]
-
     px = np.bincount(cb * G + ci, weights=cv, minlength=B * G
                      ).astype(np.float64).reshape(B, G)
     py = np.bincount(cb * G + cj, weights=cv, minlength=B * G
                      ).astype(np.float64).reshape(B, G)
+    px[empty] = np.nan
+    py[empty] = np.nan
     # moments from MARGINALS where algebra allows — Σ_ij P·f(i) ≡ Σ_g px·f(g)
     ux = px @ gl
     uy = py @ gl
@@ -646,11 +666,14 @@ def _glcm_features_from_counts(r: Ragged, levels: np.ndarray, P: np.ndarray,
                         minlength=B * Ksum).astype(np.float64).reshape(B, Ksum)
     p_sub = np.bincount(cb * G + np.abs(ci - cj), weights=cv,
                         minlength=B * G).astype(np.float64).reshape(B, G)
+    p_add[empty] = np.nan
+    p_sub[empty] = np.nan
     k_sum = np.arange(2, 2 * G + 1, dtype=np.float64)
     k_diff = np.arange(0, G, dtype=np.float64)
 
     HXY = -np.bincount(cb, weights=cv * np.log2(cv + EPS),
                        minlength=B).astype(np.float64)
+    HXY[empty] = np.nan
 
     # cluster moments over p(x+y): Σ_ij P·g(i+j) ≡ Σ_k p_add·g(k)
     dsum = k_sum[None, :] - ux[:, None] - uy[:, None]   # (B, 2G-1)
@@ -661,6 +684,7 @@ def _glcm_features_from_counts(r: Ragged, levels: np.ndarray, P: np.ndarray,
     contrast = p_sub @ (k_diff * k_diff)                # Σ_ij P·(i−j)²
     autoc = np.bincount(cb, weights=cv * gl[ci] * gl[cj],
                         minlength=B).astype(np.float64)
+    autoc[empty] = np.nan
 
     dx = gl[None, :] - ux[:, None]                      # (B,G)
     dy = gl[None, :] - uy[:, None]
@@ -673,6 +697,7 @@ def _glcm_features_from_counts(r: Ragged, levels: np.ndarray, P: np.ndarray,
     # σx·σy ≈ 0; the centered cell gather buys full precision there
     corm = np.bincount(cb, weights=cv * dx[cb, ci] * dy[cb, cj],
                        minlength=B).astype(np.float64)
+    corm[empty] = np.nan
     with np.errstate(invalid="ignore"):
         corr = corm / (sigx * sigy + EPS)
     corr = np.where(sigx * sigy == 0, 1.0, corr)
@@ -681,12 +706,14 @@ def _glcm_features_from_counts(r: Ragged, levels: np.ndarray, P: np.ndarray,
     diffent = -np.sum(p_sub * np.log2(p_sub + EPS), axis=1)
     diffvar = np.sum(p_sub * (k_diff[None, :] - diffavg[:, None]) ** 2, axis=1)
     jener = np.bincount(cb, weights=cv * cv, minlength=B).astype(np.float64)
+    jener[empty] = np.nan
 
     HX = -np.sum(px * np.log2(px + EPS), axis=1)
     HY = -np.sum(py * np.log2(py + EPS), axis=1)
     HXY1 = -np.bincount(
         cb, weights=cv * np.log2(px[cb, ci] * py[cb, cj] + EPS),
         minlength=B).astype(np.float64)
+    HXY1[empty] = np.nan
     # HXY2 = −Σ pxᵢ·pyⱼ·log2(pxᵢ·pyⱼ+EPS) needs the full marginal product
     # grid, but only cells with BOTH marginals positive contribute (a zero
     # marginal makes the term an exact ±0.0) — gather the in-doc cross
@@ -725,16 +752,17 @@ def _glcm_features_from_counts(r: Ragged, levels: np.ndarray, P: np.ndarray,
         invvar = np.sum(p_sub[:, 1:] / k_diff[None, 1:] ** 2, axis=1)
     # reference: with a single PRESENT level every k ≥ 1 cell of p(x−y) is an
     # exact 0 (all mass sits at k=0, even when that mass is the NaN of a
-    # pairless doc), so the k=1.. sum is 0.0 — per-doc bincount keeps those
-    # zeros but the dense matmul here smears the NaN across all k. Guard on
-    # present-level count, not ng==1 (FBN can put a flat doc at a mid bin).
+    # pairless doc), so the k=1.. sum is 0.0 — but p_sub rows of pairless
+    # docs are NaN here (the explicit empty fixup, matching the dense
+    # path's NaN smear). Guard on present-level count, not ng==1 (FBN can
+    # put a flat doc at a mid bin).
     present_early = (present if present is not None
                      else _present_counts(r, levels, G, valid) > 0)
     n_pres_early = present_early.sum(axis=1)
     invvar = np.where(n_pres_early <= 1, 0.0, invvar)
     maxprob = np.zeros(B)
-    with np.errstate(invalid="ignore"):
-        np.maximum.at(maxprob, cb, cv)  # NaN cells of pair-less docs propagate
+    np.maximum.at(maxprob, cb, cv)
+    maxprob[empty] = np.nan
     sumavg = p_add @ k_sum
     sument = -np.sum(p_add * np.log2(p_add + EPS), axis=1)
     # sumsq ≡ σx² — computed above from the px marginal
@@ -764,10 +792,29 @@ def _glcm_features_from_counts(r: Ragged, levels: np.ndarray, P: np.ndarray,
     if eligible.any():
         idx_all = np.flatnonzero(eligible)
         pats, inv = np.unique(present[idx_all], axis=0, return_inverse=True)
+        # group-local dense submatrices scattered straight from the sparse
+        # cells — the only densification anywhere in the GLCM path, sized
+        # (group docs × present levels²), never (B, G, G). Cells and docs
+        # are bucketed by group with one stable argsort each.
+        grp_of_doc = np.full(B, -1, dtype=np.int64)
+        grp_of_doc[idx_all] = inv
+        cell_grp = grp_of_doc[cb]
+        corder = np.argsort(cell_grp, kind="stable")
+        cbounds = np.searchsorted(cell_grp[corder],
+                                  np.arange(pats.shape[0] + 1))
+        dorder = np.argsort(inv, kind="stable")
+        dbounds = np.searchsorted(inv[dorder], np.arange(pats.shape[0] + 1))
+        doc_pos = np.empty(B, dtype=np.int64)
+        lvl_pos = np.empty(G, dtype=np.int64)
         for p in range(pats.shape[0]):
-            sel = idx_all[inv == p]
+            sel = idx_all[dorder[dbounds[p]:dbounds[p + 1]]]
             pres = np.flatnonzero(pats[p])
-            mcc[sel] = _mcc_from_stack(P[np.ix_(sel, pres, pres)])
+            cs = corder[cbounds[p]:cbounds[p + 1]]
+            doc_pos[sel] = np.arange(sel.size)
+            lvl_pos[pres] = np.arange(pres.size)
+            Ps = np.zeros((sel.size, pres.size, pres.size))
+            Ps[doc_pos[cb[cs]], lvl_pos[ci[cs]], lvl_pos[cj[cs]]] = cv[cs]
+            mcc[sel] = _mcc_from_stack(Ps)
     # pairless docs can't have ≥2 present levels at distance 1, but keep the
     # per-doc NaN semantics for that (dead-in-practice) corner
     mcc[~finite & (n_pres >= 2)] = np.nan
