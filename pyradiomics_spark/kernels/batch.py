@@ -540,6 +540,15 @@ def glcm_batch(r: Ragged, levels: np.ndarray, distances: tuple = (1,),
             w = np.ones(len(distances))
         else:
             w = np.exp(-np.asarray(distances, dtype=np.float64) ** 2)
+        if r.B * (G * G) <= _GLCM_DENSE_MAX_SLOTS:
+            P = None
+            for wi, d in zip(w, distances):
+                Pd = _glcm_raw(r, levels, int(d), G, valid)
+                if symmetric:
+                    Pd = Pd + Pd.transpose(0, 2, 1)
+                P = wi * Pd if P is None else P + wi * Pd
+            return _glcm_features_dense(r, levels, P, G, valid,
+                                        present=present)
         parts_c, parts_v = [], []
         for wi, d in zip(w, distances):
             codes, cnts = _glcm_cells(r, levels, int(d), G, valid)
@@ -578,24 +587,49 @@ def glcm_batch(r: Ragged, levels: np.ndarray, distances: tuple = (1,),
     return out
 
 
-def _glcm_cells(r: Ragged, levels: np.ndarray, dist: int, G: int,
+# (B·G²) slot budget below which dense tensors win: dense SIMD sweeps beat
+# per-cell gathers while everything fits in ~64 MB (measured ~1.5× on the
+# G≈15 web regime), and the sparse path takes over exactly where dense
+# allocation becomes the memory cliff — the same small/large dispatch
+# shape as assign_cells' expr/arrow split.
+_GLCM_DENSE_MAX_SLOTS = 8_000_000
+
+
+def _glcm_raw(r: Ragged, levels: np.ndarray, dist: int, G: int,
+              valid: np.ndarray | None) -> np.ndarray:
+    """(B, G, G) directed pair counts — the DENSE-regime build (see
+    _GLCM_DENSE_MAX_SLOTS); the sparse regime uses _glcm_cells."""
+    dd, li, lj = _glcm_pairs(r, levels, dist, valid)
+    return np.bincount(dd * (G * G) + li * G + lj,
+                       minlength=r.B * G * G).reshape(
+        r.B, G, G).astype(np.float64)
+
+
+def _glcm_pairs(r: Ragged, levels: np.ndarray, dist: int,
                 valid: np.ndarray | None) -> tuple:
-    """SPARSE directed pair counts at one distance as (codes, counts):
-    code = doc·G² + i·G + j over observed pairs only — the dense
-    (B, G, G) bincount build was the engine's last O(B·G²) memory term
-    (1.3 GB per 10k-row Arrow batch at the G=128 cap). Pairs need both
-    ends in the same doc AND valid (masked positions break adjacency like
-    out-of-ROI voxels, cmatrices.c:4-92 bounds/mask checks)."""
+    """Directed pair endpoints at one distance: (doc, i0, j0) index
+    arrays; pairs need both ends in the same doc AND valid (masked
+    positions break adjacency like out-of-ROI voxels, cmatrices.c:4-92
+    bounds/mask checks)."""
     n = levels.size
     if n > dist:
         same = r.doc[:-dist] == r.doc[dist:]
         if valid is not None:
             same = same & valid[:-dist] & valid[dist:]
-        li = levels[:-dist][same] - 1
-        lj = levels[dist:][same] - 1
-        dd = r.doc[:-dist][same]
-    else:
-        li = lj = dd = np.empty(0, dtype=np.int64)
+        return (r.doc[:-dist][same], levels[:-dist][same] - 1,
+                levels[dist:][same] - 1)
+    z = np.empty(0, dtype=np.int64)
+    return z, z, z
+
+
+def _glcm_cells(r: Ragged, levels: np.ndarray, dist: int, G: int,
+                valid: np.ndarray | None) -> tuple:
+    """SPARSE directed pair counts at one distance as (codes, counts):
+    code = doc·G² + i·G + j over observed pairs only, sort-and-count —
+    O(pairs) memory in the regime where the dense (B, G, G) build would
+    be the 1.3 GB-per-10k-row-batch cliff (the reason max_gray_levels
+    exists as an engine cap at all)."""
+    dd, li, lj = _glcm_pairs(r, levels, dist, valid)
     codes, counts = np.unique(dd * (G * G) + li * G + lj, return_counts=True)
     return codes, counts.astype(np.float64)
 
@@ -619,6 +653,12 @@ def _glcm_one_distance(r: Ragged, levels: np.ndarray, dist: int,
                        valid: np.ndarray | None = None,
                        present: np.ndarray | None = None) -> dict:
     G = max(int(levels.max()) if levels.size else 1, 1)
+    if r.B * (G * G) <= _GLCM_DENSE_MAX_SLOTS:
+        P = _glcm_raw(r, levels, dist, G, valid)
+        if symmetric:
+            P = P + P.transpose(0, 2, 1)
+        return _glcm_features_dense(r, levels, P, G, valid,
+                                    mask_empty=mask_empty, present=present)
     codes, cnts = _glcm_cells(r, levels, dist, G, valid)
     if symmetric:
         codes, cnts = _sym_cells(codes, cnts, G)
@@ -815,6 +855,160 @@ def _glcm_features_from_counts(r: Ragged, levels: np.ndarray,
             Ps = np.zeros((sel.size, pres.size, pres.size))
             Ps[doc_pos[cb[cs]], lvl_pos[ci[cs]], lvl_pos[cj[cs]]] = cv[cs]
             mcc[sel] = _mcc_from_stack(Ps)
+    # pairless docs can't have ≥2 present levels at distance 1, but keep the
+    # per-doc NaN semantics for that (dead-in-practice) corner
+    mcc[~finite & (n_pres >= 2)] = np.nan
+
+    out = {
+        "Autocorrelation": autoc, "JointAverage": ux,
+        "ClusterProminence": cprom, "ClusterShade": cshade,
+        "ClusterTendency": ctend, "Contrast": contrast,
+        "Correlation": corr, "DifferenceAverage": diffavg,
+        "DifferenceEntropy": diffent, "DifferenceVariance": diffvar,
+        "JointEnergy": jener, "JointEntropy": HXY,
+        "Imc1": imc1, "Imc2": imc2, "Idm": idm, "MCC": mcc,
+        "Idmn": idmn, "Id": idcol, "Idn": idn, "InverseVariance": invvar,
+        "MaximumProbability": maxprob, "SumAverage": sumavg,
+        "SumEntropy": sument, "SumSquares": sumsq,
+    }
+    # multi-angle only: pair-less docs at this distance → the whole angle
+    # is NaN so the nanmean skips it (delete-empty-angle semantics); the
+    # guards above gave MCC=1 / Imc=0 / invvar=0 which would wrongly
+    # survive the nanmean. Single-angle keeps those per-doc guard values.
+    empty = ~(mass > 0)
+    if mask_empty and empty.any():
+        for k in out:
+            v = np.asarray(out[k], dtype=np.float64).copy()
+            v[empty] = np.nan
+            out[k] = v
+    return out
+
+
+def _glcm_features_dense(r: Ragged, levels: np.ndarray, P: np.ndarray,
+                               G: int, valid: np.ndarray | None,
+                               mask_empty: bool = False,
+                               present: np.ndarray | None = None) -> dict:
+    B = r.B
+    mass = P.sum(axis=(1, 2))
+    norm = np.where(mass > 0, mass, np.nan)
+    P = P / norm[:, None, None]
+
+    gl = np.arange(1, G + 1, dtype=np.float64)
+    ng = r.segmax(levels.astype(np.float64))  # per-doc max level (B,)
+    ng = np.maximum(ng, 1)
+
+    px = P.sum(axis=2)                      # (B,G)
+    py = P.sum(axis=1)
+    # moments from MARGINALS where algebra allows — Σ_ij P·f(i) ≡ Σ_g px·f(g)
+    # exactly; avoids a pile of (B,G,G) tensor sweeps (≈40% of this
+    # function's wall on a 15k-doc batch)
+    ux = px @ gl
+    uy = py @ gl
+
+    # p(x+y) / p(x−y) via dense projection matrices (G², K)
+    gsum = (gl[:, None] + gl[None, :]).ravel()
+    gdiff = np.abs(gl[:, None] - gl[None, :]).ravel()
+    Ksum = 2 * G - 1
+    Msum = np.zeros((G * G, Ksum))
+    Msum[np.arange(G * G), (gsum - 2).astype(int)] = 1.0
+    Mdiff = np.zeros((G * G, G))
+    Mdiff[np.arange(G * G), gdiff.astype(int)] = 1.0
+    Pf = P.reshape(B, G * G)
+    p_add = Pf @ Msum                       # (B, 2G-1), k value = idx+2
+    p_sub = Pf @ Mdiff                      # (B, G),   k value = idx
+    k_sum = np.arange(2, 2 * G + 1, dtype=np.float64)
+    k_diff = np.arange(0, G, dtype=np.float64)
+
+    HXY = -np.sum(P * np.log2(P + EPS), axis=(1, 2))
+
+    # cluster moments over p(x+y): Σ_ij P·g(i+j) ≡ Σ_k p_add·g(k)
+    dsum = k_sum[None, :] - ux[:, None] - uy[:, None]   # (B, 2G-1)
+    dsum2 = dsum * dsum
+    ctend = np.sum(p_add * dsum2, axis=1)
+    cshade = np.sum(p_add * dsum2 * dsum, axis=1)
+    cprom = np.sum(p_add * dsum2 * dsum2, axis=1)
+    contrast = p_sub @ (k_diff * k_diff)                # Σ_ij P·(i−j)²
+    autoc = np.einsum("bij,i,j->b", P, gl, gl)
+
+    dx = gl[None, :] - ux[:, None]                      # (B,G)
+    dy = gl[None, :] - uy[:, None]
+    sumsq = np.sum(px * dx * dx, axis=1)                # ≡ Σ P (i−ux)² = σx²
+    sigx = np.sqrt(sumsq)
+    sigy = np.sqrt(np.sum(py * dy * dy, axis=1))
+    # Σ P (i−ux)(j−uy) from CENTERED products (same form as the per-doc
+    # kernel, glcm.py:158) — the algebraic shortcut autoc − ux·uy is exact
+    # but catastrophically cancels for near-flat high-G docs where
+    # σx·σy ≈ 0; one (B,G,G) einsum buys full precision there
+    corm = np.einsum("bij,bi,bj->b", P, dx, dy)
+    with np.errstate(invalid="ignore"):
+        corr = corm / (sigx * sigy + EPS)
+    corr = np.where(sigx * sigy == 0, 1.0, corr)
+
+    diffavg = p_sub @ k_diff
+    diffent = -np.sum(p_sub * np.log2(p_sub + EPS), axis=1)
+    diffvar = np.sum(p_sub * (k_diff[None, :] - diffavg[:, None]) ** 2, axis=1)
+    jener = np.sum(P * P, axis=(1, 2))
+
+    HX = -np.sum(px * np.log2(px + EPS), axis=1)
+    HY = -np.sum(py * np.log2(py + EPS), axis=1)
+    pxy = px[:, :, None] * py[:, None, :]
+    HXY1 = -np.sum(P * np.log2(pxy + EPS), axis=(1, 2))
+    HXY2 = -np.sum(pxy * np.log2(pxy + EPS), axis=(1, 2))
+    div = np.fmax(HX, HY)
+    with np.errstate(invalid="ignore"):
+        imc1 = np.where(div != 0, (HXY - HXY1) / np.where(div != 0, div, 1.0), 0.0)
+        imc2 = np.sqrt(np.maximum(1 - np.exp(-2.0 * (HXY2 - HXY)), 0.0))
+    imc2 = np.where(HXY2 == HXY, 0.0, imc2)
+
+    idm = np.sum(p_sub / (1 + k_diff[None, :] ** 2), axis=1)
+    idmn = np.sum(p_sub / (1 + k_diff[None, :] ** 2 / (ng ** 2)[:, None]), axis=1)
+    idcol = np.sum(p_sub / (1 + k_diff[None, :]), axis=1)
+    idn = np.sum(p_sub / (1 + k_diff[None, :] / ng[:, None]), axis=1)
+    with np.errstate(divide="ignore"):
+        invvar = np.sum(p_sub[:, 1:] / k_diff[None, 1:] ** 2, axis=1)
+    # reference: with a single PRESENT level every k ≥ 1 cell of p(x−y) is an
+    # exact 0 (all mass sits at k=0, even when that mass is the NaN of a
+    # pairless doc), so the k=1.. sum is 0.0 — per-doc bincount keeps those
+    # zeros but the dense matmul here smears the NaN across all k. Guard on
+    # present-level count, not ng==1 (FBN can put a flat doc at a mid bin).
+    present_early = (present if present is not None
+                     else _present_counts(r, levels, G, valid) > 0)
+    n_pres_early = present_early.sum(axis=1)
+    invvar = np.where(n_pres_early <= 1, 0.0, invvar)
+    maxprob = P.reshape(B, -1).max(axis=1)
+    sumavg = p_add @ k_sum
+    sument = -np.sum(p_add * np.log2(p_add + EPS), axis=1)
+    # sumsq ≡ σx² — computed above from the px marginal
+
+    # MCC: eigen on the compacted present-level submatrix. Docs are grouped
+    # by their EXACT present-level pattern (np.unique over the (B, G) bool
+    # mask) and each group runs ONE stacked eigvals — a web corpus has very
+    # few distinct patterns, so this stays O(#patterns) eig calls even when
+    # levels are non-contiguous (e.g. a vocabulary with no 2-char tokens
+    # leaves a hole at level 2 in EVERY doc; the previous contiguous-only
+    # grouping degraded to a per-doc python loop there, ~60 µs × B).
+    mcc = np.full(B, 1.0)
+    present = present_early
+    n_pres = n_pres_early
+    finite = np.isfinite(mass) & (mass > 0)
+
+    def _mcc_from_stack(Ps: np.ndarray) -> np.ndarray:
+        pxa = Ps.sum(axis=2)
+        pya = Ps.sum(axis=1)
+        R = Ps / (pxa[:, :, None] * pya[:, None, :] + EPS)
+        Q = np.einsum("bik,bjk->bij", R, Ps)
+        ev = np.linalg.eigvals(Q)
+        ev.sort(axis=1)
+        return np.real(np.sqrt(ev[:, -2]))
+
+    eligible = (n_pres >= 2) & finite
+    if eligible.any():
+        idx_all = np.flatnonzero(eligible)
+        pats, inv = np.unique(present[idx_all], axis=0, return_inverse=True)
+        for p in range(pats.shape[0]):
+            sel = idx_all[inv == p]
+            pres = np.flatnonzero(pats[p])
+            mcc[sel] = _mcc_from_stack(P[np.ix_(sel, pres, pres)])
     # pairless docs can't have ≥2 present levels at distance 1, but keep the
     # per-doc NaN semantics for that (dead-in-practice) corner
     mcc[~finite & (n_pres >= 2)] = np.nan
