@@ -1401,6 +1401,75 @@ def q_matrix_glcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_matrix_glrlm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-tier GLRLM through extract_matrices' Arrow path: long-form
+    raw run-length counts per doc at bin_width=1 — (level, run_len, count)
+    cells vs a DuckDB gaps-and-islands twin. Counts are integers; exact."""
+    from pyradiomics_spark.config import ExtractionSettings
+    from pyradiomics_spark.operators.matrices import extract_matrices
+
+    docs = _read(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200).select("doc_id", "text")
+    st = ExtractionSettings(bin_width=1.0)
+    out = extract_matrices(docs, keys=("doc_id",), settings=st,
+                           classes=("glrlm",))
+    return (
+        out.select("doc_id", "matrix",
+                   F.col("i").cast("long").alias("i"),
+                   F.col("j").cast("long").alias("j"),
+                   F.col("value").alias("n_runs"),
+                   F.col("angle").cast("long").alias("angle"))
+        .orderBy("doc_id", "i", "j")
+    )
+
+
+def q_matrix_ngtdm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-tier NGTDM through extract_matrices' Arrow path: long-form
+    (level, {0=n_i, 1=s_i}) cells per doc vs a DuckDB ±1-window neighbor
+    twin — the same (sum−self)/(count−1) double arithmetic as the kernel,
+    6-dp gate rounding on the s_i float sums."""
+    from pyradiomics_spark.config import ExtractionSettings
+    from pyradiomics_spark.operators.matrices import extract_matrices
+
+    docs = _read(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200).select("doc_id", "text")
+    st = ExtractionSettings(bin_width=1.0)
+    out = extract_matrices(docs, keys=("doc_id",), settings=st,
+                           classes=("ngtdm",))
+    return (
+        out.select("doc_id", "matrix",
+                   F.col("i").cast("long").alias("i"),
+                   F.col("j").cast("long").alias("j"),
+                   _rnd("value", 6).alias("v"),
+                   F.col("angle").cast("long").alias("angle"))
+        .orderBy("doc_id", "i", "j")
+    )
+
+
+def q_matrix_gldm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-tier GLDM through extract_matrices' Arrow path: long-form
+    (level, dependence+1, count) cells per doc (gldm_a=0, distance 1) vs
+    a DuckDB lag/lead equality twin. Together with matrix_glcm /
+    matrix_glrlm / matrix_ngtdm this puts every distinct matrix class
+    under the cross-engine gate (GLSZM ≡ GLRLM in 1-D by construction)."""
+    from pyradiomics_spark.config import ExtractionSettings
+    from pyradiomics_spark.operators.matrices import extract_matrices
+
+    docs = _read(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200).select("doc_id", "text")
+    st = ExtractionSettings(bin_width=1.0)
+    out = extract_matrices(docs, keys=("doc_id",), settings=st,
+                           classes=("gldm",))
+    return (
+        out.select("doc_id", "matrix",
+                   F.col("i").cast("long").alias("i"),
+                   F.col("j").cast("long").alias("j"),
+                   F.col("value").alias("n_dep"),
+                   F.col("angle").cast("long").alias("angle"))
+        .orderBy("doc_id", "i", "j")
+    )
+
+
 def q_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long melt via builtin stack (operators.features.melt_features
     form) — the long-format feature serving layout; DuckDB twin is UNPIVOT."""
@@ -1583,6 +1652,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_arrow": q_assign_arrow,
         "ivf_topk_arrow": q_ivf_arrow,
         "matrix_glcm": q_matrix_glcm,
+        "matrix_glrlm": q_matrix_glrlm,
+        "matrix_ngtdm": q_matrix_ngtdm,
+        "matrix_gldm": q_matrix_gldm,
         "lsh_buckets": q_lsh_buckets,
         "repetition": q_repetition,
         "hash_bucket": q_hash_bucket,
@@ -1918,6 +1990,83 @@ def oracle_sql() -> dict[str, str]:
                          + 0.50000095367431640625) / 1e6 AS p,
                    CAST(0 AS BIGINT) AS angle
             FROM cnt ORDER BY doc_id, i, j
+        """,
+        "matrix_glrlm": f"""
+            WITH lv AS (
+              SELECT doc_id, pos,
+                     tok_len - min(tok_len) OVER (PARTITION BY doc_id) + 1 AS level
+              FROM ({tokens}) WHERE doc_id < 200
+            ), flagged AS (
+              SELECT doc_id, pos, level,
+                     CASE WHEN lag(level, 1) OVER w IS NULL
+                               OR lag(level, 1) OVER w <> level
+                          THEN 1 ELSE 0 END AS chg
+              FROM lv WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), runs AS (
+              SELECT doc_id, level,
+                     sum(chg) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS run_id
+              FROM flagged
+            ), run_tbl AS (
+              SELECT doc_id, run_id, level, count(*) AS run_len
+              FROM runs GROUP BY doc_id, run_id, level
+            )
+            SELECT doc_id, 'glrlm' AS matrix,
+                   CAST(level AS BIGINT) AS i, CAST(run_len AS BIGINT) AS j,
+                   CAST(count(*) AS DOUBLE) AS n_runs,
+                   CAST(0 AS BIGINT) AS angle
+            FROM run_tbl GROUP BY doc_id, level, run_len
+            ORDER BY doc_id, i, j
+        """,
+        "matrix_ngtdm": f"""
+            WITH lv AS (
+              SELECT doc_id, pos,
+                     tok_len - min(tok_len) OVER (PARTITION BY doc_id) + 1 AS level
+              FROM ({tokens}) WHERE doc_id < 200
+            ), terms AS (
+              SELECT doc_id, level,
+                     CASE WHEN count(level) OVER w > 1
+                          THEN (sum(level) OVER w - level)
+                               / (count(level) OVER w - 1)
+                     END AS nbr_mean
+              FROM lv
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+            ), agg AS (
+              SELECT doc_id, level, count(*) AS n_i,
+                     sum(abs(level - nbr_mean)) AS s_i
+              FROM terms WHERE nbr_mean IS NOT NULL
+              GROUP BY doc_id, level
+            ), cells AS (
+              SELECT doc_id, level, 0 AS j, CAST(n_i AS DOUBLE) AS v FROM agg
+              UNION ALL
+              SELECT doc_id, level, 1 AS j, s_i AS v FROM agg
+            )
+            SELECT doc_id, 'ngtdm' AS matrix,
+                   CAST(level AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+                   floor(v * 1e6 + 0.50000095367431640625) / 1e6 AS v,
+                   CAST(0 AS BIGINT) AS angle
+            FROM cells ORDER BY doc_id, i, j
+        """,
+        "matrix_gldm": f"""
+            WITH lv AS (
+              SELECT doc_id, pos,
+                     tok_len - min(tok_len) OVER (PARTITION BY doc_id) + 1 AS level
+              FROM ({tokens}) WHERE doc_id < 200
+            ), dep AS (
+              SELECT doc_id, level,
+                     1 + (CASE WHEN lag(level, 1) OVER w = level
+                               THEN 1 ELSE 0 END)
+                       + (CASE WHEN lead(level, 1) OVER w = level
+                               THEN 1 ELSE 0 END) AS j
+              FROM lv WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            )
+            SELECT doc_id, 'gldm' AS matrix,
+                   CAST(level AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+                   CAST(count(*) AS DOUBLE) AS n_dep,
+                   CAST(0 AS BIGINT) AS angle
+            FROM dep GROUP BY doc_id, level, j
+            ORDER BY doc_id, i, j
         """,
         "kmeans_step": kmeans_step_sql,
         "split_contamination": """
