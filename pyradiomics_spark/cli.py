@@ -26,12 +26,21 @@ def main(argv=None) -> int:
     p.add_argument("--text-col", default="text")
     p.add_argument("--cores", type=int, default=None,
                    help="local[N] cores (ignored under a real cluster master)")
-    p.add_argument("--mode", choices=("segment", "voxel"), default="segment",
+    p.add_argument("--mode", choices=("segment", "voxel", "curate"),
+                   default="segment",
                    help="segment = one feature row per case (default); "
                         "voxel = per-position feature maps "
-                        "(the reference's --mode voxel analog)")
+                        "(the reference's --mode voxel analog); "
+                        "curate = the training-data curation pipeline "
+                        "(dedup → components → quality → split → pack), "
+                        "committing train_packed/ + holdout_ids/ under "
+                        "--output and printing the metrics dict as JSON")
     p.add_argument("--radius", type=int, default=2,
                    help="voxel-mode kernel radius (kernelRadius analog)")
+    p.add_argument("--pack-budget", type=int, default=2048,
+                   help="curate-mode context-window token budget")
+    p.add_argument("--min-quality", type=float, default=0.3,
+                   help="curate-mode quality-score floor")
     p.add_argument("--skip-nans", action="store_true",
                    help="emit long format (url, ts, feature, value) with "
                         "NaN features dropped — the reference CLI's "
@@ -76,6 +85,20 @@ def main(argv=None) -> int:
         else:
             w.parquet(args.output)
 
+    if args.mode == "curate":
+        if args.checkpoint:
+            p.error("--checkpoint is not supported with --mode curate "
+                    "(the pipeline commits its own outputs atomically)")
+        import json
+
+        from pyradiomics_spark.plans.curation import curate
+
+        metrics = curate(
+            df, id_col=keys[0], text_col=args.text_col,
+            min_quality=args.min_quality, pack_budget=args.pack_budget,
+            out_path=args.output)
+        print(json.dumps(metrics))
+        return 0
     if args.mode == "voxel":
         if args.checkpoint:
             p.error("--checkpoint is not supported with --mode voxel "

@@ -234,3 +234,26 @@ def test_run_extracts_text_from_html_when_missing(spark, pages):
     a = out.sort_values(key).reset_index(drop=True)
     b = ref.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)  # byte-identical extraction ⇒ equal
+
+
+def test_cli_curate_mode(spark, tmp_path, capsys):
+    import json
+
+    from pyradiomics_spark.cli import main
+
+    rows = [(i, f"distinct document {i} alpha{i} beta{i} gamma{i} "
+                f"delta{i} epsilon{i} zeta{i} eta{i}") for i in range(40)]
+    rows += [(100 + k, rows[0][1]) for k in range(2)]  # exact dups
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    inp = str(tmp_path / "docs")
+    outp = str(tmp_path / "curated")
+    docs.write.parquet(inp)
+    rc = main(["--input", inp, "--output", outp,
+               "--mode", "curate", "--keys", "doc_id"])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["n_raw"] == 42
+    assert metrics["n_after_exact_dedup"] == 40
+    assert metrics["cross_split_contamination"] == 0
+    packed = spark.read.parquet(f"{outp}/train_packed")
+    assert packed.count() == metrics["n_train_docs"] > 0
