@@ -594,6 +594,11 @@ def glcm_batch(r: Ragged, levels: np.ndarray, distances: tuple = (1,),
 # shape as assign_cells' expr/arrow split.
 _GLCM_DENSE_MAX_SLOTS = 8_000_000
 
+# element budget for the sparse path's bounded temporaries (the HXY2
+# marginal cross-pairs and the MCC pattern-group scatter): ~128 MB of
+# float64 per chunk, independent of B·G²
+_GLCM_PAIR_BUDGET = 16_000_000
+
 
 def _glcm_raw(r: Ragged, levels: np.ndarray, dist: int, G: int,
               valid: np.ndarray | None) -> np.ndarray:
@@ -769,14 +774,32 @@ def _glcm_features_from_counts(r: Ragged, levels: np.ndarray,
     sy = np.zeros(B, dtype=np.int64)
     np.cumsum(my[:-1], out=sy[1:])
     npxy = mx * my
-    docp = np.repeat(np.arange(B), npxy)
-    offp = np.zeros(B, dtype=np.int64)
-    np.cumsum(npxy[:-1], out=offp[1:])
-    tt = np.arange(docp.size, dtype=np.int64) - offp[docp]
-    myd = my[docp]
-    prod = px[xb, xg][sx[docp] + tt // myd] * py[yb, yg][sy[docp] + tt % myd]
-    HXY2 = -np.bincount(docp, weights=prod * np.log2(prod + EPS),
-                        minlength=B).astype(np.float64)
+    pxv_all = px[xb, xg]
+    pyv_all = py[yb, yg]
+    # CHUNKED over docs: Σ mxᵇ·myᵇ approaches B·G² again for docs with
+    # many present levels — exactly the regime this sparse path serves —
+    # so the pair temporaries are built a bounded slice of docs at a time
+    # (the arithmetic is per-doc; chunking is result-exact)
+    HXY2 = np.zeros(B)
+    cum = np.cumsum(npxy)
+    lo = 0
+    while lo < B:
+        base = cum[lo - 1] if lo else 0
+        hi = max(int(np.searchsorted(cum, base + _GLCM_PAIR_BUDGET,
+                                     side="right")), lo + 1)
+        npc = npxy[lo:hi]
+        docp = np.repeat(np.arange(lo, hi), npc)
+        if docp.size:
+            offc = np.zeros(hi - lo, dtype=np.int64)
+            np.cumsum(npc[:-1], out=offc[1:])
+            tt = np.arange(docp.size, dtype=np.int64) - offc[docp - lo]
+            myd = my[docp]
+            prod = (pxv_all[sx[docp] + tt // myd]
+                    * pyv_all[sy[docp] + tt % myd])
+            HXY2[lo:hi] = -np.bincount(
+                docp - lo, weights=prod * np.log2(prod + EPS),
+                minlength=hi - lo)
+        lo = hi
     HXY2[~(mass > 0)] = np.nan
     div = np.fmax(HX, HY)
     with np.errstate(invalid="ignore"):
@@ -850,11 +873,23 @@ def _glcm_features_from_counts(r: Ragged, levels: np.ndarray,
             sel = idx_all[dorder[dbounds[p]:dbounds[p + 1]]]
             pres = np.flatnonzero(pats[p])
             cs = corder[cbounds[p]:cbounds[p + 1]]
-            doc_pos[sel] = np.arange(sel.size)
             lvl_pos[pres] = np.arange(pres.size)
-            Ps = np.zeros((sel.size, pres.size, pres.size))
-            Ps[doc_pos[cb[cs]], lvl_pos[ci[cs]], lvl_pos[cj[cs]]] = cv[cs]
-            mcc[sel] = _mcc_from_stack(Ps)
+            # bounded scatter: a big group × a wide pattern would make the
+            # (docs, n_pres, n_pres) stack the next memory cliff — slice
+            # the group so each dense sub-stack stays under the budget
+            # (cells are code-ordered ⇒ doc-ordered within the group)
+            cell_docs = cb[cs]
+            step = max(1, _GLCM_PAIR_BUDGET // max(pres.size * pres.size, 1))
+            for a in range(0, sel.size, step):
+                ssel = sel[a:a + step]
+                clo = np.searchsorted(cell_docs, ssel[0], side="left")
+                chi = np.searchsorted(cell_docs, ssel[-1], side="right")
+                csl = cs[clo:chi]
+                doc_pos[ssel] = np.arange(ssel.size)
+                Ps = np.zeros((ssel.size, pres.size, pres.size))
+                Ps[doc_pos[cb[csl]], lvl_pos[ci[csl]], lvl_pos[cj[csl]]] = \
+                    cv[csl]
+                mcc[ssel] = _mcc_from_stack(Ps)
     # pairless docs can't have ≥2 present levels at distance 1, but keep the
     # per-doc NaN semantics for that (dead-in-practice) corner
     mcc[~finite & (n_pres >= 2)] = np.nan

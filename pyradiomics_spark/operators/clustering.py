@@ -68,13 +68,39 @@ def _assign_cells_arrow(
 
         C = bc.value
         c2 = (C * C).sum(axis=1)
+        k = C.shape[0]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X, valid = _stack_vecs(pdf[vec_col], C.shape[1])
+            if X.shape[0] == 0 or k == 1:
+                pdf = pdf.copy()
+                pdf[cell_col] = _masked_int_col(
+                    np.zeros(X.shape[0], dtype=np.int64), valid)
+                yield pdf
+                continue
+            # gemm screen + EXACT top-2 refine: the ‖x‖²−2x·c+‖c‖² expansion
+            # is a difference of large numbers (abs error ~‖x‖²·ε), which
+            # can flip argmin between near-equidistant centroids that the
+            # expression arm (direct Σ(x−c)², full precision) ranks
+            # correctly — the same cancellation class as the GLCM corm.
+            # Recompute the two screened finalists directly; ties to the
+            # lower cell id, matching the expr arm.
             d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+            top2 = np.argpartition(d2, 1, axis=1)[:, :2]
+            ex = np.empty((X.shape[0], 2))
+            for t in range(2):
+                diff = X - C[top2[:, t]]
+                ex[:, t] = np.einsum("ij,ij->i", diff, diff)
+            with np.errstate(invalid="ignore"):
+                swap = (ex[:, 1] < ex[:, 0]) | (
+                    (ex[:, 1] == ex[:, 0]) & (top2[:, 1] < top2[:, 0]))
+            best = np.where(swap, top2[:, 1], top2[:, 0])
+            # a non-finite component makes EVERY distance NaN; the expr
+            # arm's all-NaN struct sort ties to cell 0 — mirror it
+            best = np.where(np.isnan(d2[:, 0]), 0, best)
             pdf = pdf.copy()
-            pdf[cell_col] = _masked_int_col(np.argmin(d2, axis=1), valid)
+            pdf[cell_col] = _masked_int_col(best, valid)
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)

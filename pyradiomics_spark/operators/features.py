@@ -338,15 +338,13 @@ def extract_features(
     if not df.isStreaming:  # streams parallelize per micro-batch source split
         spark = df.sparkSession
         slots = spark.sparkContext.defaultParallelism
-        # cheap pre-check: ≥ slots input files ⇒ ≥ slots scan splits, so the
-        # big-corpus planning path never converts the plan to an RDD lineage
-        # on the driver (src.rdd materializes one per call); only genuinely
-        # small scans (few files / non-file relations) pay the exact check
-        try:
-            n_files = len(src.inputFiles())
-        except Exception:  # non-file relation (e.g. createDataFrame)
-            n_files = 0
-        if n_files < slots and src.rdd.getNumPartitions() < slots:
+        # exact split-count check: file COUNT is not a safe proxy (Spark's
+        # split packing — maxPartitionBytes/openCostInBytes — can coalesce
+        # thousands of tiny files into a handful of partitions, and
+        # skipping the repartition there silently serializes the kernel
+        # stage). The src.rdd conversion is one bounded driver-side plan
+        # walk per extract_features call — correctness over that cost.
+        if src.rdd.getNumPartitions() < slots:
             # 1×slots measured fastest for the batched kernel (bigger
             # batches amortize; AQE handles stragglers at real scale)
             src = src.repartition(slots)

@@ -63,29 +63,24 @@ def _stack_vecs(col, dim: int) -> tuple:
     return np.asarray(rows, dtype=np.float64), valid
 
 
-def _masked_int_col(values, valid: np.ndarray):
-    """Nullable Int32 pandas column: next value for each valid row, NA for
-    masked (null-embedding) rows."""
+def _masked_int_col(values, valid: np.ndarray, dtype: str = "Int32"):
+    """Nullable integer pandas column: next value for each valid row, NA
+    for masked (null-embedding) rows."""
     import pandas as pd
 
     it = iter(values)
     return pd.array([int(next(it)) if m else None for m in valid],
-                    dtype="Int32")
-
-
-def _masked_int64_col(values, valid: np.ndarray):
-    import pandas as pd
-
-    it = iter(values)
-    return pd.array([int(next(it)) if m else None for m in valid],
-                    dtype="Int64")
+                    dtype=dtype)
 
 
 def _topn_desc(scores: np.ndarray, n: int) -> np.ndarray:
     """Per-row top-n column indices by DESCENDING score, ties broken to the
     HIGHER index — bitwise the order of ``reverse(array_sort(struct(score,
-    cell)))`` in the expression arm."""
+    cell)))`` in the expression arm. Spark orders NaN as the LARGEST
+    double (numpy sorts it last): map NaN → +inf so a NaN-scored cell
+    ranks first in both arms."""
     k = scores.shape[1]
+    scores = np.where(np.isnan(scores), np.inf, scores)
     rev = np.argsort(-scores[:, ::-1], axis=1, kind="stable")[:, :n]
     return (k - 1) - rev
 
@@ -215,11 +210,14 @@ def hyperplane_buckets(
                 if len(pdf) == 0:
                     continue
                 X, valid = _stack_vecs(pdf[vec_col], dim)
-                bits = _matmul_scores(X, P) > 0
+                s = _matmul_scores(X, P)
+                # Spark's `dot > 0` is TRUE for NaN (NaN orders greatest);
+                # numpy's is False — OR the NaN mask in so a NaN component
+                # buckets identically on both sides of the dispatch
+                bits = (s > 0) | np.isnan(s)
                 pdf = pdf.copy()
-                masked = (_masked_int_col if n_planes <= 30
-                          else _masked_int64_col)
-                pdf["bucket"] = masked(bits @ pows, valid)
+                dtype = "Int32" if n_planes <= 30 else "Int64"
+                pdf["bucket"] = _masked_int_col(bits @ pows, valid, dtype)
                 yield pdf
 
         return df.mapInPandas(run, schema=out_schema)

@@ -102,11 +102,19 @@ def curate(
         .drop("__loser"))
 
     # 3+4. quality filter + deterministic split — pure projections, so they
-    # stack onto the same lineage as more flag columns
-    flagged = quality_features(flagged, text_col).withColumn(
-        "rep_ratio", repetition_ratio(F.col(text_col)))
+    # stack onto the same lineage as more flag columns. The tokenize/regex
+    # scoring is gated to SURVIVORS per row (null text for losers → null
+    # scores): at web dup rates a third or more of the corpus are loser
+    # rows whose __kept can never be true, and the quality expressions are
+    # the most expensive projection in this stage.
+    flagged = flagged.withColumn(
+        "__qtext", F.when(F.col("__surv"), F.col(text_col)))
+    flagged = quality_features(flagged, "__qtext").withColumn(
+        "rep_ratio", repetition_ratio(F.col("__qtext"))).drop("__qtext")
     flagged = flagged.withColumn(
         "__kept",
+        # losers short-circuit on __surv=false; Spark's FALSE AND NULL is
+        # FALSE, so their null scores never leak into the flag
         F.col("__surv")
         & (F.col("quality_score") >= min_quality)
         & (F.coalesce(F.col("rep_ratio"), F.lit(0.0)) <= max_repetition))

@@ -154,3 +154,42 @@ def test_ragged_embedding_fails_loudly_on_arrow_arm(spark):
         "vec_id long, embedding array<double>")
     with pytest.raises(Exception, match="width mismatch"):
         assign_cells(bad, np.eye(2, 4), method="arrow").collect()
+
+
+def test_assign_cells_near_tie_cancellation(spark):
+    """Adversarial near-tie at large vector norm: the gemm expansion
+    ||x||^2 - 2xc + ||c||^2 carries ~||x||^2*eps absolute error (>> the
+    true distance gap here); the exact top-2 refine must keep the Arrow
+    arm in agreement with the full-precision expression arm."""
+    dim = 4
+    x = np.full(dim, 1024.0)
+    c_near = x.copy()
+    c_near[0] += 2.0 ** -10                 # true d^2 = 2^-20
+    c_far = x.copy()
+    c_far[0] += 2.0 ** -10 + 2.0 ** -40     # true d^2 = 2^-20 + ~1.8e-15
+    cents = np.stack([c_far, c_near])       # nearest is cell 1
+    df = _vec_df(spark, np.tile(x, (8, 1)))
+    for method in ("expr", "arrow"):
+        got = {r.vec_id: r.cell
+               for r in assign_cells(df, cents, method=method).collect()}
+        assert set(got.values()) == {1}, (method, got)
+
+
+def test_nan_component_parity_across_arms(spark):
+    """A NaN embedding COMPONENT must bucket/assign identically in both
+    arms: Spark orders NaN as the largest double (NaN > 0 is true, NaN
+    sorts first descending), numpy's default is the opposite — the Arrow
+    arms compensate explicitly."""
+    rows = [(0, [float("nan"), 1.0, -1.0, 2.0]),
+            (1, [1.0, 2.0, 3.0, 4.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = np.eye(3, 4)
+    res = {}
+    for method in ("expr", "arrow"):
+        res[method] = (
+            {r.vec_id: r.cell
+             for r in assign_cells(df, cents, method=method).collect()},
+            {r.vec_id: r.bucket for r in hyperplane_buckets(
+                df, "vec_id", "embedding", 5, 4, method=method).collect()},
+        )
+    assert res["expr"] == res["arrow"], res
