@@ -1470,6 +1470,47 @@ def q_matrix_gldm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing cross-engine: per-image channel
+    means + grayscale std through multimodal.binaryops.image_features
+    (mapInPandas over Arrow binary batches, deterministic md5-expansion
+    fake decode — the production codec swaps in behind the same
+    signature). The DuckDB twin replays the md5 pixel expansion and the
+    identical mean/std arithmetic; integer channel sums over 64 dyadic
+    pixels make the means exact."""
+    from pyradiomics_spark.multimodal.binaryops import image_features
+
+    docs = _read(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 100).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    out = image_features(docs, "doc_id", fake=True)
+    return (
+        out.select("doc_id", "width", "height", "channels",
+                   _rnd("mean_r", 6).alias("mean_r"),
+                   _rnd("mean_g", 6).alias("mean_g"),
+                   _rnd("mean_b", 6).alias("mean_b"),
+                   _rnd("std_gray", 6).alias("std_gray"))
+        .orderBy("doc_id")
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling PLAN (multimodal.binaryops.frame_sample_plan):
+    (doc, n_frames) → one row per sampled frame index, pure relational
+    (sequence + explode ↔ DuckDB generate_series + unnest). n_frames =
+    token count stands in for real video metadata."""
+    from pyradiomics_spark.multimodal.binaryops import frame_sample_plan
+
+    t = _tokens(spark, sf_dir)
+    vids = (t.groupBy("doc_id").agg(F.count("*").alias("n_frames"))
+            .where(F.col("doc_id") < 200))
+    return (
+        frame_sample_plan(vids, "doc_id", "n_frames", every_k=7)
+        .select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
 def q_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long melt via builtin stack (operators.features.melt_features
     form) — the long-format feature serving layout; DuckDB twin is UNPIVOT."""
@@ -1655,6 +1696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_glrlm": q_matrix_glrlm,
         "matrix_ngtdm": q_matrix_ngtdm,
         "matrix_gldm": q_matrix_gldm,
+        "image_stats": q_image_stats,
+        "frame_sample": q_frame_sample,
         "lsh_buckets": q_lsh_buckets,
         "repetition": q_repetition,
         "hash_bucket": q_hash_bucket,
@@ -2067,6 +2110,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS angle
             FROM dep GROUP BY doc_id, level, j
             ORDER BY doc_id, i, j
+        """,
+        "image_stats": """
+            WITH src AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 100
+            ), by AS (
+              SELECT doc_id, i.i * 16 + j.j AS idx,
+                     ('0x' || substr(md5(text || ':' || i.i),
+                                     j.j * 2 + 1, 2))::BIGINT AS b
+              FROM src, generate_series(0, 11) i(i), generate_series(0, 15) j(j)
+            ), px AS (
+              SELECT doc_id, idx // 3 AS pixel, idx % 3 AS ch, b FROM by
+            ), gray AS (
+              SELECT doc_id, pixel, sum(b) / 3.0 AS g
+              FROM px GROUP BY doc_id, pixel
+            ), gm AS (
+              SELECT doc_id, avg(g) AS mg FROM gray GROUP BY doc_id
+            ), chan AS (
+              SELECT doc_id,
+                     sum(CASE WHEN ch = 0 THEN b END) / 64.0 AS mean_r,
+                     sum(CASE WHEN ch = 1 THEN b END) / 64.0 AS mean_g,
+                     sum(CASE WHEN ch = 2 THEN b END) / 64.0 AS mean_b
+              FROM px GROUP BY doc_id
+            ), sg AS (
+              SELECT g.doc_id,
+                     sqrt(avg((g.g - gm.mg) * (g.g - gm.mg))) AS std_gray
+              FROM gray g JOIN gm ON g.doc_id = gm.doc_id
+              GROUP BY g.doc_id
+            )
+            SELECT c.doc_id, 8 AS width, 8 AS height, 3 AS channels,
+                   floor(c.mean_r * 1e6 + 0.50000095367431640625) / 1e6 AS mean_r,
+                   floor(c.mean_g * 1e6 + 0.50000095367431640625) / 1e6 AS mean_g,
+                   floor(c.mean_b * 1e6 + 0.50000095367431640625) / 1e6 AS mean_b,
+                   floor(s.std_gray * 1e6 + 0.50000095367431640625) / 1e6 AS std_gray
+            FROM chan c JOIN sg s ON c.doc_id = s.doc_id
+            ORDER BY c.doc_id
+        """,
+        "frame_sample": f"""
+            WITH vids AS (
+              SELECT doc_id, count(*) AS n_frames
+              FROM ({tokens}) WHERE doc_id < 200 GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CAST(unnest(generate_series(0, n_frames - 1, 7)) AS BIGINT)
+                     AS frame_idx
+            FROM vids ORDER BY doc_id, frame_idx
         """,
         "kmeans_step": kmeans_step_sql,
         "split_contamination": """

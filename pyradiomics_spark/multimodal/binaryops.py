@@ -34,12 +34,14 @@ def _decode_image_real(data: bytes) -> np.ndarray:  # pragma: no cover
 
 
 def _decode_image_fake(data: bytes) -> np.ndarray:
-    """Deterministic fake decode: md5-seeded 8×8×3 uint8 'image'. Same bytes
-    → same pixels on any executor."""
-    h = hashlib.md5(data).digest()
-    seed = int.from_bytes(h[:8], "big") % 2**32
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    """Deterministic fake decode: md5-EXPANDED 8×8×3 uint8 'image' — 12
+    digests of md5(data ++ ':' ++ i) concatenated into 192 pixel bytes.
+    Same bytes → same pixels on any executor, and (unlike a PCG stream)
+    exactly reproducible in SQL via md5 + hex parse, so the decode
+    PLUMBING itself carries a DuckDB oracle twin (`image_stats` gate row)
+    — the same engine-agnostic expansion as similarity._planes."""
+    chunks = [hashlib.md5(data + b":%d" % i).digest() for i in range(12)]
+    return np.frombuffer(b"".join(chunks), dtype=np.uint8).reshape(8, 8, 3)
 
 
 def decode_image(data: bytes, fake: bool = False) -> np.ndarray:
