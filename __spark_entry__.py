@@ -1511,6 +1511,46 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio leg of the multimodal surface: fake-PCM decode (md5-expanded,
+    engine-reproducible) → mean / RMS / zero-crossing rate per clip via
+    mapInPandas; integer sample sums over dyadic counts keep mean and RMS
+    exact across engines."""
+    from pyradiomics_spark.multimodal.binaryops import audio_features
+
+    docs = _read(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 100).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    out = audio_features(docs, "doc_id", fake=True)
+    return (
+        out.select("doc_id", "n_samples",
+                   _rnd("mean", 6).alias("mean"),
+                   _rnd("rms", 6).alias("rms"),
+                   _rnd("zcr", 6).alias("zcr"))
+        .orderBy("doc_id")
+    )
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize leg of the multimodal surface: decode → nearest-neighbor
+    8×8 → 4×4 → channel stats. NN keeps exactly the even-row/even-col
+    pixels, which the DuckDB twin selects by index arithmetic."""
+    from pyradiomics_spark.multimodal.binaryops import image_resize_stats
+
+    docs = _read(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 100).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    out = image_resize_stats(docs, "doc_id", fake=True)
+    return (
+        out.select("doc_id", "width", "height", "channels",
+                   _rnd("mean_r", 6).alias("mean_r"),
+                   _rnd("mean_g", 6).alias("mean_g"),
+                   _rnd("mean_b", 6).alias("mean_b"),
+                   _rnd("std_gray", 6).alias("std_gray"))
+        .orderBy("doc_id")
+    )
+
+
 def q_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long melt via builtin stack (operators.features.melt_features
     form) — the long-format feature serving layout; DuckDB twin is UNPIVOT."""
@@ -1698,6 +1738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_gldm": q_matrix_gldm,
         "image_stats": q_image_stats,
         "frame_sample": q_frame_sample,
+        "audio_stats": q_audio_stats,
+        "image_resize": q_image_resize,
         "lsh_buckets": q_lsh_buckets,
         "repetition": q_repetition,
         "hash_bucket": q_hash_bucket,
@@ -2139,6 +2181,62 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY g.doc_id
             )
             SELECT c.doc_id, 8 AS width, 8 AS height, 3 AS channels,
+                   floor(c.mean_r * 1e6 + 0.50000095367431640625) / 1e6 AS mean_r,
+                   floor(c.mean_g * 1e6 + 0.50000095367431640625) / 1e6 AS mean_g,
+                   floor(c.mean_b * 1e6 + 0.50000095367431640625) / 1e6 AS mean_b,
+                   floor(s.std_gray * 1e6 + 0.50000095367431640625) / 1e6 AS std_gray
+            FROM chan c JOIN sg s ON c.doc_id = s.doc_id
+            ORDER BY c.doc_id
+        """,
+        "audio_stats": """
+            WITH src AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 100
+            ), by AS (
+              SELECT doc_id, i.i * 16 + j.j AS idx,
+                     ('0x' || substr(md5(text || ':a' || i.i),
+                                     j.j * 2 + 1, 2))::BIGINT - 128 AS s
+              FROM src, generate_series(0, 15) i(i), generate_series(0, 15) j(j)
+            ), zc AS (
+              SELECT doc_id, s,
+                     lag(s) OVER (PARTITION BY doc_id ORDER BY idx) AS prev
+              FROM by
+            )
+            SELECT doc_id, 256 AS n_samples,
+                   floor((sum(s) / 256.0) * 1e6 + 0.50000095367431640625) / 1e6 AS mean,
+                   floor(sqrt(sum(s * s) / 256.0) * 1e6 + 0.50000095367431640625) / 1e6 AS rms,
+                   floor((sum(CASE WHEN s * prev < 0 THEN 1 ELSE 0 END) / 255.0)
+                         * 1e6 + 0.50000095367431640625) / 1e6 AS zcr
+            FROM zc GROUP BY doc_id ORDER BY doc_id
+        """,
+        "image_resize": """
+            WITH src AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 100
+            ), by AS (
+              SELECT doc_id, i.i * 16 + j.j AS idx,
+                     ('0x' || substr(md5(text || ':' || i.i),
+                                     j.j * 2 + 1, 2))::BIGINT AS b
+              FROM src, generate_series(0, 11) i(i), generate_series(0, 15) j(j)
+            ), px AS (
+              SELECT doc_id, idx // 3 AS pixel, idx % 3 AS ch, b FROM by
+              WHERE ((idx // 3) // 8) % 2 = 0 AND ((idx // 3) % 8) % 2 = 0
+            ), gray AS (
+              SELECT doc_id, pixel, sum(b) / 3.0 AS g
+              FROM px GROUP BY doc_id, pixel
+            ), gm AS (
+              SELECT doc_id, avg(g) AS mg FROM gray GROUP BY doc_id
+            ), chan AS (
+              SELECT doc_id,
+                     sum(CASE WHEN ch = 0 THEN b END) / 16.0 AS mean_r,
+                     sum(CASE WHEN ch = 1 THEN b END) / 16.0 AS mean_g,
+                     sum(CASE WHEN ch = 2 THEN b END) / 16.0 AS mean_b
+              FROM px GROUP BY doc_id
+            ), sg AS (
+              SELECT g.doc_id,
+                     sqrt(avg((g.g - gm.mg) * (g.g - gm.mg))) AS std_gray
+              FROM gray g JOIN gm ON g.doc_id = gm.doc_id
+              GROUP BY g.doc_id
+            )
+            SELECT c.doc_id, 4 AS width, 4 AS height, 3 AS channels,
                    floor(c.mean_r * 1e6 + 0.50000095367431640625) / 1e6 AS mean_r,
                    floor(c.mean_g * 1e6 + 0.50000095367431640625) / 1e6 AS mean_g,
                    floor(c.mean_b * 1e6 + 0.50000095367431640625) / 1e6 AS mean_b,

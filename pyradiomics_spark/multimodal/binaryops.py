@@ -91,6 +91,111 @@ def image_features(
     return src.mapInPandas(run, schema=schema)
 
 
+def _decode_audio_fake(data: bytes, n_samples: int = 256) -> np.ndarray:
+    """Deterministic fake PCM decode: md5-expanded byte stream centered to
+    [−128, 127] doubles — engine-reproducible like the image fake."""
+    chunks = [hashlib.md5(data + b":a%d" % i).digest()
+              for i in range((n_samples + 15) // 16)]
+    raw = np.frombuffer(b"".join(chunks), dtype=np.uint8)[:n_samples]
+    return raw.astype(np.float64) - 128.0
+
+
+def _decode_audio_real(data: bytes) -> np.ndarray:  # pragma: no cover
+    raise NotImplementedError(
+        "audio codecs not available in this container; "
+        "swap in torchaudio/soundfile decode in production")
+
+
+def decode_audio(data: bytes, fake: bool = False,
+                 n_samples: int = 256) -> np.ndarray:
+    return (_decode_audio_fake(data, n_samples) if fake
+            else _decode_audio_real(data))
+
+
+def audio_features(
+    df: DataFrame,
+    id_cols,
+    binary_col: str = "payload",
+    fake: bool = True,
+    n_samples: int = 256,
+) -> DataFrame:
+    """Decode → per-clip stats (mean, RMS, zero-crossing rate) via
+    mapInPandas — the audio leg of the multimodal surface; same
+    shuffle-free Arrow-batch shape as image_features."""
+    id_cols = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    key_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields if f.name in id_cols)
+    schema = (f"{key_fields}, n_samples int, mean double, rms double, "
+              "zcr double")
+    src = df.select(*id_cols, binary_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for tup in pdf.itertuples(index=False):
+                keys = tup[: len(id_cols)]
+                s = decode_audio(bytes(tup[len(id_cols)]), fake=fake,
+                                 n_samples=n_samples)
+                rows.append(list(keys) + [
+                    s.size, float(s.mean()),
+                    float(np.sqrt((s * s).mean())),
+                    float((s[1:] * s[:-1] < 0).mean()),
+                ])
+            yield pd.DataFrame(
+                rows, columns=id_cols + ["n_samples", "mean", "rms", "zcr"])
+
+    return src.mapInPandas(run, schema=schema)
+
+
+def resize_image_nn(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize — the deterministic plumbing op (a
+    production path swaps PIL resampling in behind the same signature)."""
+    h, w = img.shape[:2]
+    ri = (np.arange(out_h) * h) // out_h
+    ci = (np.arange(out_w) * w) // out_w
+    return img[ri][:, ci]
+
+
+def image_resize_stats(
+    df: DataFrame,
+    id_cols,
+    binary_col: str = "payload",
+    out_h: int = 4,
+    out_w: int = 4,
+    fake: bool = True,
+) -> DataFrame:
+    """decode → nearest-neighbor resize → channel stats: the resize leg of
+    the multimodal surface, same per-image schema as image_features."""
+    id_cols = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    key_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields if f.name in id_cols)
+    schema = (f"{key_fields}, width int, height int, channels int, "
+              "mean_r double, mean_g double, mean_b double, std_gray double")
+    src = df.select(*id_cols, binary_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for tup in pdf.itertuples(index=False):
+                keys = tup[: len(id_cols)]
+                img = resize_image_nn(
+                    decode_image(bytes(tup[len(id_cols)]), fake=fake),
+                    out_h, out_w)
+                gray = img.mean(axis=2)
+                rows.append(list(keys) + [
+                    img.shape[1], img.shape[0], img.shape[2],
+                    float(img[:, :, 0].mean()), float(img[:, :, 1].mean()),
+                    float(img[:, :, 2].mean()), float(gray.std())])
+            yield pd.DataFrame(
+                rows, columns=id_cols + [
+                    "width", "height", "channels", "mean_r", "mean_g",
+                    "mean_b", "std_gray"])
+
+    return src.mapInPandas(run, schema=schema)
+
+
 def frame_sample_plan(
     df: DataFrame,
     id_col: str,

@@ -265,3 +265,37 @@ def test_stream_asof_matches_batch(spark, tmp_path):
     q2.awaitTermination(120)
     replayed = spark.read.parquet(out).toPandas()
     assert len(replayed) == len(expect), "batch replay duplicated rows"
+
+
+def test_audio_features_deterministic(spark):
+    from pyradiomics_spark.multimodal.binaryops import (audio_features,
+                                                        decode_audio)
+
+    pdf = pd.DataFrame({"clip_id": [1, 2, 3],
+                        "payload": [b"pcm-1", b"pcm-2", b"pcm-1"]})
+    out = audio_features(spark.createDataFrame(pdf), "clip_id",
+                         fake=True).toPandas().sort_values("clip_id")
+    assert (out["n_samples"] == 256).all()
+    r1, r3 = out.iloc[0], out.iloc[2]
+    assert r1["rms"] == r3["rms"] and r1["zcr"] == r3["zcr"]
+    assert 0.0 <= r1["zcr"] <= 1.0
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"x", fake=False)
+
+
+def test_image_resize_nn_geometry(spark):
+    import numpy as np
+
+    from pyradiomics_spark.multimodal.binaryops import (decode_image,
+                                                        image_resize_stats,
+                                                        resize_image_nn)
+
+    img = decode_image(b"payload", fake=True)
+    small = resize_image_nn(img, 4, 4)
+    # NN 8->4 keeps exactly the even rows/cols
+    assert np.array_equal(small, img[::2, ::2])
+    pdf = pd.DataFrame({"img_id": [1], "payload": [b"payload"]})
+    out = image_resize_stats(spark.createDataFrame(pdf), "img_id",
+                             fake=True).toPandas().iloc[0]
+    assert out["width"] == 4 and out["height"] == 4
+    assert out["mean_r"] == float(small[:, :, 0].mean())
