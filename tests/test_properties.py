@@ -147,3 +147,39 @@ def test_ngtdm_counts_bounded(levels):
     n_i, s_i, iv = ngtdm_matrix(levels)
     assert n_i.sum() <= levels.size
     assert (s_i >= 0).all()
+
+
+# ---- dual-path GLCM invariant: dense and sparse arms agree on ANY corpus
+
+_doc_levels_strategy = st.lists(
+    st.lists(st.integers(min_value=1, max_value=9), min_size=0, max_size=25),
+    min_size=1, max_size=12)
+
+
+@given(_doc_levels_strategy)
+@hsettings(max_examples=150, deadline=None)
+def test_glcm_dense_sparse_arms_agree_property(docs):
+    """Hypothesis fuzz of the GLCM dual path: the dense tensor sweeps and
+    the sparse cell gathers must agree (1e-9 rel / NaN-for-NaN) on
+    arbitrary ragged batches — empty docs, single tokens, flat docs,
+    holes in the level set."""
+    import numpy as np
+
+    from pyradiomics_spark.kernels import batch as B
+
+    arrays = [np.array(d, dtype=np.int64) for d in docs]
+    r = B.Ragged([a.astype(np.float64) for a in arrays])
+    levels = (np.concatenate(arrays) if any(a.size for a in arrays)
+              else np.empty(0, dtype=np.int64))
+    dense = B.glcm_batch(r, levels)
+    orig = B._GLCM_DENSE_MAX_SLOTS
+    try:
+        B._GLCM_DENSE_MAX_SLOTS = 0
+        sparse = B.glcm_batch(r, levels)
+    finally:
+        B._GLCM_DENSE_MAX_SLOTS = orig
+    for k in dense:
+        dv, sv = np.asarray(dense[k]), np.asarray(sparse[k])
+        ok = np.isclose(dv, sv, rtol=1e-9, atol=1e-12) | (
+            np.isnan(dv) & np.isnan(sv))
+        assert ok.all(), (k, dv, sv)
