@@ -1470,6 +1470,14 @@ def q_matrix_gldm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _payload_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared source for the multimodal gate rows: the first 100 docs with
+    their text bytes as the opaque binary payload."""
+    return _read(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 100).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+
 def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing cross-engine: per-image channel
     means + grayscale std through multimodal.binaryops.image_features
@@ -1480,10 +1488,7 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixels make the means exact."""
     from pyradiomics_spark.multimodal.binaryops import image_features
 
-    docs = _read(spark, sf_dir, "documents").where(
-        F.col("doc_id") < 100).select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload"))
-    out = image_features(docs, "doc_id", fake=True)
+    out = image_features(_payload_docs(spark, sf_dir), "doc_id", fake=True)
     return (
         out.select("doc_id", "width", "height", "channels",
                    _rnd("mean_r", 6).alias("mean_r"),
@@ -1518,10 +1523,7 @@ def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact across engines."""
     from pyradiomics_spark.multimodal.binaryops import audio_features
 
-    docs = _read(spark, sf_dir, "documents").where(
-        F.col("doc_id") < 100).select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload"))
-    out = audio_features(docs, "doc_id", fake=True)
+    out = audio_features(_payload_docs(spark, sf_dir), "doc_id", fake=True)
     return (
         out.select("doc_id", "n_samples",
                    _rnd("mean", 6).alias("mean"),
@@ -1537,10 +1539,8 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixels, which the DuckDB twin selects by index arithmetic."""
     from pyradiomics_spark.multimodal.binaryops import image_resize_stats
 
-    docs = _read(spark, sf_dir, "documents").where(
-        F.col("doc_id") < 100).select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload"))
-    out = image_resize_stats(docs, "doc_id", fake=True)
+    out = image_resize_stats(_payload_docs(spark, sf_dir), "doc_id",
+                             fake=True)
     return (
         out.select("doc_id", "width", "height", "channels",
                    _rnd("mean_r", 6).alias("mean_r"),
@@ -1890,6 +1890,47 @@ def oracle_sql() -> dict[str, str]:
               FROM vals GROUP BY p
             )"""
 
+    def _image_stats_sql(px_filter: str, n_px: int, width: int) -> str:
+        """Shared md5-pixel-expansion twin for the image gate rows: one
+        copy of the digest indexing; the resize row differs only in its
+        pixel filter, divisor, and output dims."""
+        return f"""
+            WITH src AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 100
+            ), by AS (
+              SELECT doc_id, i.i * 16 + j.j AS idx,
+                     ('0x' || substr(md5(text || ':' || i.i),
+                                     j.j * 2 + 1, 2))::BIGINT AS b
+              FROM src, generate_series(0, 11) i(i), generate_series(0, 15) j(j)
+            ), px AS (
+              SELECT doc_id, idx // 3 AS pixel, idx % 3 AS ch, b FROM by
+              WHERE {px_filter}
+            ), gray AS (
+              SELECT doc_id, pixel, sum(b) / 3.0 AS g
+              FROM px GROUP BY doc_id, pixel
+            ), gm AS (
+              SELECT doc_id, avg(g) AS mg FROM gray GROUP BY doc_id
+            ), chan AS (
+              SELECT doc_id,
+                     sum(CASE WHEN ch = 0 THEN b END) / {n_px}.0 AS mean_r,
+                     sum(CASE WHEN ch = 1 THEN b END) / {n_px}.0 AS mean_g,
+                     sum(CASE WHEN ch = 2 THEN b END) / {n_px}.0 AS mean_b
+              FROM px GROUP BY doc_id
+            ), sg AS (
+              SELECT g.doc_id,
+                     sqrt(avg((g.g - gm.mg) * (g.g - gm.mg))) AS std_gray
+              FROM gray g JOIN gm ON g.doc_id = gm.doc_id
+              GROUP BY g.doc_id
+            )
+            SELECT c.doc_id, {width} AS width, {width} AS height, 3 AS channels,
+                   floor(c.mean_r * 1e6 + 0.50000095367431640625) / 1e6 AS mean_r,
+                   floor(c.mean_g * 1e6 + 0.50000095367431640625) / 1e6 AS mean_g,
+                   floor(c.mean_b * 1e6 + 0.50000095367431640625) / 1e6 AS mean_b,
+                   floor(s.std_gray * 1e6 + 0.50000095367431640625) / 1e6 AS std_gray
+            FROM chan c JOIN sg s ON c.doc_id = s.doc_id
+            ORDER BY c.doc_id
+        """
+
     assign_arrow_sql = f"""
             WITH emb AS (
               SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -2153,41 +2194,7 @@ def oracle_sql() -> dict[str, str]:
             FROM dep GROUP BY doc_id, level, j
             ORDER BY doc_id, i, j
         """,
-        "image_stats": """
-            WITH src AS (
-              SELECT doc_id, text FROM documents WHERE doc_id < 100
-            ), by AS (
-              SELECT doc_id, i.i * 16 + j.j AS idx,
-                     ('0x' || substr(md5(text || ':' || i.i),
-                                     j.j * 2 + 1, 2))::BIGINT AS b
-              FROM src, generate_series(0, 11) i(i), generate_series(0, 15) j(j)
-            ), px AS (
-              SELECT doc_id, idx // 3 AS pixel, idx % 3 AS ch, b FROM by
-            ), gray AS (
-              SELECT doc_id, pixel, sum(b) / 3.0 AS g
-              FROM px GROUP BY doc_id, pixel
-            ), gm AS (
-              SELECT doc_id, avg(g) AS mg FROM gray GROUP BY doc_id
-            ), chan AS (
-              SELECT doc_id,
-                     sum(CASE WHEN ch = 0 THEN b END) / 64.0 AS mean_r,
-                     sum(CASE WHEN ch = 1 THEN b END) / 64.0 AS mean_g,
-                     sum(CASE WHEN ch = 2 THEN b END) / 64.0 AS mean_b
-              FROM px GROUP BY doc_id
-            ), sg AS (
-              SELECT g.doc_id,
-                     sqrt(avg((g.g - gm.mg) * (g.g - gm.mg))) AS std_gray
-              FROM gray g JOIN gm ON g.doc_id = gm.doc_id
-              GROUP BY g.doc_id
-            )
-            SELECT c.doc_id, 8 AS width, 8 AS height, 3 AS channels,
-                   floor(c.mean_r * 1e6 + 0.50000095367431640625) / 1e6 AS mean_r,
-                   floor(c.mean_g * 1e6 + 0.50000095367431640625) / 1e6 AS mean_g,
-                   floor(c.mean_b * 1e6 + 0.50000095367431640625) / 1e6 AS mean_b,
-                   floor(s.std_gray * 1e6 + 0.50000095367431640625) / 1e6 AS std_gray
-            FROM chan c JOIN sg s ON c.doc_id = s.doc_id
-            ORDER BY c.doc_id
-        """,
+        "image_stats": _image_stats_sql("TRUE", 64, 8),
         "audio_stats": """
             WITH src AS (
               SELECT doc_id, text FROM documents WHERE doc_id < 100
@@ -2208,42 +2215,9 @@ def oracle_sql() -> dict[str, str]:
                          * 1e6 + 0.50000095367431640625) / 1e6 AS zcr
             FROM zc GROUP BY doc_id ORDER BY doc_id
         """,
-        "image_resize": """
-            WITH src AS (
-              SELECT doc_id, text FROM documents WHERE doc_id < 100
-            ), by AS (
-              SELECT doc_id, i.i * 16 + j.j AS idx,
-                     ('0x' || substr(md5(text || ':' || i.i),
-                                     j.j * 2 + 1, 2))::BIGINT AS b
-              FROM src, generate_series(0, 11) i(i), generate_series(0, 15) j(j)
-            ), px AS (
-              SELECT doc_id, idx // 3 AS pixel, idx % 3 AS ch, b FROM by
-              WHERE ((idx // 3) // 8) % 2 = 0 AND ((idx // 3) % 8) % 2 = 0
-            ), gray AS (
-              SELECT doc_id, pixel, sum(b) / 3.0 AS g
-              FROM px GROUP BY doc_id, pixel
-            ), gm AS (
-              SELECT doc_id, avg(g) AS mg FROM gray GROUP BY doc_id
-            ), chan AS (
-              SELECT doc_id,
-                     sum(CASE WHEN ch = 0 THEN b END) / 16.0 AS mean_r,
-                     sum(CASE WHEN ch = 1 THEN b END) / 16.0 AS mean_g,
-                     sum(CASE WHEN ch = 2 THEN b END) / 16.0 AS mean_b
-              FROM px GROUP BY doc_id
-            ), sg AS (
-              SELECT g.doc_id,
-                     sqrt(avg((g.g - gm.mg) * (g.g - gm.mg))) AS std_gray
-              FROM gray g JOIN gm ON g.doc_id = gm.doc_id
-              GROUP BY g.doc_id
-            )
-            SELECT c.doc_id, 4 AS width, 4 AS height, 3 AS channels,
-                   floor(c.mean_r * 1e6 + 0.50000095367431640625) / 1e6 AS mean_r,
-                   floor(c.mean_g * 1e6 + 0.50000095367431640625) / 1e6 AS mean_g,
-                   floor(c.mean_b * 1e6 + 0.50000095367431640625) / 1e6 AS mean_b,
-                   floor(s.std_gray * 1e6 + 0.50000095367431640625) / 1e6 AS std_gray
-            FROM chan c JOIN sg s ON c.doc_id = s.doc_id
-            ORDER BY c.doc_id
-        """,
+        "image_resize": _image_stats_sql(
+            "((idx // 3) // 8) % 2 = 0 AND ((idx // 3) % 8) % 2 = 0",
+            16, 4),
         "frame_sample": f"""
             WITH vids AS (
               SELECT doc_id, count(*) AS n_frames

@@ -48,6 +48,42 @@ def decode_image(data: bytes, fake: bool = False) -> np.ndarray:
     return _decode_image_fake(data) if fake else _decode_image_real(data)
 
 
+_IMAGE_STAT_COLS = ["width", "height", "channels",
+                    "mean_r", "mean_g", "mean_b", "std_gray"]
+_IMAGE_STAT_SCHEMA = ("width int, height int, channels int, mean_r double, "
+                      "mean_g double, mean_b double, std_gray double")
+
+
+def _binary_map(df: DataFrame, id_cols, binary_col: str,
+                out_cols: list, out_schema: str, per_payload) -> DataFrame:
+    """Shared mapInPandas scaffold for all binary-column ops: select keys +
+    payload, stream Arrow batches, apply ``per_payload(bytes) -> list`` per
+    row. ONE copy of the decode plumbing — the production codec swap point
+    ('swap _decode_*_real in; nothing else changes') lives here."""
+    id_cols = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    key_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields if f.name in id_cols)
+    src = df.select(*id_cols, binary_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                list(tup[: len(id_cols)]) + per_payload(bytes(tup[len(id_cols)]))
+                for tup in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame(rows, columns=id_cols + out_cols)
+
+    return src.mapInPandas(run, schema=f"{key_fields}, {out_schema}")
+
+
+def _image_stat_row(img: np.ndarray) -> list:
+    gray = img.mean(axis=2)
+    return [img.shape[1], img.shape[0], img.shape[2],
+            float(img[:, :, 0].mean()), float(img[:, :, 1].mean()),
+            float(img[:, :, 2].mean()), float(gray.std())]
+
+
 def image_features(
     df: DataFrame,
     id_cols,
@@ -56,39 +92,9 @@ def image_features(
 ) -> DataFrame:
     """Decode → per-image stats (mean/std per channel, dims) via
     mapInPandas. Shuffle-free; Arrow batches of binary payloads."""
-    id_cols = [id_cols] if isinstance(id_cols, str) else list(id_cols)
-    key_fields = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in df.schema.fields if f.name in id_cols
-    )
-    schema = (
-        f"{key_fields}, width int, height int, channels int, "
-        "mean_r double, mean_g double, mean_b double, std_gray double"
-    )
-    src = df.select(*id_cols, binary_col)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for tup in pdf.itertuples(index=False):
-                keys = tup[: len(id_cols)]
-                data = tup[len(id_cols)]
-                img = decode_image(bytes(data), fake=fake)
-                gray = img.mean(axis=2)
-                rows.append(
-                    list(keys)
-                    + [img.shape[1], img.shape[0], img.shape[2],
-                       float(img[:, :, 0].mean()), float(img[:, :, 1].mean()),
-                       float(img[:, :, 2].mean()), float(gray.std())]
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=id_cols
-                + ["width", "height", "channels", "mean_r", "mean_g", "mean_b",
-                   "std_gray"],
-            )
-
-    return src.mapInPandas(run, schema=schema)
+    return _binary_map(
+        df, id_cols, binary_col, _IMAGE_STAT_COLS, _IMAGE_STAT_SCHEMA,
+        lambda data: _image_stat_row(decode_image(data, fake=fake)))
 
 
 def _decode_audio_fake(data: bytes, n_samples: int = 256) -> np.ndarray:
@@ -122,30 +128,15 @@ def audio_features(
     """Decode → per-clip stats (mean, RMS, zero-crossing rate) via
     mapInPandas — the audio leg of the multimodal surface; same
     shuffle-free Arrow-batch shape as image_features."""
-    id_cols = [id_cols] if isinstance(id_cols, str) else list(id_cols)
-    key_fields = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in df.schema.fields if f.name in id_cols)
-    schema = (f"{key_fields}, n_samples int, mean double, rms double, "
-              "zcr double")
-    src = df.select(*id_cols, binary_col)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for tup in pdf.itertuples(index=False):
-                keys = tup[: len(id_cols)]
-                s = decode_audio(bytes(tup[len(id_cols)]), fake=fake,
-                                 n_samples=n_samples)
-                rows.append(list(keys) + [
-                    s.size, float(s.mean()),
-                    float(np.sqrt((s * s).mean())),
-                    float((s[1:] * s[:-1] < 0).mean()),
-                ])
-            yield pd.DataFrame(
-                rows, columns=id_cols + ["n_samples", "mean", "rms", "zcr"])
+    def stats(data: bytes) -> list:
+        s = decode_audio(data, fake=fake, n_samples=n_samples)
+        return [s.size, float(s.mean()), float(np.sqrt((s * s).mean())),
+                float((s[1:] * s[:-1] < 0).mean())]
 
-    return src.mapInPandas(run, schema=schema)
+    return _binary_map(
+        df, id_cols, binary_col, ["n_samples", "mean", "rms", "zcr"],
+        "n_samples int, mean double, rms double, zcr double", stats)
 
 
 def resize_image_nn(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -167,33 +158,10 @@ def image_resize_stats(
 ) -> DataFrame:
     """decode → nearest-neighbor resize → channel stats: the resize leg of
     the multimodal surface, same per-image schema as image_features."""
-    id_cols = [id_cols] if isinstance(id_cols, str) else list(id_cols)
-    key_fields = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in df.schema.fields if f.name in id_cols)
-    schema = (f"{key_fields}, width int, height int, channels int, "
-              "mean_r double, mean_g double, mean_b double, std_gray double")
-    src = df.select(*id_cols, binary_col)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for tup in pdf.itertuples(index=False):
-                keys = tup[: len(id_cols)]
-                img = resize_image_nn(
-                    decode_image(bytes(tup[len(id_cols)]), fake=fake),
-                    out_h, out_w)
-                gray = img.mean(axis=2)
-                rows.append(list(keys) + [
-                    img.shape[1], img.shape[0], img.shape[2],
-                    float(img[:, :, 0].mean()), float(img[:, :, 1].mean()),
-                    float(img[:, :, 2].mean()), float(gray.std())])
-            yield pd.DataFrame(
-                rows, columns=id_cols + [
-                    "width", "height", "channels", "mean_r", "mean_g",
-                    "mean_b", "std_gray"])
-
-    return src.mapInPandas(run, schema=schema)
+    return _binary_map(
+        df, id_cols, binary_col, _IMAGE_STAT_COLS, _IMAGE_STAT_SCHEMA,
+        lambda data: _image_stat_row(resize_image_nn(
+            decode_image(data, fake=fake), out_h, out_w)))
 
 
 def frame_sample_plan(
