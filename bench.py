@@ -101,8 +101,10 @@ def main() -> None:
         "glcm_imc_doc", "dedup_components", "dataset_split",
         "pack_sequences", "kmeans_step",
         # round 4 additions: Arrow-arm scoring at production k·dim, the
-        # matrix-tier Arrow surface, the streaming as-of serve
-        "assign_arrow", "matrix_glcm", "stream_asof",
+        # matrix-tier Arrow surface, the streaming as-of serve, the
+        # multimodal binary-column plumbing
+        "assign_arrow", "matrix_glcm", "stream_asof", "image_stats",
+        "audio_stats",
     ]
     for name in headline:
         if name not in qs:
