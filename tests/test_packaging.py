@@ -60,3 +60,47 @@ def test_session_accepts_pyfile(spark, tmp_path):
     --py-files does per executor)."""
     zip_path = _build(tmp_path)
     spark.sparkContext.addPyFile(zip_path)
+
+
+def test_spark_submit_pyfiles_end_to_end(tmp_path):
+    """The literal north-star deployment shape: `spark-submit --py-files
+    pyradiomics_spark.zip job.py` in a fresh JVM, with the job importing
+    the engine ONLY from the shipped artifact (cwd outside the repo) and
+    running a real extraction + as-of join."""
+    import shutil
+
+    zip_path = _build(tmp_path)
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        import pytest
+
+        pytest.skip("spark-submit not on PATH")
+    job = tmp_path / "job.py"
+    job.write_text(
+        "from pyspark.sql import SparkSession, functions as F\n"
+        "from pyradiomics_spark.config import ExtractionSettings\n"
+        "from pyradiomics_spark.operators.features import extract_features\n"
+        "from pyradiomics_spark.operators.asof import asof_join\n"
+        "spark = (SparkSession.builder.master('local[2]')\n"
+        "         .config('spark.sql.shuffle.partitions', '4')\n"
+        "         .appName('pyfiles-e2e').getOrCreate())\n"
+        "docs = spark.createDataFrame(\n"
+        "    [(f'u{i}', i, f'alpha beta{i} gamma delta epsilon{i}')\n"
+        "     for i in range(20)], 'url string, ts long, text string')\n"
+        "feats = extract_features(docs, keys=('url', 'ts'),\n"
+        "                         settings=ExtractionSettings(bin_width=1.0))\n"
+        "right = spark.createDataFrame(\n"
+        "    [(f'u{i}', i - 1, float(i)) for i in range(20)],\n"
+        "    'url string, rts long, val double')\n"
+        "j = asof_join(feats, right, on='url', left_ts='ts', right_ts='rts')\n"
+        "n = j.where(F.col('val').isNotNull()).count()\n"
+        "assert n == 20, n\n"
+        "print('PYFILES_E2E_OK', n)\n"
+        "spark.stop()\n")
+    env = {**os.environ, "PYTHONPATH": ""}
+    r = subprocess.run(
+        [spark_submit, "--master", "local[2]", "--py-files", zip_path,
+         str(job)], cwd=str(tmp_path), capture_output=True, text=True,
+        env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "PYFILES_E2E_OK 20" in r.stdout, r.stdout[-2000:]
