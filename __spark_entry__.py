@@ -1667,7 +1667,41 @@ def q_wavelet_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering contract (VERDICT r4 item 1): the driver's CORRECTNESS gate
+    # only checks the FIRST 50 entries, so the least-recently-driver-verified
+    # queries lead.  Round-5 front block = the 26 rows never (or last in
+    # r1/r2) seen by a CORRECTNESS artifact, plus queries new this round;
+    # the 50 rows gated green in CORRECTNESS_r04 follow.
     return {
+        # --- never driver-verified before round 5 ---
+        "matrix_glcm": q_matrix_glcm,
+        "matrix_glrlm": q_matrix_glrlm,
+        "matrix_ngtdm": q_matrix_ngtdm,
+        "matrix_gldm": q_matrix_gldm,
+        "image_stats": q_image_stats,
+        "frame_sample": q_frame_sample,
+        "audio_stats": q_audio_stats,
+        "image_resize": q_image_resize,
+        "assign_arrow": q_assign_arrow,
+        "ivf_topk_arrow": q_ivf_arrow,
+        "melt": q_melt,
+        # --- last driver-verified in r1/r2 on older code ---
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "wavelet_haar": q_wavelet_haar,
+        "lbp_codes": q_lbp_codes,
+        "ivf_recall": q_ivf_recall,
+        "lsh_buckets": q_lsh_buckets,
+        "cluster_purity": q_cluster_purity,
+        "hash_bucket": q_hash_bucket,
+        "repetition": q_repetition,
+        "dedup_exact": q_dedup_exact,
+        "text_quality": q_text_quality,
+        "top_customers": q_top_customers,
+        "fo_entropy_doc": q_fo_entropy_doc,
+        # --- gated green in CORRECTNESS_r04 (least critical to re-gate) ---
         "fo_doc_stats": q_fo_doc_stats,
         "fo_binned_hist": q_fo_binned_hist,
         "entropy_by_lang": q_entropy_by_lang,
@@ -1718,32 +1752,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_step": q_kmeans_step,
         "length_quantiles": q_length_quantiles,
         "split_contamination": q_split_contamination,
-        "cluster_purity": q_cluster_purity,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "fo_entropy_doc": q_fo_entropy_doc,
-        "top_customers": q_top_customers,
-        "dedup_exact": q_dedup_exact,
-        "text_quality": q_text_quality,
-        "lbp_codes": q_lbp_codes,
-        "wavelet_haar": q_wavelet_haar,
-        "ivf_recall": q_ivf_recall,
-        "assign_arrow": q_assign_arrow,
-        "ivf_topk_arrow": q_ivf_arrow,
-        "matrix_glcm": q_matrix_glcm,
-        "matrix_glrlm": q_matrix_glrlm,
-        "matrix_ngtdm": q_matrix_ngtdm,
-        "matrix_gldm": q_matrix_gldm,
-        "image_stats": q_image_stats,
-        "frame_sample": q_frame_sample,
-        "audio_stats": q_audio_stats,
-        "image_resize": q_image_resize,
-        "lsh_buckets": q_lsh_buckets,
-        "repetition": q_repetition,
-        "hash_bucket": q_hash_bucket,
-        "melt": q_melt,
     }
 
 

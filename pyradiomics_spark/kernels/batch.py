@@ -595,9 +595,12 @@ def glcm_batch(r: Ragged, levels: np.ndarray, distances: tuple = (1,),
 _GLCM_DENSE_MAX_SLOTS = 8_000_000
 
 # element budget for the sparse path's bounded temporaries (the HXY2
-# marginal cross-pairs and the MCC pattern-group scatter): ~128 MB of
-# float64 per chunk, independent of B·G²
-_GLCM_PAIR_BUDGET = 16_000_000
+# marginal cross-pairs and the MCC pattern-group scatter), independent of
+# B·G².  The HXY2 loop holds ~4-5 live arrays of this many elements at
+# once (docp/tt int64 indices, two gathered marginals, prod, the log2
+# intermediate), so peak transient ≈ 5 × budget × 8 B ≈ 160 MB at 4M —
+# sized so a 32-thread executor's worst case stays a few GB, not tens
+_GLCM_PAIR_BUDGET = 4_000_000
 
 
 def _glcm_raw(r: Ragged, levels: np.ndarray, dist: int, G: int,

@@ -96,9 +96,13 @@ def _assign_cells_arrow(
                 swap = (ex[:, 1] < ex[:, 0]) | (
                     (ex[:, 1] == ex[:, 0]) & (top2[:, 1] < top2[:, 0]))
             best = np.where(swap, top2[:, 1], top2[:, 0])
-            # a non-finite component makes EVERY distance NaN; the expr
-            # arm's all-NaN struct sort ties to cell 0 — mirror it
-            best = np.where(np.isnan(d2[:, 0]), 0, best)
+            # any non-finite component makes the expr arm's distances all
+            # NaN (or all +inf for a ±inf component), which its struct
+            # sort ties to cell 0.  Here a ±inf component yields MIXED
+            # inf/NaN distances (inf−inf is NaN only where x·c hits +inf),
+            # so argpartition could pick an arbitrary cell — guard on the
+            # row itself, not d2[:, 0], to mirror the expr arm exactly.
+            best = np.where((~np.isfinite(X)).any(axis=1), 0, best)
             pdf = pdf.copy()
             pdf[cell_col] = _masked_int_col(best, valid)
             yield pdf
@@ -124,7 +128,10 @@ def assign_cells(
     codegen method limit). ``auto`` dispatches on EXPR_MAX_TERMS, the same
     small/large boundary pattern as the reference's C dispatch
     (/root/reference/radiomics/base.py:181-198) and asof_join_auto."""
+    from pyradiomics_spark.operators.similarity import _nullify_partial
+
     cents = np.asarray(centroids, dtype=float)
+    df = _nullify_partial(df, vec_col)
     if method == "auto":
         method = "expr" if cents.size <= EXPR_MAX_TERMS else "arrow"
     if method == "arrow":

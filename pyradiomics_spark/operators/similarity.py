@@ -63,6 +63,23 @@ def _stack_vecs(col, dim: int) -> tuple:
     return np.asarray(rows, dtype=np.float64), valid
 
 
+def _nullify_partial(df: DataFrame, vec_col: str) -> DataFrame:
+    """Normalize a partially-null embedding (null ELEMENTS inside a
+    non-null list) to a null embedding BEFORE arm dispatch. Arrow→pandas
+    silently converts null list elements to NaN, so on the arrow arm a
+    null element would set a plane bit / tie to cell 0 while the expr
+    arm's null arithmetic yields a null dot — a cross-arm divergence
+    auto-dispatch could flip on. Folding both into the established
+    "null embedding → null output" contract keeps the arms identical and
+    keeps a schema-drifted shard from scoring garbage at 100 TB. Pure
+    codegen expression (one exists() scan per row), no shuffle."""
+    c = F.col(vec_col)
+    return df.withColumn(
+        vec_col,
+        F.when(F.exists(c, lambda e: e.isNull()),
+               F.lit(None).cast(df.schema[vec_col].dataType)).otherwise(c))
+
+
 def _masked_int_col(values, valid: np.ndarray, dtype: str = "Int32"):
     """Nullable integer pandas column: next value for each valid row, NA
     for masked (null-embedding) rows."""
@@ -191,6 +208,7 @@ def hyperplane_buckets(
     ``auto`` dispatches on EXPR_MAX_TERMS.
     """
     planes = _planes(n_planes, dim, seed)
+    df = _nullify_partial(df, vec_col)
     if method == "auto":
         method = "expr" if n_planes * dim <= EXPR_MAX_TERMS else "arrow"
     int_t = "int" if n_planes <= 30 else "bigint"
@@ -270,6 +288,8 @@ def ivf_topk(
         cents = np.asarray(centroids, dtype=float)
         n_cells, dim = cents.shape
     cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    corpus = _nullify_partial(corpus, vec_col)
+    queries = _nullify_partial(queries, vec_col)
     if method == "auto":
         method = "expr" if n_cells * dim <= EXPR_MAX_TERMS else "arrow"
 

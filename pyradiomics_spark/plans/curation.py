@@ -119,7 +119,19 @@ def curate(
         & (F.col("quality_score") >= min_quality)
         & (F.coalesce(F.col("rep_ratio"), F.lit(0.0)) <= max_repetition))
     flagged = split_dataset(flagged, id_col, seed=seed).persist()
+    try:
+        return _curate_from_flagged(
+            flagged, id_col, text_col, min_quality, max_repetition,
+            pack_budget, seed, out_path)
+    finally:
+        # unpersist on EVERY exit — an invariant failure or write error
+        # must not leave the flag lineage pinned in executor memory for
+        # the rest of the session
+        flagged.unpersist()
 
+
+def _curate_from_flagged(flagged, id_col, text_col, min_quality,
+                         max_repetition, pack_budget, seed, out_path):
     # ONE metrics job for every stage count (was: one count() per stage)
     stage = flagged.agg(
         F.count("*").alias("raw"),
@@ -164,7 +176,6 @@ def curate(
         kept.where(F.col("split") != "train").select(
             id_col, "split").write.mode("overwrite").parquet(
             f"{out_path}/holdout_ids")
-    flagged.unpersist()
 
     return {
         "n_raw": n_raw,

@@ -193,3 +193,42 @@ def test_nan_component_parity_across_arms(spark):
                 df, "vec_id", "embedding", 5, 4, method=method).collect()},
         )
     assert res["expr"] == res["arrow"], res
+
+
+def test_inf_component_parity_across_arms(spark):
+    """A ±inf COMPONENT must assign identically in both arms (ADVICE r4):
+    the expr arm sees all-inf distances and ties to cell 0, but on the
+    Arrow arm inf−inf yields MIXED inf/NaN distances, so an argpartition
+    over d2 could pick an arbitrary cell; the guard must trigger on any
+    non-finite row, not just NaN in d2[:, 0]."""
+    rows = [(0, [float("inf"), 1.0, -1.0, 2.0]),
+            (1, [-float("inf"), 0.5, 0.5, 0.5]),
+            (2, [1.0, 2.0, 3.0, 4.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = np.eye(3, 4) * 2.0
+    res = {}
+    for method in ("expr", "arrow"):
+        res[method] = {r.vec_id: r.cell
+                       for r in assign_cells(df, cents, method=method).collect()}
+    assert res["expr"] == res["arrow"], res
+    assert res["arrow"][0] == 0 and res["arrow"][1] == 0
+
+
+def test_null_element_inside_vector_nulls_both_arms(spark):
+    """A null ELEMENT inside a non-null embedding is schema drift
+    (ADVICE r4). Arrow→pandas silently converts it to NaN, so unguarded
+    the Arrow arm would set a plane bit / tie to cell 0 while the expr
+    arm's null arithmetic yields a null dot — a cross-arm divergence
+    auto-dispatch could flip on. Both arms must fold it into the
+    established null-embedding → null-output contract."""
+    bad = spark.createDataFrame(
+        [(0, [1.0, None, 3.0, 4.0]), (1, [1.0, 2.0, 3.0, 4.0])],
+        "vec_id long, embedding array<double>")
+    for method in ("expr", "arrow"):
+        got = {r.vec_id: r.cell
+               for r in assign_cells(bad, np.eye(2, 4),
+                                     method=method).collect()}
+        assert got[0] is None and got[1] is not None, (method, got)
+        b = {r.vec_id: r.bucket for r in hyperplane_buckets(
+            bad, "vec_id", "embedding", 4, 4, method=method).collect()}
+        assert b[0] is None and b[1] is not None, (method, b)
