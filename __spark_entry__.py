@@ -1142,6 +1142,21 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang").orderBy("doc_id")
 
 
+def q_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N per-stratum sampling (operators.sampling
+    .stratified_sample_exact): rank each stratum on (hash_fraction, id),
+    keep rank ≤ N — the "100k docs per language" curation ask the
+    fraction filter can't hit. One bounded per-stratum window, never a
+    global sort."""
+    from pyradiomics_spark.operators.sampling import stratified_sample_exact
+
+    docs = _read(spark, sf_dir, "documents")
+    out = stratified_sample_exact(
+        docs, "doc_id", {"en": 40, "de": 25, "fr": 10},
+        strata_col="lang", seed=11)
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
 def q_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible global shuffle with shard assignment: bucketed global
     rank (NO single-partition window — see operators.sampling). Oracle:
@@ -1470,6 +1485,36 @@ def q_matrix_gldm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_matrix_glszm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-tier GLSZM through extract_matrices' Arrow path: long-form
+    (level, zone_size, n_zones) cells per doc at bin_width=1. Zones ≡
+    runs in 1-D, but the NORMALIZATION path (Nz zone-count vs GLRLM's
+    Nr, kernels/glszm.py) is its own code — the per-doc ``nz`` and
+    ZonePercentage (= Nz/Np) columns pin it cross-engine, completing the
+    reference's two-tier matrix discipline for the fifth class
+    (/root/reference/tests/test_matrices.py)."""
+    from pyradiomics_spark.config import ExtractionSettings
+    from pyradiomics_spark.operators.matrices import extract_matrices
+
+    docs = _read(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200).select("doc_id", "text")
+    st = ExtractionSettings(bin_width=1.0)
+    out = extract_matrices(docs, keys=("doc_id",), settings=st,
+                           classes=("glszm",))
+    w = Window.partitionBy("doc_id")
+    nz = F.sum("value").over(w)
+    npv = F.sum(F.col("value") * F.col("j")).over(w)
+    return (
+        out.select("doc_id", "matrix",
+                   F.col("i").cast("long").alias("i"),
+                   F.col("j").cast("long").alias("j"),
+                   F.col("value").alias("n_zones"),
+                   nz.cast("long").alias("nz"),
+                   _rnd(nz / npv, 6).alias("zp"))
+        .orderBy("doc_id", "i", "j")
+    )
+
+
 def _payload_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared source for the multimodal gate rows: the first 100 docs with
     their text bytes as the opaque binary payload."""
@@ -1685,6 +1730,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_arrow": q_assign_arrow,
         "ivf_topk_arrow": q_ivf_arrow,
         "melt": q_melt,
+        # --- new in round 5 ---
+        "stratified_exact": q_stratified_exact,
+        "matrix_glszm": q_matrix_glszm,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -2069,6 +2117,19 @@ def oracle_sql() -> dict[str, str]:
                                    WHEN 'fr' THEN 0.3 ELSE 0.0 END
             ORDER BY doc_id
         """,
+        "stratified_exact": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ('0x' || substr(md5(doc_id || ':11'), 1, 8))
+                                  ::BIGINT / 4294967296.0,
+                                doc_id) AS rk
+              FROM documents)
+            WHERE rk <= CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 25
+                                  WHEN 'fr' THEN 10 ELSE 0 END
+            ORDER BY doc_id
+        """,
         "det_shuffle": """
             WITH r AS (
               SELECT doc_id,
@@ -2151,6 +2212,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS angle
             FROM run_tbl GROUP BY doc_id, level, run_len
             ORDER BY doc_id, i, j
+        """,
+        "matrix_glszm": f"""
+            WITH lv AS (
+              SELECT doc_id, pos,
+                     tok_len - min(tok_len) OVER (PARTITION BY doc_id) + 1 AS level
+              FROM ({tokens}) WHERE doc_id < 200
+            ), flagged AS (
+              SELECT doc_id, pos, level,
+                     CASE WHEN lag(level, 1) OVER w IS NULL
+                               OR lag(level, 1) OVER w <> level
+                          THEN 1 ELSE 0 END AS chg
+              FROM lv WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), runs AS (
+              SELECT doc_id, level,
+                     sum(chg) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS run_id
+              FROM flagged
+            ), run_tbl AS (
+              SELECT doc_id, run_id, level, count(*) AS zone_size
+              FROM runs GROUP BY doc_id, run_id, level
+            ), cells AS (
+              SELECT doc_id, level, zone_size, count(*) AS n
+              FROM run_tbl GROUP BY doc_id, level, zone_size
+            ), totals AS (
+              SELECT doc_id, sum(n) AS nz, sum(n * zone_size) AS np
+              FROM cells GROUP BY doc_id
+            )
+            SELECT c.doc_id, 'glszm' AS matrix,
+                   CAST(c.level AS BIGINT) AS i,
+                   CAST(c.zone_size AS BIGINT) AS j,
+                   CAST(c.n AS DOUBLE) AS n_zones,
+                   CAST(t.nz AS BIGINT) AS nz,
+                   floor(CAST(t.nz AS DOUBLE) / CAST(t.np AS DOUBLE) * 1e6
+                         + 0.50000095367431640625) / 1e6 AS zp
+            FROM cells c JOIN totals t ON c.doc_id = t.doc_id
+            ORDER BY c.doc_id, i, j
         """,
         "matrix_ngtdm": f"""
             WITH lv AS (

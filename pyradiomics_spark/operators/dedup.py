@@ -80,20 +80,47 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _drop_hot_buckets(rows: DataFrame, key_cols: list[str],
+                      bucket_cap: int) -> tuple[DataFrame, DataFrame]:
+    """(rows minus over-cap buckets, dropped-bucket metric table).
+
+    A self-join on a bucket key is quadratic in bucket membership, so ONE
+    degenerate hot bucket — mass-produced boilerplate that survives exact
+    dedup — can dominate the whole job at 10⁹ docs. Buckets with more
+    than ``bucket_cap`` members are excluded wholesale (their docs remain
+    candidates through their other bands/blocks, the standard LSH
+    treatment of stop-bands).
+
+    Cost shape: the membership count is a map-side-combinable groupBy,
+    the surviving hot set is tiny (≤ total/cap buckets) and broadcast
+    anti-joined — the big table takes no extra shuffle. The metric table
+    (key cols + ``n_members``) is returned instead of eagerly counted so
+    plan construction never runs an action; sink it or ``.count()`` it
+    for monitoring."""
+    hot = (
+        rows.groupBy(*key_cols)
+        .agg(F.count("*").alias("n_members"))
+        .where(F.col("n_members") > bucket_cap)
+    )
+    kept = rows.join(
+        F.broadcast(hot.select(*key_cols)), key_cols, "left_anti")
+    return kept, hot
+
+
 def minhash_lsh_candidates(
-    signatures: DataFrame, id_col: str, num_hashes: int = 32, bands: int = 8
+    signatures: DataFrame, id_col: str, num_hashes: int = 32, bands: int = 8,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) that share ≥1 LSH band."""
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        sig_slice = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*sig_slice).alias("bh"))
-        )
-    banded = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
-    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    """Candidate near-dup pairs (id_a < id_b) that share ≥1 LSH band.
+
+    ``bucket_cap``: drop bands whose bucket membership exceeds the cap
+    BEFORE the self-join (see _drop_hot_buckets) — at web scale a single
+    boilerplate bucket would otherwise explode quadratically. None (the
+    default) keeps every bucket; use lsh_hot_buckets for the dropped-
+    bucket monitoring table."""
+    banded = _lsh_banded(signatures, id_col, num_hashes, bands)
+    if bucket_cap is not None:
+        banded, _ = _drop_hot_buckets(banded, ["band", "bh"], bucket_cap)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -108,6 +135,35 @@ def minhash_lsh_candidates(
         )
         .distinct()
     )
+
+
+def _lsh_banded(signatures: DataFrame, id_col: str, num_hashes: int,
+                bands: int) -> DataFrame:
+    """(id, band, bh) — one row per doc per LSH band."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        sig_slice = [F.col(f"sig_{b * rows_per_band + r}")
+                     for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*sig_slice).alias("bh"))
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+
+def lsh_hot_buckets(
+    signatures: DataFrame, id_col: str, num_hashes: int = 32, bands: int = 8,
+    bucket_cap: int = 10_000,
+) -> DataFrame:
+    """Monitoring table for minhash_lsh_candidates' bucket cap: the
+    (band, bh, n_members) rows that a matching bucket_cap would drop.
+    Run/sink this alongside the candidate job — silent truncation at
+    scale must be observable, not inferred."""
+    banded = _lsh_banded(signatures, id_col, num_hashes, bands)
+    _, hot = _drop_hot_buckets(banded, ["band", "bh"], bucket_cap)
+    return hot
 
 
 def ngram_jaccard_pairs(
@@ -284,6 +340,7 @@ def _block_key(col, blocks, los, widths):
 def simhash_candidates(
     signatures: DataFrame, id_col: str, max_hamming: int = 3,
     n_blocks: int | None = None, bits: int = 64,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming ≤ max_hamming, guaranteed-found by
     block pigeonhole, then exact bit_count verify.
@@ -301,6 +358,13 @@ def simhash_candidates(
     - web scale (e.g. 6 for k=3): C(6,3)=20 tables on ~32-bit keys —
       4×10⁹ buckets/table keeps per-bucket membership ~constant at 10⁹⁺
       docs. More shuffles, but each is skew-free; this is the 100 TB path.
+
+    ``bucket_cap``: even with wide keys, a DEGENERATE bucket (boilerplate
+    that survives exact dedup with distinct-but-near-identical text)
+    self-joins quadratically; a cap drops over-cap block-key buckets
+    before the join (see _drop_hot_buckets — capped docs stay findable
+    through their other block combinations unless hot in all of them).
+    None keeps every bucket; simhash_hot_buckets is the monitoring table.
     """
     if n_blocks is None:
         n_blocks = max_hamming + 1
@@ -316,8 +380,14 @@ def simhash_candidates(
     agree = n_blocks - max_hamming
     pairs = None
     for combo in combinations(range(n_blocks), agree):
-        a = signatures.alias("a")
-        b = signatures.alias("b")
+        tbl = signatures
+        if bucket_cap is not None:
+            keyed = signatures.withColumn(
+                "__bk", _block_key(F.col("simhash"), combo, los, widths))
+            tbl, _ = _drop_hot_buckets(keyed, ["__bk"], bucket_cap)
+            tbl = tbl.drop("__bk")
+        a = tbl.alias("a")
+        b = tbl.alias("b")
         ka = _block_key(F.col("a.simhash"), combo, los, widths)
         kb = _block_key(F.col("b.simhash"), combo, los, widths)
         p = a.join(
@@ -336,6 +406,31 @@ def simhash_candidates(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_hot_buckets(
+    signatures: DataFrame, id_col: str, max_hamming: int = 3,
+    n_blocks: int | None = None, bits: int = 64, bucket_cap: int = 10_000,
+) -> DataFrame:
+    """Monitoring table for simhash_candidates' bucket cap: one row per
+    (block-combination, key) bucket a matching bucket_cap would drop,
+    with its membership. Columns (combo:string, bk:long, n_members)."""
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    from itertools import combinations
+
+    los, widths = _block_bounds(n_blocks, bits)
+    agree = n_blocks - max_hamming
+    out = None
+    for combo in combinations(range(n_blocks), agree):
+        keyed = signatures.withColumn(
+            "__bk", _block_key(F.col("simhash"), combo, los, widths))
+        _, hot = _drop_hot_buckets(keyed, ["__bk"], bucket_cap)
+        hot = hot.select(
+            F.lit("+".join(map(str, combo))).alias("combo"),
+            F.col("__bk").alias("bk"), "n_members")
+        out = hot if out is None else out.unionByName(hot)
+    return out
 
 
 # ---------------------------------------------------------------- embeddings

@@ -102,6 +102,48 @@ def stratified_sample(
     return df.where(frac < rate)
 
 
+def stratified_sample_exact(
+    df: DataFrame,
+    id_col: str,
+    n_per_stratum: dict | int,
+    strata_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly-N rows per stratum (the common curation ask fraction-based
+    hashing can't satisfy: "give me 100k docs per language"): rank each
+    stratum by (hash_fraction, id) and keep rank ≤ N. Deterministic — the
+    same corpus always yields the same sample regardless of partitioning
+    or executor count; strata smaller than N are kept whole.
+
+    ``n_per_stratum``: an int (same N everywhere) or a dict per stratum
+    value; strata absent from the dict are dropped (N=0), matching
+    stratified_sample's unknown-stratum contract.
+
+    Scale shape: ONE window partitioned BY STRATUM — a bounded per-key
+    sort (strata counts are corpus/|strata|, never a global single-
+    partition window), the same shuffle the downstream per-stratum use
+    would pay anyway. Unlike the fraction filter this is rank-based, so
+    adding corpus CAN rotate members in/out of the sample — inherent to
+    any exact-N contract; use stratified_sample where growth-stability
+    matters more than the count."""
+    frac = hash_fraction(id_col, seed)
+    w = Window.partitionBy(strata_col).orderBy(
+        frac.asc(), F.col(id_col).asc())
+    ranked = df.withColumn("__rk", F.row_number().over(w))
+    if isinstance(n_per_stratum, dict):
+        if not n_per_stratum:
+            return df.where(F.lit(False))
+        lim = None
+        for k, v in n_per_stratum.items():
+            cond = F.col(strata_col) == F.lit(k)
+            lim = (F.when(cond, F.lit(int(v))) if lim is None
+                   else lim.when(cond, F.lit(int(v))))
+        lim = lim.otherwise(F.lit(0))
+    else:
+        lim = F.lit(int(n_per_stratum))
+    return ranked.where(F.col("__rk") <= lim).drop("__rk")
+
+
 def cross_split_contamination(
     df: DataFrame,
     id_col: str,

@@ -272,3 +272,74 @@ def test_simhash_blocked_validation():
         simhash_candidates(None, "id", max_hamming=3, n_blocks=3)
     with _pt.raises(ValueError):
         simhash_candidates(None, "id", max_hamming=3, n_blocks=99)
+
+
+# ---------------------------------------------------------- hot-bucket caps
+
+@pytest.fixture(scope="module")
+def boilerplate_corpus(spark):
+    """A planted degenerate bucket (VERDICT r4 item 3): many documents
+    with identical boilerplate text — distinct ids, same shingles, same
+    simhash — that survive exact dedup in real crawls as near-identical
+    variants. Uncapped, every LSH/block bucket containing them
+    self-joins quadratically."""
+    boiler = ["breaking news click here to subscribe now"] * 200
+    normal = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog today",  # near dup pair
+        "completely different content about spark dataframes engines",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(boiler) + len(normal)),
+                        "text": boiler + normal})
+    return spark.createDataFrame(pdf).coalesce(4)
+
+
+def test_minhash_bucket_cap_bounds_candidates(boilerplate_corpus):
+    from pyradiomics_spark.operators.dedup import lsh_hot_buckets
+
+    sigs = minhash_signatures(boilerplate_corpus, "doc_id", "text",
+                              num_hashes=16, shingle_n=2)
+    uncapped = minhash_lsh_candidates(sigs, "doc_id", num_hashes=16, bands=4)
+    capped = minhash_lsh_candidates(sigs, "doc_id", num_hashes=16, bands=4,
+                                    bucket_cap=50)
+    n_un, n_cap = uncapped.count(), capped.count()
+    # uncapped: the 200-doc bucket alone yields C(200,2)=19900 pairs
+    assert n_un >= 19900
+    # capped: boilerplate buckets (200 > 50) dropped wholesale; only
+    # pairs from small buckets (the near-dup pair) remain
+    assert n_cap < 50
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (200, 201) in got  # near-dup survives in its uncapped bucket
+    # monitoring table reports the dropped buckets with their membership
+    hot = lsh_hot_buckets(sigs, "doc_id", num_hashes=16, bands=4,
+                          bucket_cap=50).collect()
+    assert hot and all(r.n_members == 200 for r in hot)
+    assert len(hot) == 4  # identical docs are hot in every band
+
+
+def test_simhash_bucket_cap_bounds_candidates(boilerplate_corpus):
+    from pyradiomics_spark.operators.dedup import simhash_hot_buckets
+
+    sigs = simhash_signatures(
+        boilerplate_corpus, "doc_id", "text").select("doc_id", "simhash")
+    uncapped = simhash_candidates(sigs, "doc_id", max_hamming=3)
+    capped = simhash_candidates(sigs, "doc_id", max_hamming=3, bucket_cap=50)
+    assert uncapped.count() >= 19900
+    capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert len(capped_pairs) < 50
+    # no boilerplate×boilerplate pair survives — the quadratic mass is gone
+    assert not any(a < 200 and b < 200 for a, b in capped_pairs)
+    hot = simhash_hot_buckets(sigs, "doc_id", max_hamming=3,
+                              bucket_cap=50).collect()
+    assert hot and all(r.n_members == 200 for r in hot)
+
+
+def test_bucket_cap_none_is_identity(docs):
+    """Default (no cap) must stay byte-identical to the pre-cap operator —
+    the existing oracle rows depend on it."""
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=16)
+    a = {tuple(r) for r in minhash_lsh_candidates(
+        sigs, "doc_id", num_hashes=16).collect()}
+    b = {tuple(r) for r in minhash_lsh_candidates(
+        sigs, "doc_id", num_hashes=16, bucket_cap=10_000).collect()}
+    assert a == b  # cap far above any bucket → no-op

@@ -165,3 +165,46 @@ def test_cross_split_contamination(spark):
     pre = cross_split_contamination(df, "doc_id", "text", prefix_tokens=5)
     got = {(r.id_a, r.id_b) for r in pre.collect()}
     assert (5, 6) in got  # caught by the 5-token prefix net
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark, ids):
+    from pyspark.sql import functions as F
+    from pyradiomics_spark.operators.sampling import stratified_sample_exact
+
+    df = ids.withColumn(
+        "tier", F.when(F.col("doc_id") % 2 == 0, "hi").otherwise("lo"))
+    out = stratified_sample_exact(df, "doc_id", {"hi": 37, "lo": 5},
+                                  strata_col="tier", seed=2)
+    counts = {r.tier: r["count"] for r in out.groupBy("tier").count().collect()}
+    assert counts == {"hi": 37, "lo": 5}  # EXACT, not approximate
+    # deterministic: same corpus → same members, any partitioning
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in stratified_sample_exact(
+        df.repartition(13), "doc_id", {"hi": 37, "lo": 5},
+        strata_col="tier", seed=2).collect()}
+    assert a == b
+    # the sample is the hash-order prefix of each stratum (matches the
+    # fraction filter's draw for the same seed)
+    fr = {r.doc_id: _expected_frac(r.doc_id, 2)
+          for r in df.select("doc_id").collect()}
+    hi_sorted = sorted((d for d in fr if d % 2 == 0), key=lambda d: (fr[d], d))
+    assert {d for d in a if d % 2 == 0} == set(hi_sorted[:37])
+
+
+def test_stratified_sample_exact_int_n_and_small_stratum(spark, ids):
+    from pyspark.sql import functions as F
+    from pyradiomics_spark.operators.sampling import stratified_sample_exact
+
+    df = ids.withColumn(
+        "tier", F.when(F.col("doc_id") < 3, "tiny").otherwise("big"))
+    out = stratified_sample_exact(df, "doc_id", 10, strata_col="tier")
+    counts = {r.tier: r["count"] for r in out.groupBy("tier").count().collect()}
+    assert counts == {"tiny": 3, "big": 10}  # small stratum kept whole
+    # unknown strata drop under a dict, like stratified_sample
+    assert stratified_sample_exact(
+        df, "doc_id", {"tiny": 2}, strata_col="tier").count() == 2
+    assert stratified_sample_exact(
+        df, "doc_id", {}, strata_col="tier").count() == 0
+    # no global single-partition window: the sort is partitioned by tier
+    assert "partitionBy=[]" not in _plan(
+        stratified_sample_exact(df, "doc_id", 10, strata_col="tier"))
