@@ -1157,6 +1157,30 @@ def q_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang").orderBy("doc_id")
 
 
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-k bigram census (functions.textstats.ngram_topk): one
+    map-side-combined groupBy + k-bounded TakeOrdered — the boilerplate-
+    phrase survey every curation pass starts with."""
+    from pyradiomics_spark.functions.textstats import ngram_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_topk(docs, "text", n=2, k=50)
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 terms by smoothed TF-IDF (textstats.tfidf_top_terms,
+    sklearn smooth_idf formula): two partial aggs + aggregate-to-aggregate
+    term join + bounded per-doc rank window. 6-dp gate rounding on the
+    float score; tf/df/rank are integers, exact."""
+    from pyradiomics_spark.functions.textstats import tfidf_top_terms
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    out = tfidf_top_terms(docs, "doc_id", "text", top_n=3)
+    return (out.select("doc_id", "term", "tf", "df",
+                       _rnd("tfidf", 6).alias("tfidf"), "rank")
+            .orderBy("doc_id", "rank"))
+
+
 def q_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible global shuffle with shard assignment: bucketed global
     rank (NO single-partition window — see operators.sampling). Oracle:
@@ -1733,6 +1757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 ---
         "stratified_exact": q_stratified_exact,
         "matrix_glszm": q_matrix_glszm,
+        "ngram_topk": q_ngram_topk,
+        "tfidf": q_tfidf,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -2116,6 +2142,51 @@ def oracle_sql() -> dict[str, str]:
             WHERE frac < CASE lang WHEN 'en' THEN 0.6 WHEN 'de' THEN 0.3
                                    WHEN 'fr' THEN 0.3 ELSE 0.0 END
             ORDER BY doc_id
+        """,
+        "ngram_topk": """
+            WITH toks AS (
+              SELECT string_split(text, ' ') AS t FROM documents
+            ), g AS (
+              SELECT unnest(list_transform(
+                       generate_series(1, greatest(len(t) - 1, 0)),
+                       i -> t[i] || ' ' || t[i+1])) AS ngram
+              FROM toks
+            )
+            SELECT ngram, count(*) AS n_occurrences
+            FROM g WHERE ngram <> ''
+            GROUP BY ngram
+            ORDER BY n_occurrences DESC, ngram
+            LIMIT 50
+        """,
+        "tfidf": """
+            WITH tk AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+              FROM documents WHERE doc_id < 300
+            ), tk2 AS (
+              SELECT doc_id, term FROM tk WHERE term <> ''
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM tk2 GROUP BY doc_id, term
+            ), dfq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), nd AS (
+              SELECT count(DISTINCT doc_id) AS n
+              FROM documents WHERE doc_id < 300
+            ), scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                     tf.tf * (ln((nd.n + 1.0) / (dfq.df + 1.0)) + 1.0)
+                       AS tfidf_raw
+              FROM tf JOIN dfq USING (term) CROSS JOIN nd
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY tfidf_raw DESC, term) AS rk
+              FROM scored
+            )
+            SELECT doc_id, term, tf, df,
+                   floor(tfidf_raw * 1e6 + 0.50000095367431640625) / 1e6
+                     AS tfidf,
+                   rk AS rank
+            FROM ranked WHERE rk <= 3 ORDER BY doc_id, rank
         """,
         "stratified_exact": """
             SELECT doc_id, lang FROM (

@@ -9,9 +9,13 @@ north-rule temporal core (as-of join, sessionize, ffill) + representative
 relational queries. ``value`` = total wall seconds; per-query seconds under
 "queries"; extraction throughput reported as "fv_per_sec".
 
-Scaling evidence (BASELINE.md row 8): SPARK_GRAFT_SCALING=1 runs the
-extraction at two parallelism levels (8 and 32 cores) and adds
-"scaling": {"cores_lo", "tput_lo", "cores_hi", "tput_hi", "efficiency"}.
+Scaling evidence (BASELINE.md row 8) ships by default: the extraction at
+two parallelism levels (4 and 16 cores) on the compute-bound multi-filter
+unit, as "scaling": {"cores_lo", "tput_lo", "cores_hi", "tput_hi",
+"efficiency", "probe_mops_per_core", ...}. SPARK_GRAFT_SCALING=0 disables,
+=1 additionally runs the original-only (DRAM-bound on this box) unit as
+"scaling_original". Probes before/mid/after make each pair self-validating
+on this shared host (idle band ≥17.5 Mops/core, BENCH.md).
 """
 
 from __future__ import annotations
@@ -209,30 +213,57 @@ def main() -> None:
         **result_cur,
     }
 
-    if os.environ.get("SPARK_GRAFT_SCALING"):
-        spark.stop()
+    # Scaling evidence (north rule row 8) ships in EVERY bench artifact by
+    # default: the compute-bound multi-filter unit (the reference's
+    # enabled-image-types workload shape) measures the ENGINE's core-count
+    # scaling; the default original-only unit is DRAM-bound on this box by
+    # ~8 busy procs (BENCH.md round-4/5 scaling) and reads the box's
+    # memory system instead. SPARK_GRAFT_SCALING=0 disables; =1 adds the
+    # original-unit pair (both box ceilings) alongside.
+    scaling_env = os.environ.get("SPARK_GRAFT_SCALING", "")
+    spark.stop()
+    if scaling_env != "0":
+        lo = int(os.environ.get("SPARK_GRAFT_SCALING_LO", "4"))
+        hi = int(os.environ.get("SPARK_GRAFT_SCALING_HI", "16"))
+        it_env = os.environ.get("SPARK_GRAFT_SCALING_IMAGE_TYPES")
+        heavy = (tuple(it_env.split(",")) if it_env else
+                 ("original", "wavelet-L", "wavelet-H", "log-sigma-2",
+                  "lbp-r1"))
         result["scaling"] = run_scaling(
-            n_urls=int(os.environ.get("SPARK_GRAFT_SCALING_URLS", "200000")),
-            lo=int(os.environ.get("SPARK_GRAFT_SCALING_LO", "4")),
-            hi=int(os.environ.get("SPARK_GRAFT_SCALING_HI", "16")),
-        )
-    else:
-        spark.stop()
+            n_urls=int(os.environ.get("SPARK_GRAFT_SCALING_HEAVY_URLS",
+                                      "20000")),
+            lo=lo, hi=hi, image_types=heavy)
+        if scaling_env == "1":
+            result["scaling_original"] = run_scaling(
+                n_urls=int(os.environ.get("SPARK_GRAFT_SCALING_URLS",
+                                          "200000")),
+                lo=lo, hi=hi)
 
     print(json.dumps(result))
 
 
-def run_scaling(n_urls: int = 64000, lo: int = 4, hi: int = 16) -> dict:
-    """Scaling evidence (BASELINE.md row 8): the SAME job — full 93-feature
-    extraction over an identical pre-generated pages corpus — at N and 4N
-    local cores; efficiency = (tput_hi / tput_lo) / (hi / lo).
+def run_scaling(n_urls: int = 64000, lo: int = 4, hi: int = 16,
+                image_types: tuple | None = None) -> dict:
+    """Scaling evidence (BASELINE.md row 8): the SAME job — full
+    feature extraction over an identical pre-generated pages corpus — at
+    N and 4N local cores; efficiency = (tput_hi / tput_lo) / (hi / lo).
 
     Protocol: corpus generated once (deterministic seed) to a temp parquet;
     per level: fresh session, workers warmed (steady-state), input cached,
-    best-of-2 timed runs. Default pair is 4→16: this sandbox's CPUs downclock
-    under full occupancy (pure-CPU probe: per-core rate at 32 busy cores is
-    ~75% of 8 busy cores), so 8→32 has a hardware ceiling below 0.8
-    regardless of software — see BENCH.md.
+    best-of-3 timed runs; pure-CPU probes before/between/after ship in the
+    artifact (shared host — a pair is valid only with every probe in the
+    idle band, BENCH.md). Default pair is 4→16: this sandbox's CPUs
+    downclock under full occupancy so 8→32 has a hardware ceiling below
+    0.8 regardless of software — see BENCH.md.
+
+    ``image_types``: None = the default original-only unit (bandwidth-
+    heavy: the round-4 kernels stream the corpus faster than this box's
+    DRAM scales 4→16, BENCH.md round-4 scaling). A multi-filter tuple
+    (e.g. original+wavelet+LoG+LBP — the reference's actual enabled-
+    image-types shape, featureextractor.py) multiplies per-byte compute,
+    which is BOTH the representative production workload and the
+    compute-bound unit that measures the engine rather than the box's
+    memory system.
     """
     import shutil
     import tempfile
@@ -242,6 +273,8 @@ def run_scaling(n_urls: int = 64000, lo: int = 4, hi: int = 16) -> dict:
     from pyradiomics_spark.operators.features import extract_features
     from pyradiomics_spark.sources.pages import pages_df
 
+    st = (ExtractionSettings(bin_width=1.0) if image_types is None
+          else ExtractionSettings(bin_width=1.0, image_types=tuple(image_types)))
     tmp = tempfile.mkdtemp(prefix="scaling_")
     corpus = f"{tmp}/pages"
     try:
@@ -250,6 +283,9 @@ def run_scaling(n_urls: int = 64000, lo: int = 4, hi: int = 16) -> dict:
         s.stop()
 
         scaling: dict = {}
+        if image_types is not None:
+            scaling["image_types"] = list(image_types)
+        probes = {"before": _probe_mops()}
         for label, c in (("lo", lo), ("hi", hi)):
             s = get_spark(app_name=f"bench-scaling-{c}", cores=c)
             _warmup(s)
@@ -261,18 +297,22 @@ def run_scaling(n_urls: int = 64000, lo: int = 4, hi: int = 16) -> dict:
             )
             pages.count()
             out = extract_features(
-                pages, keys=("url", "warc_ts"), text_col="text",
-                settings=ExtractionSettings(bin_width=1.0))
+                pages, keys=("url", "warc_ts"), text_col="text", settings=st)
             best = None
+            runs = []
             for _ in range(3):
                 t0 = time.time()
                 n = out.count()
                 secs = time.time() - t0
+                runs.append(round(secs, 3))
                 best = secs if best is None else min(best, secs)
             scaling[f"cores_{label}"] = c
             scaling[f"rows_{label}"] = n
             scaling[f"tput_{label}"] = round(n / best, 1)
+            scaling[f"runs_{label}_sec"] = runs
             s.stop()
+            probes["mid" if label == "lo" else "after"] = _probe_mops()
+        scaling["probe_mops_per_core"] = probes
         ratio = scaling["tput_hi"] / scaling["tput_lo"] if scaling["tput_lo"] else 0
         scaling["efficiency"] = round(ratio / (hi / lo), 3)
         # hardware ceiling: this sandbox's CPUs downclock as more cores go

@@ -160,3 +160,76 @@ def winnowing_fingerprints(
         .select(F.col(id_col), F.col("winmin").alias("fingerprint"))
         .distinct()
     )
+
+
+def ngram_topk(
+    df: DataFrame, text_col: str = "text", n: int = 2, k: int = 100,
+) -> DataFrame:
+    """Corpus-level top-k word n-grams with counts — the vocabulary /
+    boilerplate-phrase census every curation pass starts with. Returns
+    (ngram, n_occurrences) ordered by (count desc, ngram) with
+    deterministic ties.
+
+    Scale shape: explode → ONE map-side-combined groupBy on the n-gram →
+    global top-k. The final ordering is a k-bounded TakeOrdered (Spark
+    turns orderBy+limit into per-partition top-k + driver merge), never a
+    full sort of the distinct-ngram table; hot n-grams skew the AGG, not
+    a join, and partial aggregation absorbs them before the shuffle."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(F.explode(grams).alias("ngram")).where(
+        F.col("ngram") != "")
+    return (
+        exploded.groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "ngram")
+        .limit(k)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    top_n: int = 5, min_df: int = 1,
+) -> DataFrame:
+    """Per-doc top-N terms by smoothed TF-IDF — the relational keyword
+    extractor (tf·(ln((N+1)/(df+1))+1), sklearn's smooth_idf formula).
+    Returns (id, term, tf, df, tfidf, rank), rank 1..top_n per doc with
+    deterministic (score desc, term) ties.
+
+    Scale shape: one groupBy for per-(doc, term) tf, one for per-term df
+    (both map-side combined), a broadcast of the corpus size N (a literal
+    from the caller's count — NO action here; pass n_docs if known),
+    then a join on term — skew-safe because both sides are already
+    aggregates (one row per distinct (doc,term) / term, not per token) —
+    and a per-doc rank window (bounded by doc vocabulary, never global)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = (tf.groupBy("term").agg(F.count("*").alias("df"))
+             .where(F.col("df") >= min_df))
+    # N as a scalar subquery would need an action; use a broadcast 1-row
+    # aggregate joined in (Catalyst broadcasts it, the plan stays lazy)
+    ndf = F.broadcast(df.agg(F.countDistinct(id_col).alias("__n")))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(ndf)
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + 1.0))
+        .drop("__n")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )

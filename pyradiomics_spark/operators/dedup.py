@@ -229,13 +229,16 @@ def minhash_dedup(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verify →
     connected survivors (min id per dup cluster via iterative min propagation
     is overkill here: we use the standard keep-if-no-smaller-similar-id rule,
-    one anti-join)."""
+    one anti-join). ``bucket_cap``: see minhash_lsh_candidates — set it at
+    web scale so a degenerate bucket can't go quadratic."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    cand = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
+    cand = minhash_lsh_candidates(sigs, id_col, num_hashes, bands,
+                                  bucket_cap=bucket_cap)
     verified = ngram_jaccard_pairs(df, id_col, text_col, shingle_n, cand).where(
         F.col("jaccard") >= threshold
     )

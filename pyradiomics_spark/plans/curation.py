@@ -67,10 +67,13 @@ def curate(
     pack_budget: int = 2048,
     seed: int = 0,
     out_path: str | None = None,
+    bucket_cap: int | None = None,
 ) -> dict:
     """Run the full curation pipeline; returns a metrics dict (stage
     counts + leak-style invariant checks). ``out_path`` commits the packed
-    train split and the val/test doc lists as parquet."""
+    train split and the val/test doc lists as parquet. ``bucket_cap``
+    bounds LSH bucket membership in the near-dup stage (see
+    operators.dedup.minhash_lsh_candidates) — set it at web scale."""
     # 1. exact dedup as a FLAG: min-id row per distinct content hash
     # survives (same semantics as operators.dedup.exact_dedup — one sha2
     # shuffle, here a window so the losers stay on the lineage for the
@@ -88,7 +91,8 @@ def curate(
     # (its own bounded jobs); its LOSER set comes back as a flag join.
     exact = flagged.where("__exact")
     sigs = minhash_signatures(exact, id_col, text_col, num_hashes, shingle_n)
-    cand = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
+    cand = minhash_lsh_candidates(sigs, id_col, num_hashes, bands,
+                                  bucket_cap=bucket_cap)
     verified = ngram_jaccard_pairs(
         exact, id_col, text_col, shingle_n, cand).where(
         F.col("jaccard") >= jaccard_threshold)

@@ -343,3 +343,56 @@ def test_bucket_cap_none_is_identity(docs):
     b = {tuple(r) for r in minhash_lsh_candidates(
         sigs, "doc_id", num_hashes=16, bucket_cap=10_000).collect()}
     assert a == b  # cap far above any bucket → no-op
+
+
+def test_ngram_topk_matches_python(docs):
+    from collections import Counter
+    from pyradiomics_spark.functions.textstats import ngram_topk
+
+    rows = docs.select("doc_id", "text").collect()
+    c = Counter()
+    for r in rows:
+        toks = r.text.split(" ")
+        for i in range(len(toks) - 1):
+            g = " ".join(toks[i:i + 2])
+            if g:
+                c[g] += 1
+    expected = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r.ngram, r.n_occurrences)
+           for r in ngram_topk(docs, "text", n=2, k=10).collect()]
+    assert got == expected
+
+
+def test_tfidf_top_terms_matches_python(docs):
+    import math
+    from collections import Counter
+    from pyradiomics_spark.functions.textstats import tfidf_top_terms
+
+    rows = docs.select("doc_id", "text").collect()
+    n_docs = len(rows)
+    tf = {r.doc_id: Counter(t for t in r.text.lower().split(" ") if t)
+          for r in rows}
+    dfreq = Counter()
+    for terms in tf.values():
+        dfreq.update(terms.keys())
+    expected = {}
+    for d, terms in tf.items():
+        scored = sorted(
+            ((t, c * (math.log((n_docs + 1.0) / (dfreq[t] + 1.0)) + 1.0))
+             for t, c in terms.items()),
+            key=lambda kv: (-kv[1], kv[0]))[:3]
+        expected[d] = [t for t, _ in scored]
+    got = {}
+    out = tfidf_top_terms(docs, "doc_id", "text", top_n=3).collect()
+    for r in sorted(out, key=lambda r: (r.doc_id, r.rank)):
+        got.setdefault(r.doc_id, []).append(r.term)
+        assert r.df == dfreq[r.term] and r.tf == tf[r.doc_id][r.term]
+    assert got == expected
+
+
+def test_tfidf_min_df_filters_rare_terms(docs):
+    from pyradiomics_spark.functions.textstats import tfidf_top_terms
+
+    out = tfidf_top_terms(docs, "doc_id", "text", top_n=50, min_df=2)
+    assert out.where(F.col("df") < 2).count() == 0
+    assert out.count() > 0  # shared stopwords survive
