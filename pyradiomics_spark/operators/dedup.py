@@ -441,6 +441,7 @@ def simhash_hot_buckets(
 def embedding_cosine_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
     candidates: DataFrame | None = None, dim: int | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs by exact cosine (builtin array ops —
     F.zip_with + F.aggregate, JVM-side). Pair generation bounded by
@@ -460,6 +461,11 @@ def embedding_cosine_pairs(
                 "embedding_cosine_pairs requires dim= when candidates is None "
                 "(no driver-side action during plan construction)")
         bucketed = hyperplane_buckets(df, id_col, vec_col, n_planes=8, dim=dim)
+        if bucket_cap is not None:
+            # an embedding cluster denser than the cap (boilerplate whose
+            # vectors collapse to one LSH cell) would self-join
+            # quadratically — same hazard, same cap as minhash/simhash
+            bucketed, _ = _drop_hot_buckets(bucketed, ["bucket"], bucket_cap)
         a = bucketed.alias("a")
         b = bucketed.alias("b")
         candidates = (

@@ -396,3 +396,23 @@ def test_tfidf_min_df_filters_rare_terms(docs):
     out = tfidf_top_terms(docs, "doc_id", "text", top_n=50, min_df=2)
     assert out.where(F.col("df") < 2).count() == 0
     assert out.count() > 0  # shared stopwords survive
+
+
+def test_embedding_bucket_cap(spark, rng):
+    """An over-cap LSH cell (collapsed boilerplate embeddings) is dropped
+    wholesale before the self-join; small cells still pair."""
+    base = _rand_vecs(rng, 1, 16)[0]
+    boiler = [list(map(float, base)) for _ in range(60)]  # one hot cell
+    pair = _rand_vecs(rng, 1, 16)[0]
+    rows = ([(i, v) for i, v in enumerate(boiler)]
+            + [(100, list(map(float, pair))), (101, list(map(float, pair)))])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = embedding_cosine_pairs(
+        df, "vec_id", "embedding", threshold=0.99, dim=16,
+        bucket_cap=30).toPandas()
+    got = set(zip(capped.id_a, capped.id_b))
+    assert (100, 101) in got
+    assert not any(a < 100 and b < 100 for a, b in got)
+    uncapped = embedding_cosine_pairs(
+        df, "vec_id", "embedding", threshold=0.99, dim=16).count()
+    assert uncapped >= 60 * 59 / 2  # the quadratic mass the cap removes
