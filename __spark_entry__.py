@@ -1181,6 +1181,20 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "rank"))
 
 
+def q_unigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM perplexity proxy (textstats.unigram_logloss): per-doc
+    mean −log2(corpus unigram p) — the CCNet-style quality signal with
+    no external model. One census agg + broadcast total + term join +
+    per-doc mean; 6-dp gate rounding on the float mean."""
+    from pyradiomics_spark.functions.textstats import unigram_logloss
+
+    docs = _read(spark, sf_dir, "documents")
+    out = unigram_logloss(docs, "doc_id", "text")
+    return (out.select("doc_id", _rnd("unigram_logloss", 6)
+                       .alias("unigram_logloss"))
+            .orderBy("doc_id"))
+
+
 def q_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible global shuffle with shard assignment: bucketed global
     rank (NO single-partition window — see operators.sampling). Oracle:
@@ -1759,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_glszm": q_matrix_glszm,
         "ngram_topk": q_ngram_topk,
         "tfidf": q_tfidf,
+        "unigram_logloss": q_unigram_logloss,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -2142,6 +2157,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE frac < CASE lang WHEN 'en' THEN 0.6 WHEN 'de' THEN 0.3
                                    WHEN 'fr' THEN 0.3 ELSE 0.0 END
             ORDER BY doc_id
+        """,
+        "unigram_logloss": """
+            WITH tk AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+              FROM documents
+            ), tk2 AS (
+              SELECT doc_id, term FROM tk WHERE term <> ''
+            ), counts AS (
+              SELECT term, count(*) AS tc FROM tk2 GROUP BY term
+            ), tot AS (
+              SELECT sum(tc) AS t FROM counts
+            ), probs AS (
+              SELECT term, tc / t AS p FROM counts CROSS JOIN tot
+            ), per AS (
+              SELECT doc_id, avg(-log2(p)) AS ull
+              FROM tk2 JOIN probs USING (term) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   floor(per.ull * 1e6 + 0.50000095367431640625) / 1e6
+                     AS unigram_logloss
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+            ORDER BY d.doc_id
         """,
         "ngram_topk": """
             WITH toks AS (

@@ -233,3 +233,35 @@ def tfidf_top_terms(
         .where(F.col("rank") <= top_n)
         .select(id_col, "term", "tf", "df", "tfidf", "rank")
     )
+
+
+def unigram_logloss(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    out_col: str = "unigram_logloss",
+) -> DataFrame:
+    """Per-doc mean negative log2 corpus-unigram probability — the
+    relational perplexity proxy (the CCNet-style "LM quality" signal
+    without an external model): boilerplate and in-distribution text
+    score low, rare-token noise scores high. Adds ``out_col`` (double,
+    null for token-less docs).
+
+    Scale shape: ONE map-side-combined groupBy builds the corpus unigram
+    table (distinct terms ≪ tokens), a broadcast 1-row total joins in,
+    then tokens join the term-probability table — the probability side is
+    one row per distinct term, so a hot stop-word skews only the probe
+    side of a shuffle join AQE already splits — and one per-doc mean agg.
+    No Python, no window."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    counts = toks.groupBy("term").agg(F.count("*").alias("tc"))
+    total = F.broadcast(counts.agg(F.sum("tc").alias("__tot")))
+    probs = counts.crossJoin(total).select(
+        "term", (F.col("tc") / F.col("__tot")).alias("p"))
+    per_doc = (
+        toks.join(probs, "term")
+        .groupBy(id_col)
+        .agg(F.avg(-F.log2("p")).alias(out_col))
+    )
+    return df.join(per_doc, id_col, "left")

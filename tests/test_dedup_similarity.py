@@ -416,3 +416,25 @@ def test_embedding_bucket_cap(spark, rng):
     uncapped = embedding_cosine_pairs(
         df, "vec_id", "embedding", threshold=0.99, dim=16).count()
     assert uncapped >= 60 * 59 / 2  # the quadratic mass the cap removes
+
+
+def test_unigram_logloss_matches_python(docs):
+    import math
+    from collections import Counter
+    from pyradiomics_spark.functions.textstats import unigram_logloss
+
+    rows = docs.select("doc_id", "text").collect()
+    corpus = Counter()
+    per_doc_terms = {}
+    for r in rows:
+        ts = [t for t in r.text.lower().split(" ") if t]
+        per_doc_terms[r.doc_id] = ts
+        corpus.update(ts)
+    total = sum(corpus.values())
+    out = {r.doc_id: r.unigram_logloss
+           for r in unigram_logloss(docs, "doc_id").collect()}
+    for d, ts in per_doc_terms.items():
+        expect = sum(-math.log2(corpus[t] / total) for t in ts) / len(ts)
+        assert out[d] == pytest.approx(expect, rel=1e-12), d
+    # boilerplate (exact dup of doc 0) scores identically; rarer text higher
+    assert out[0] == out[1]
