@@ -1150,12 +1150,15 @@ def _rlm_features(P, iv, jv, kind: str) -> dict:
 
     lgl = (pg / iv2[None, :]).sum(axis=1) / nr_safe
     hgl = (pg * iv2[None, :]).sum(axis=1) / nr_safe
-    ii = iv2[None, :, None]
-    jj = jv2[None, None, :]
-    srl = (P / (ii * jj)).sum(axis=(1, 2)) / nr_safe
-    srh = (P * ii / jj).sum(axis=(1, 2)) / nr_safe
-    lrl = (P * jj / ii).sum(axis=(1, 2)) / nr_safe
-    lrh = (P * ii * jj).sum(axis=(1, 2)) / nr_safe
+    # cross-emphasis terms factored Σ_ij P/(i²j²) = Σ_i (Σ_j P/j²)/i²:
+    # TWO (B,G,J) passes (Q, R) instead of four tensor-product sweeps —
+    # the j-marginal then the tiny (B,G) i-weighting
+    Q = (P / jv2[None, None, :]).sum(axis=2)  # (B, G): Σ_j P/j²
+    R = (P * jv2[None, None, :]).sum(axis=2)  # (B, G): Σ_j P·j²
+    srl = (Q / iv2[None, :]).sum(axis=1) / nr_safe
+    srh = (Q * iv2[None, :]).sum(axis=1) / nr_safe
+    lrl = (R / iv2[None, :]).sum(axis=1) / nr_safe
+    lrh = (R * iv2[None, :]).sum(axis=1) / nr_safe
 
     if kind == "glrlm":
         return {
@@ -1198,7 +1201,35 @@ def runs_batch_features(r: Ragged, levels: np.ndarray,
     ).reshape(B, G, J).astype(np.float64)
     iv = np.arange(1, G + 1, dtype=np.float64)
     jv = jvals.astype(np.float64)
-    return _rlm_features(P, iv, jv, "glrlm"), _rlm_features(P, iv, jv, "glszm")
+    # In 1-D zones ARE maximal runs, so GLSZM's matrix — and therefore
+    # every reduction (Nz = Nr) — is numerically identical to GLRLM's;
+    # only the feature NAMES differ (kernels/glszm.py docstring). Compute
+    # the reductions once and bind both name sets, instead of sweeping
+    # the (B, G, J) tensor twice.
+    glrlm = _rlm_features(P, iv, jv, "glrlm")
+    glszm = {_RLM_TO_SZM[k]: v for k, v in glrlm.items()}
+    return glrlm, glszm
+
+
+#: GLRLM → GLSZM feature-name bijection (same reduction, zone vocabulary)
+_RLM_TO_SZM = {
+    "ShortRunEmphasis": "SmallAreaEmphasis",
+    "LongRunEmphasis": "LargeAreaEmphasis",
+    "GrayLevelNonUniformity": "GrayLevelNonUniformity",
+    "GrayLevelNonUniformityNormalized": "GrayLevelNonUniformityNormalized",
+    "RunLengthNonUniformity": "SizeZoneNonUniformity",
+    "RunLengthNonUniformityNormalized": "SizeZoneNonUniformityNormalized",
+    "RunPercentage": "ZonePercentage",
+    "GrayLevelVariance": "GrayLevelVariance",
+    "RunVariance": "ZoneVariance",
+    "RunEntropy": "ZoneEntropy",
+    "LowGrayLevelRunEmphasis": "LowGrayLevelZoneEmphasis",
+    "HighGrayLevelRunEmphasis": "HighGrayLevelZoneEmphasis",
+    "ShortRunLowGrayLevelEmphasis": "SmallAreaLowGrayLevelEmphasis",
+    "ShortRunHighGrayLevelEmphasis": "SmallAreaHighGrayLevelEmphasis",
+    "LongRunLowGrayLevelEmphasis": "LargeAreaLowGrayLevelEmphasis",
+    "LongRunHighGrayLevelEmphasis": "LargeAreaHighGrayLevelEmphasis",
+}
 
 
 # -------------------------------------------------------------- NGTDM
