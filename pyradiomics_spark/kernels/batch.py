@@ -983,7 +983,10 @@ def _glcm_features_dense(r: Ragged, levels: np.ndarray, P: np.ndarray,
     cshade = np.sum(p_add * dsum2 * dsum, axis=1)
     cprom = np.sum(p_add * dsum2 * dsum2, axis=1)
     contrast = p_sub @ (k_diff * k_diff)                # Σ_ij P·(i−j)²
-    autoc = np.einsum("bij,i,j->b", P, gl, gl)
+    # autoc = Σ_ij P·i·j = gl·(P @ gl): a BLAS batched matvec + a (B,G)
+    # dot instead of a einsum C-loop over the full tensor
+    Pgl = P @ gl                                        # (B,G)
+    autoc = Pgl @ gl
 
     dx = gl[None, :] - ux[:, None]                      # (B,G)
     dy = gl[None, :] - uy[:, None]
@@ -994,7 +997,10 @@ def _glcm_features_dense(r: Ragged, levels: np.ndarray, P: np.ndarray,
     # kernel, glcm.py:158) — the algebraic shortcut autoc − ux·uy is exact
     # but catastrophically cancels for near-flat high-G docs where
     # σx·σy ≈ 0; one (B,G,G) einsum buys full precision there
-    corm = np.einsum("bij,bi,bj->b", P, dx, dy)
+    # Σ_ij P dx_i dy_j = dx·(P @ dy) per doc — batched BLAS matvec (the
+    # centered form is kept for the cancellation reason above; only the
+    # contraction engine changes)
+    corm = np.einsum("bi,bi->b", dx, np.matmul(P, dy[:, :, None])[:, :, 0])
     with np.errstate(invalid="ignore"):
         corr = corm / (sigx * sigy + EPS)
     corr = np.where(sigx * sigy == 0, 1.0, corr)
@@ -1007,8 +1013,12 @@ def _glcm_features_dense(r: Ragged, levels: np.ndarray, P: np.ndarray,
     HX = -np.sum(px * np.log2(px + EPS), axis=1)
     HY = -np.sum(py * np.log2(py + EPS), axis=1)
     pxy = px[:, :, None] * py[:, None, :]
-    HXY1 = -np.sum(P * np.log2(pxy + EPS), axis=(1, 2))
-    HXY2 = -np.sum(pxy * np.log2(pxy + EPS), axis=(1, 2))
+    # ONE log pass shared by HXY1/HXY2 (was two — the log2 over B·G² is
+    # the expensive part; EPS placement itself can't factor through the
+    # marginals, see NEXT.md)
+    log_pxy = np.log2(pxy + EPS)
+    HXY1 = -np.sum(P * log_pxy, axis=(1, 2))
+    HXY2 = -np.sum(pxy * log_pxy, axis=(1, 2))
     div = np.fmax(HX, HY)
     with np.errstate(invalid="ignore"):
         imc1 = np.where(div != 0, (HXY - HXY1) / np.where(div != 0, div, 1.0), 0.0)
