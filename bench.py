@@ -142,6 +142,13 @@ def main() -> None:
     import statistics
 
     probe_before = _probe_mops()
+    # one UNTIMED pass first: the first extraction over a fresh session
+    # pays whole-stage codegen + Arrow-worker JIT warmup (~2-3× the
+    # steady-state run) — "sustained" means steady state, so it is warmed
+    # like the workers themselves are, and the 5 timed runs measure the
+    # regime a long job actually lives in.
+    extract_features(big, keys=("url", "warc_ts"), text_col="text",
+                     settings=ExtractionSettings(bin_width=1.0)).count()
     sus_runs = []
     n_runs = int(os.environ.get("SPARK_GRAFT_SUSTAINED_RUNS", "5"))
     for _ in range(n_runs):
