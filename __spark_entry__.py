@@ -328,6 +328,28 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (closer of past/future, ties → backward, the
+    pandas merge_asof 'nearest' semantics): both fills from ONE sorted
+    window (single shuffle). Oracle: DuckDB backward + forward native
+    ASOF joins combined with an interval-distance CASE."""
+    from pyradiomics_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        F.col("user_id"), F.col("ts").alias("signup_ts"),
+        F.col("value").alias("signup_value"))
+    joined = asof_join(
+        purchases, signups, on="user_id", left_ts="ts", right_ts="signup_ts",
+        direction="nearest")
+    return joined.select(
+        "event_id", "user_id", F.col("signup_ts"),
+        _rnd("signup_value", 6).alias("signup_value"),
+    ).orderBy("event_id")
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-filter-agg with pushdown (SURVEY §2.2/§2.4)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -1774,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": q_ngram_topk,
         "tfidf": q_tfidf,
         "unigram_logloss": q_unigram_logloss,
+        "asof_join_nearest": q_asof_join_nearest,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -2157,6 +2180,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE frac < CASE lang WHEN 'en' THEN 0.6 WHEN 'de' THEN 0.3
                                    WHEN 'fr' THEN 0.3 ELSE 0.0 END
             ORDER BY doc_id
+        """,
+        "asof_join_nearest": """
+            WITH purchases AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ), signups AS (
+              SELECT user_id, ts AS signup_ts, value AS signup_value
+              FROM events WHERE event_type = 'signup'
+            ), b AS (
+              SELECT p.event_id, p.user_id, p.ts,
+                     s.signup_ts AS b_ts, s.signup_value AS b_val
+              FROM purchases p
+              ASOF LEFT JOIN signups s
+                ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+            ), f AS (
+              SELECT p.event_id, s.signup_ts AS f_ts, s.signup_value AS f_val
+              FROM purchases p
+              ASOF LEFT JOIN signups s
+                ON p.user_id = s.user_id AND p.ts <= s.signup_ts
+            ), pick AS (
+              SELECT b.event_id, b.user_id,
+                     (f.f_ts IS NOT NULL AND (b.b_ts IS NULL OR
+                        (f.f_ts - b.ts) < (b.ts - b.b_ts))) AS take_f,
+                     b.b_ts, b.b_val, f.f_ts, f.f_val
+              FROM b JOIN f ON b.event_id = f.event_id
+            )
+            SELECT event_id, user_id,
+                   CASE WHEN take_f THEN f_ts ELSE b_ts END AS signup_ts,
+                   floor((CASE WHEN take_f THEN f_val ELSE b_val END) * 1e6
+                         + 0.50000095367431640625) / 1e6 AS signup_value
+            FROM pick ORDER BY event_id
         """,
         "unigram_logloss": """
             WITH tk AS (

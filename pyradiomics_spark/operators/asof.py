@@ -131,26 +131,39 @@ def asof_join(
     """As-of left join, pure DataFrame ops (no Python UDF).
 
     ``direction``: 'backward' (default — latest right row with
-    right_ts <= ts) or 'forward' (earliest right row with right_ts >= ts;
+    right_ts <= ts), 'forward' (earliest right row with right_ts >= ts;
     same single window pass, future-looking frame + first() fill — the
     bfill of joins, NOT leakage-safe for feature cuts and documented as
-    such in operators.leakage).
+    such in operators.leakage), or 'nearest' (closer of the two by
+    absolute gap, ties → backward, matching pandas merge_asof; BOTH fills
+    come from one sorted window — still a single shuffle — and like
+    'forward' it looks into the future, so it is not leakage-safe).
 
     ``deterministic_ties`` (default True) collapses right rows that share an
     exact (key, ts) to the max payload tuple before the join — run-stable
     output at the cost of one extra map-side-combined exchange. Disable for
     inputs known tie-free (e.g. ts is part of a unique key upstream)."""
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"bad direction {direction!r}")
+    if direction == "nearest" and not allow_exact_matches:
+        # with one union tag a right row at equal ts can sit in the past
+        # frame or the future frame but not be EXCLUDED from both, so the
+        # single-pass form can't express nearest-without-exact; nobody has
+        # asked for it (pandas defaults to exact too) — fail loudly rather
+        # than silently approximate
+        raise ValueError(
+            "direction='nearest' requires allow_exact_matches=True")
     keys = _as_list(on)
     left_payload = [c for c in left.columns if c not in keys and c != left_ts]
     right_payload = [c for c in right.columns if c not in keys and c != right_ts]
     if deterministic_ties:
         right = _dedupe_right_ties(right, keys, right_ts, right_payload)
 
-    if direction == "backward":
+    if direction in ("backward", "nearest"):
         # right rows at equal ts must sort BEFORE the left row to be in the
-        # past-only frame when exact matches are allowed
+        # past-only frame when exact matches are allowed (for nearest the
+        # backward fill then catches exact rows at gap 0, which always
+        # wins the distance comparison)
         right_tag = 0 if allow_exact_matches else 2
     else:
         # forward: frame is [current, ∞) — right rows at equal ts must sort
@@ -179,19 +192,44 @@ def asof_join(
     # Ties among right rows are already resolved by _dedupe_right_ties, so
     # (ts, tag) is a TOTAL order over rows that can influence a fill.
     base = Window.partitionBy(*keys).orderBy(_TS, _TAG)
-    if direction == "backward":
-        w = base.rowsBetween(Window.unboundedPreceding, 0)
-        fill = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
-    else:
-        w = base.rowsBetween(0, Window.unboundedFollowing)
-        fill = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+    bw = base.rowsBetween(Window.unboundedPreceding, 0)
+    fw = base.rowsBetween(0, Window.unboundedFollowing)
     # ONE select for every fill (not a withColumn chain): N chained window
     # projections make Catalyst re-derive constraints N times over a
     # growing alias set — quadratic plan time on wide payloads.
-    filled = unioned.select(
-        *keys, _TS, _TAG, *left_payload,
-        *[fill(c).over(w).alias(c) for c in fill_cols],
-    )
+    if direction == "nearest":
+        # BOTH fills over the SAME sorted window — one shuffle, two
+        # frames; pick the nearer side per row, ties → backward (pandas
+        # merge_asof nearest tie semantics, pinned by the parity test)
+        filled = unioned.select(
+            *keys, _TS, _TAG, *left_payload,
+            *[F.last(c, ignorenulls=True).over(bw).alias(f"__b_{c}")
+              for c in fill_cols],
+            *[F.first(c, ignorenulls=True).over(fw).alias(f"__f_{c}")
+              for c in fill_cols],
+        )
+        b_ts = F.col(f"__b___r_{right_ts}")
+        f_ts = F.col(f"__f___r_{right_ts}")
+        # TIMESTAMP_NTZ refuses a direct double cast — hop through
+        # timestamp (a no-op for tz-aware/numeric ts columns)
+        as_num = lambda c: c.cast("timestamp").cast("double")  # noqa: E731
+        gap_b = as_num(F.col(_TS)) - as_num(b_ts)
+        gap_f = as_num(f_ts) - as_num(F.col(_TS))
+        take_f = f_ts.isNotNull() & (b_ts.isNull() | (gap_f < gap_b))
+        filled = filled.select(
+            *keys, _TS, _TAG, *left_payload,
+            *[F.when(take_f, F.col(f"__f_{c}")).otherwise(F.col(f"__b_{c}"))
+              .alias(c) for c in fill_cols],
+        )
+    else:
+        if direction == "backward":
+            w, fill = bw, (lambda c: F.last(c, ignorenulls=True))
+        else:
+            w, fill = fw, (lambda c: F.first(c, ignorenulls=True))
+        filled = unioned.select(
+            *keys, _TS, _TAG, *left_payload,
+            *[fill(c).over(w).alias(c) for c in fill_cols],
+        )
 
     out = filled.where(F.col(_TAG) == 1)
 
@@ -199,6 +237,8 @@ def asof_join(
         gap = F.col(_TS).cast("double") - F.col(f"__r_{right_ts}").cast("double")
         if direction == "forward":
             gap = -gap
+        elif direction == "nearest":
+            gap = F.abs(gap)
         in_tol = gap <= tolerance_seconds
         out = out.select(
             *keys, _TS, *left_payload,

@@ -236,3 +236,76 @@ def test_asof_nonorderable_payload_warns(spark):
         asof_join(left, right.drop("m"), on="k",
                   left_ts="ts", right_ts="ts").collect()
     assert not any("deterministic_ties" in str(w.message) for w in rec2)
+
+
+def test_asof_nearest_matches_pandas(spark, rng):
+    """direction='nearest' on the window strategy == merge_asof nearest ==
+    the cogrouped kernel, on random data (pins the tie → backward rule)."""
+    n_l, n_r = 300, 120
+    left = pd.DataFrame({
+        "ent": rng.choice(["x", "y", "z"], n_l),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n_l), unit="s"),
+        "lval": rng.normal(size=n_l)})
+    right = pd.DataFrame({
+        "ent": rng.choice(["x", "y", "z"], n_r),
+        "rts": pd.to_datetime(rng.integers(0, 10**6, n_r), unit="s"),
+        "rval": rng.normal(size=n_r)})
+    expected = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("rts"),
+        left_on="ts", right_on="rts", by="ent", direction="nearest")
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    for fn, kw in ((asof_join, {"direction": "nearest"}),
+                   (asof_join_merge, {"direction": "nearest"})):
+        out = fn(ldf, rdf, on="ent", left_ts="ts", right_ts="rts", **kw).toPandas()
+        key = ["ent", "ts", "lval"]
+        a = expected.sort_values(key).reset_index(drop=True)
+        b = out.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_series_equal(
+            a["rval"].reset_index(drop=True),
+            b["rval"].reset_index(drop=True), check_names=False)
+
+
+def test_asof_nearest_hand_cases(frames):
+    _, _, ldf, rdf = frames
+    out = asof_join(ldf, rdf, on="ent", left_ts="ts", right_ts="rts",
+                    direction="nearest").toPandas()
+    got = {(r.ent, r.lval): (None if pd.isna(r.rval) else r.rval)
+           for r in out.itertuples()}
+    assert got[("a", 1)] == 10.0   # exact match always nearest
+    assert got[("a", 2)] == 20.0   # 12:00 → 13:00 (1h) beats 10:00 (2h)
+    assert got[("a", 3)] == 20.0   # future join is allowed for nearest
+    assert got[("b", 4)] == 30.0   # before-first now matches FORWARD row
+    assert got[("b", 5)] == 30.0
+    assert got[("c", 6)] is None   # entity absent on right stays null
+
+
+def test_asof_nearest_equidistant_prefers_backward(spark):
+    left = pd.DataFrame({"ent": ["a"], "ts": [_ts("2024-01-01 12:00")],
+                         "lval": [1]})
+    right = pd.DataFrame({
+        "ent": ["a", "a"],
+        "rts": [_ts("2024-01-01 11:00"), _ts("2024-01-01 13:00")],
+        "rval": [10.0, 20.0]})
+    out = asof_join(spark.createDataFrame(left), spark.createDataFrame(right),
+                    on="ent", left_ts="ts", right_ts="rts",
+                    direction="nearest").toPandas()
+    assert out.rval.iloc[0] == 10.0  # tie → backward (pandas semantics)
+    # pandas agrees
+    exp = pd.merge_asof(left, right, left_on="ts", right_on="rts",
+                        by="ent", direction="nearest")
+    assert exp.rval.iloc[0] == 10.0
+
+
+def test_asof_nearest_tolerance_and_no_exact_guard(frames, spark):
+    import pytest as _pytest
+    _, _, ldf, rdf = frames
+    out = asof_join(ldf, rdf, on="ent", left_ts="ts", right_ts="rts",
+                    direction="nearest", tolerance_seconds=3600.0).toPandas()
+    got = {(r.ent, r.lval): (None if pd.isna(r.rval) else r.rval)
+           for r in out.itertuples()}
+    assert got[("a", 2)] == 20.0   # 1h gap, inside tolerance
+    assert got[("b", 4)] == 30.0   # 09:00→10:00 = exactly 1h, inclusive
+    assert got[("a", 3)] is None   # 00:00→13:00 prior day: out of tolerance
+    with _pytest.raises(ValueError, match="allow_exact_matches"):
+        asof_join(ldf, rdf, on="ent", left_ts="ts", right_ts="rts",
+                  direction="nearest", allow_exact_matches=False)
