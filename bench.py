@@ -109,6 +109,10 @@ def main() -> None:
         # multimodal binary-column plumbing
         "assign_arrow", "matrix_glcm", "stream_asof", "image_stats",
         "audio_stats",
+        # round 5 additions: third as-of direction, zone-tier matrix gate,
+        # exact-N sampling, and the text-analysis trio
+        "asof_join_nearest", "matrix_glszm", "stratified_exact",
+        "ngram_topk", "tfidf", "unigram_logloss",
     ]
     for name in headline:
         if name not in qs:
