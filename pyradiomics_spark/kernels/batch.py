@@ -889,6 +889,26 @@ def _glcm_features_from_counts(r: Ragged, levels: np.ndarray,
         dbounds = np.searchsorted(inv[dorder], np.arange(pats.shape[0] + 1))
         doc_pos = np.empty(B, dtype=np.int64)
         lvl_pos = np.empty(G, dtype=np.int64)
+        # eigvals needs matrices of ONE size per call, not one PATTERN:
+        # float image types (wavelet/LoG) make nearly every doc its own
+        # pattern, and 1772 per-pattern eigvals calls were ~180 µs each of
+        # mostly numpy fixed overhead. Scatter per pattern (that part needs
+        # the exact level positions), but POOL the stacks by matrix size
+        # and eig each pool once, flushing at the memory budget.
+        pending: dict = {}
+        pend_elems: dict = {}
+
+        def _flush(m: int) -> None:
+            blocks = pending.pop(m, [])
+            pend_elems.pop(m, None)
+            if not blocks:
+                return
+            Ps = blocks[0][0] if len(blocks) == 1 else np.concatenate(
+                [b[0] for b in blocks])
+            sels = blocks[0][1] if len(blocks) == 1 else np.concatenate(
+                [b[1] for b in blocks])
+            mcc[sels] = _mcc_from_stack(Ps)
+
         for p in range(pats.shape[0]):
             sel = idx_all[dorder[dbounds[p]:dbounds[p + 1]]]
             pres = np.flatnonzero(pats[p])
@@ -899,17 +919,23 @@ def _glcm_features_from_counts(r: Ragged, levels: np.ndarray,
             # the group so each dense sub-stack stays under the budget
             # (cells are code-ordered ⇒ doc-ordered within the group)
             cell_docs = cb[cs]
-            step = max(1, _GLCM_PAIR_BUDGET // max(pres.size * pres.size, 1))
+            m = pres.size
+            step = max(1, _GLCM_PAIR_BUDGET // max(m * m, 1))
             for a in range(0, sel.size, step):
                 ssel = sel[a:a + step]
                 clo = np.searchsorted(cell_docs, ssel[0], side="left")
                 chi = np.searchsorted(cell_docs, ssel[-1], side="right")
                 csl = cs[clo:chi]
                 doc_pos[ssel] = np.arange(ssel.size)
-                Ps = np.zeros((ssel.size, pres.size, pres.size))
+                Ps = np.zeros((ssel.size, m, m))
                 Ps[doc_pos[cb[csl]], lvl_pos[ci[csl]], lvl_pos[cj[csl]]] = \
                     cv[csl]
-                mcc[ssel] = _mcc_from_stack(Ps)
+                pending.setdefault(m, []).append((Ps, ssel))
+                pend_elems[m] = pend_elems.get(m, 0) + Ps.size
+                if pend_elems[m] >= _GLCM_PAIR_BUDGET:
+                    _flush(m)
+        for m in list(pending):
+            _flush(m)
     # pairless docs can't have ≥2 present levels at distance 1, but keep the
     # per-doc NaN semantics for that (dead-in-practice) corner
     mcc[~finite & (n_pres >= 2)] = np.nan
