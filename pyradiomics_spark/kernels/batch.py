@@ -1311,8 +1311,13 @@ def ngtdm_batch(r: Ragged, levels: np.ndarray, distances: tuple = (1,),
     coarse = np.where(sum_coarse != 0, 1.0 / np.where(sum_coarse != 0, sum_coarse, 1), 1e6)
 
     div = ngp * (ngp - 1)
-    dmat = (iv[:, None] - iv[None, :]) ** 2
-    quad = np.einsum("bi,bj,ij->b", p_i, p_i, dmat)
+    # Σ_ij pᵢpⱼ(i−j)² = 2·Σᵢ pᵢ(i−μ)² with μ = Σ pᵢ·i (the cross term
+    # vanishes since Σ pᵢ(i−μ) = 0): an O(B·G) centered moment instead of
+    # the O(B·G²) einsum — exact algebra, and the CENTERED form is
+    # cancellation-free like the GLCM corm (E[i²]−E[i]² would cancel
+    # catastrophically on near-flat docs)
+    mu_i = (p_i * iv[None, :]).sum(axis=1)
+    quad = 2.0 * (p_i * (iv[None, :] - mu_i[:, None]) ** 2).sum(axis=1)
     contrast = np.where(
         div != 0, quad * s_i.sum(axis=1) / nvp_safe / np.where(div != 0, div, 1), 0.0)
 
@@ -1348,18 +1353,37 @@ def ngtdm_batch(r: Ragged, levels: np.ndarray, distances: tuple = (1,),
     svals = pi_si[pb, pg]
     ivals = iv[pg]
     npair = m_per * m_per
-    doc_pair = np.repeat(np.arange(B), npair)
-    poff = np.zeros(B, dtype=np.int64)
-    np.cumsum(npair[:-1], out=poff[1:])
-    t = np.arange(doc_pair.size, dtype=np.int64) - poff[doc_pair]
-    mloc = m_per[doc_pair]
-    gi = seg0[doc_pair] + t // mloc
-    gj = seg0[doc_pair] + t % mloc
-    # present cells have pᵢ > 0, so the divisor needs no zero guard
-    contrib = (np.abs(ivals[gi] - ivals[gj]) * (svals[gi] + svals[gj])
-               / (pvals[gi] + pvals[gj]))
-    complexity = np.bincount(doc_pair, weights=contrib,
-                             minlength=B) / nvp_safe
+    # CHUNKED over docs (same pattern as the GLCM HXY2 loop): float image
+    # types put ḡ ≈ G distinct levels in every doc, so Σ ḡ² reaches
+    # ~50M pairs per batch and the un-chunked gather built half-GB
+    # temporaries — pure DRAM traffic. Budget-sized slices keep the ~8
+    # per-pair temporaries cache-resident; the arithmetic is per-doc, so
+    # chunking is result-exact.
+    complexity = np.zeros(B)
+    cumpair = np.cumsum(npair)
+    lo = 0
+    while lo < B:
+        base = cumpair[lo - 1] if lo else 0
+        hi = max(int(np.searchsorted(cumpair, base + _GLCM_PAIR_BUDGET,
+                                     side="right")), lo + 1)
+        npc = npair[lo:hi]
+        doc_pair = np.repeat(np.arange(lo, hi), npc)
+        if doc_pair.size:
+            poff = np.zeros(hi - lo, dtype=np.int64)
+            np.cumsum(npc[:-1], out=poff[1:])
+            t = np.arange(doc_pair.size, dtype=np.int64) \
+                - poff[doc_pair - lo]
+            mloc = m_per[doc_pair]
+            gi = seg0[doc_pair] + t // mloc
+            gj = seg0[doc_pair] + t % mloc
+            # present cells have pᵢ > 0, so the divisor needs no zero guard
+            contrib = (np.abs(ivals[gi] - ivals[gj])
+                       * (svals[gi] + svals[gj])
+                       / (pvals[gi] + pvals[gj]))
+            complexity[lo:hi] = np.bincount(
+                doc_pair - lo, weights=contrib, minlength=hi - lo)
+        lo = hi
+    complexity = complexity / nvp_safe
 
     # Strength numerator Σ_ij (pᵢ+pⱼ)·(i−j)² over present pairs factors
     # through marginals: = 2·Σᵢ pᵢ·(ngp·i² − 2i·S1 + S2), S1/S2 = Σ j, Σ j²
