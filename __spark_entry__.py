@@ -1217,6 +1217,21 @@ def q_unigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf-law fit (textstats.zipf_fit): OLS of ln(freq) on
+    ln(rank) over the top-1000 terms — one census agg, a k-bounded
+    TakeOrdered, one moments agg; 6-dp gate rounding on the floats."""
+    from pyradiomics_spark.functions.textstats import zipf_fit
+
+    docs = _read(spark, sf_dir, "documents")
+    out = zipf_fit(docs, "text", top_v=1000)
+    return out.select(
+        "n_terms",
+        _rnd("zipf_slope", 6).alias("zipf_slope"),
+        _rnd("zipf_intercept", 6).alias("zipf_intercept"),
+    )
+
+
 def q_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible global shuffle with shard assignment: bucketed global
     rank (NO single-partition window — see operators.sampling). Oracle:
@@ -1796,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": q_ngram_topk,
         "tfidf": q_tfidf,
         "unigram_logloss": q_unigram_logloss,
+        "zipf_fit": q_zipf_fit,
         "asof_join_nearest": q_asof_join_nearest,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
@@ -2211,6 +2227,36 @@ def oracle_sql() -> dict[str, str]:
                    floor((CASE WHEN take_f THEN f_val ELSE b_val END) * 1e6
                          + 0.50000095367431640625) / 1e6 AS signup_value
             FROM pick ORDER BY event_id
+        """,
+        "zipf_fit": """
+            WITH tk AS (
+              SELECT unnest(string_split(lower(text), ' ')) AS term
+              FROM documents
+            ), counts AS (
+              SELECT term, count(*) AS c FROM tk
+              WHERE term <> '' GROUP BY term
+            ), top AS (
+              SELECT term, c FROM counts
+              ORDER BY c DESC, term LIMIT 1000
+            ), ranked AS (
+              SELECT ln(CAST(row_number() OVER
+                             (ORDER BY c DESC, term) AS DOUBLE)) AS x,
+                     ln(CAST(c AS DOUBLE)) AS y
+              FROM top
+            ), mom AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                     count(*) AS n_terms,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy, sum(x * x) AS sxx
+              FROM ranked
+            )
+            SELECT n_terms,
+                   floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1e6
+                         + 0.50000095367431640625) / 1e6 AS zipf_slope,
+                   floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                           * sx) / n) * 1e6
+                         + 0.50000095367431640625) / 1e6 AS zipf_intercept
+            FROM mom
         """,
         "unigram_logloss": """
             WITH tk AS (

@@ -235,6 +235,43 @@ def tfidf_top_terms(
     )
 
 
+def zipf_fit(
+    df: DataFrame, text_col: str = "text", top_v: int = 1000,
+) -> DataFrame:
+    """Corpus Zipf-law fit: OLS slope/intercept of ln(term frequency) on
+    ln(frequency rank) over the ``top_v`` most frequent terms — the
+    one-row corpus-health diagnostic (natural text sits near slope −1;
+    boilerplate-heavy or synthetic corpora drift off it). Returns ONE row
+    (n_terms, zipf_slope, zipf_intercept).
+
+    Scale shape: one map-side-combined term census, then a k-bounded
+    TakeOrdered (orderBy+limit fuses to per-partition top-k + driver
+    merge — never a full sort of the vocabulary), then the OLS moments
+    as ONE aggregate over ≤ top_v rows. The global row_number window is
+    bounded by top_v, not the corpus. The slope is computed from the
+    explicit closed form (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) so an oracle
+    can reproduce it term-for-term."""
+    toks = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term")
+    ).where(F.col("term") != "")
+    counts = toks.groupBy("term").agg(F.count("*").alias("c"))
+    top = counts.orderBy(F.desc("c"), "term").limit(top_v)
+    w = Window.orderBy(F.desc("c"), "term")
+    ranked = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    n = F.count("*").cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy, sxx = F.sum(F.col("x") * F.col("y")), F.sum(F.col("x") * F.col("x"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return ranked.agg(
+        F.count("*").alias("n_terms"),
+        slope.alias("zipf_slope"),
+        ((sy - slope * sx) / n).alias("zipf_intercept"),
+    )
+
+
 def unigram_logloss(
     df: DataFrame, id_col: str, text_col: str = "text",
     out_col: str = "unigram_logloss",

@@ -438,3 +438,40 @@ def test_unigram_logloss_matches_python(docs):
         assert out[d] == pytest.approx(expect, rel=1e-12), d
     # boilerplate (exact dup of doc 0) scores identically; rarer text higher
     assert out[0] == out[1]
+
+
+def test_zipf_fit_matches_python(docs):
+    import math
+    from collections import Counter
+    from pyradiomics_spark.functions.textstats import zipf_fit
+
+    rows = docs.select("text").collect()
+    corpus = Counter()
+    for r in rows:
+        corpus.update(t for t in r.text.lower().split(" ") if t)
+    top = sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    xs = [math.log(i + 1) for i in range(len(top))]
+    ys = [math.log(c) for _, c in top]
+    n = float(len(top))
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+
+    got = zipf_fit(docs, "text", top_v=50).collect()[0]
+    assert got.n_terms == len(top)
+    assert got.zipf_slope == pytest.approx(slope, rel=1e-9)
+    assert got.zipf_intercept == pytest.approx(intercept, rel=1e-9)
+    # natural-ish text: monotone frequency decay ⇒ negative slope
+    assert got.zipf_slope < 0
+
+
+def test_zipf_fit_small_vocab(spark):
+    from pyradiomics_spark.functions.textstats import zipf_fit
+
+    df = spark.createDataFrame(
+        [("a a a b b c",), ("a b",)], "text string")
+    got = zipf_fit(df, "text", top_v=1000).collect()[0]
+    assert got.n_terms == 3  # vocab smaller than top_v
+    assert got.zipf_slope < 0
