@@ -1232,6 +1232,22 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc vocabulary richness (textstats.lexical_diversity): token /
+    type / hapax counts and the TTR + hapax-ratio quality signals — two
+    partial-aggregated doc-keyed shuffles, no window. 6-dp gate rounding
+    on the ratios."""
+    from pyradiomics_spark.functions.textstats import lexical_diversity
+
+    docs = _read(spark, sf_dir, "documents")
+    out = lexical_diversity(docs, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_tokens", "n_types",
+        _rnd("ttr", 6).alias("ttr"),
+        _rnd("hapax_ratio", 6).alias("hapax_ratio"),
+    ).orderBy("doc_id")
+
+
 def q_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible global shuffle with shard assignment: bucketed global
     rank (NO single-partition window — see operators.sampling). Oracle:
@@ -1812,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf": q_tfidf,
         "unigram_logloss": q_unigram_logloss,
         "zipf_fit": q_zipf_fit,
+        "lexical_diversity": q_lexical_diversity,
         "asof_join_nearest": q_asof_join_nearest,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
@@ -2257,6 +2274,33 @@ def oracle_sql() -> dict[str, str]:
                            * sx) / n) * 1e6
                          + 0.50000095367431640625) / 1e6 AS zipf_intercept
             FROM mom
+        """,
+        "lexical_diversity": """
+            WITH tk AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+              FROM documents
+            ), pt AS (
+              SELECT doc_id, term, count(*) AS c FROM tk
+              WHERE term <> '' GROUP BY doc_id, term
+            ), pd AS (
+              SELECT doc_id,
+                     CAST(sum(c) AS BIGINT) AS n_tokens,
+                     count(*) AS n_types,
+                     CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_hapax
+              FROM pt GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(pd.n_tokens, 0) AS n_tokens,
+                   coalesce(pd.n_types, 0) AS n_types,
+                   floor((CAST(pd.n_types AS DOUBLE)
+                          / CAST(pd.n_tokens AS DOUBLE)) * 1e6
+                         + 0.50000095367431640625) / 1e6 AS ttr,
+                   floor((CAST(pd.n_hapax AS DOUBLE)
+                          / CAST(pd.n_types AS DOUBLE)) * 1e6
+                         + 0.50000095367431640625) / 1e6 AS hapax_ratio
+            FROM documents d LEFT JOIN pd USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "unigram_logloss": """
             WITH tk AS (

@@ -272,6 +272,43 @@ def zipf_fit(
     )
 
 
+def lexical_diversity(
+    df: DataFrame, id_col: str, text_col: str = "text",
+) -> DataFrame:
+    """Per-document vocabulary-richness diagnostics: token count, distinct
+    type count, type-token ratio and hapax ratio (share of types that
+    occur exactly once) — the classic repetition/boilerplate quality
+    signals. Returns (id, n_tokens, n_types, ttr, hapax_ratio).
+
+    Scale shape: explode → ONE (doc, term) groupBy with map-side combine,
+    then ONE per-doc agg — two partial-aggregated shuffles keyed by doc,
+    no window, no self-join; empty docs keep a row (zero counts, null
+    ratios) via a left join back onto the id spine."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    per_term = toks.groupBy("_id", "term").agg(F.count("*").alias("c"))
+    per_doc = per_term.groupBy("_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+    )
+    spine = df.select(F.col(id_col).alias("_id"))
+    return (
+        spine.join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0)).alias("n_types"),
+            (F.col("n_types").cast("double")
+             / F.col("n_tokens").cast("double")).alias("ttr"),
+            (F.col("n_hapax").cast("double")
+             / F.col("n_types").cast("double")).alias("hapax_ratio"),
+        )
+    )
+
+
 def unigram_logloss(
     df: DataFrame, id_col: str, text_col: str = "text",
     out_col: str = "unigram_logloss",

@@ -467,6 +467,40 @@ def test_zipf_fit_matches_python(docs):
     assert got.zipf_slope < 0
 
 
+def test_lexical_diversity_matches_python(docs):
+    from collections import Counter
+    from pyradiomics_spark.functions.textstats import lexical_diversity
+
+    rows = docs.select("doc_id", "text").collect()
+    got = {r.doc_id: r for r in
+           lexical_diversity(docs, "doc_id", "text").collect()}
+    assert len(got) == len(rows)
+    for r in rows:
+        c = Counter(t for t in r.text.lower().split(" ") if t)
+        g = got[r.doc_id]
+        assert g.n_tokens == sum(c.values())
+        assert g.n_types == len(c)
+        if c:
+            assert g.ttr == pytest.approx(len(c) / sum(c.values()), rel=1e-12)
+            hapax = sum(1 for v in c.values() if v == 1)
+            assert g.hapax_ratio == pytest.approx(hapax / len(c), rel=1e-12)
+
+
+def test_lexical_diversity_empty_doc(spark):
+    from pyradiomics_spark.functions.textstats import lexical_diversity
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, ""), (3, "   ")], "doc_id int, text string")
+    got = {r.doc_id: r for r in
+           lexical_diversity(df, "doc_id", "text").collect()}
+    assert got[1].n_tokens == 3 and got[1].n_types == 2
+    assert got[1].ttr == pytest.approx(2 / 3)
+    assert got[1].hapax_ratio == pytest.approx(0.5)  # only 'b' is hapax
+    for d in (2, 3):  # empty docs keep their row, null ratios
+        assert got[d].n_tokens == 0 and got[d].n_types == 0
+        assert got[d].ttr is None and got[d].hapax_ratio is None
+
+
 def test_zipf_fit_small_vocab(spark):
     from pyradiomics_spark.functions.textstats import zipf_fit
 
