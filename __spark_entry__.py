@@ -1248,6 +1248,21 @@ def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicated-5-gram coverage (operators.dedup.
+    dup_ngram_coverage, Lee et al. 2022 metric): shingle census +
+    many-to-one gram join, per-doc aggregate. 6-dp gate rounding on the
+    coverage ratio."""
+    from pyradiomics_spark.operators.dedup import dup_ngram_coverage
+
+    docs = _read(spark, sf_dir, "documents")
+    out = dup_ngram_coverage(docs, "doc_id", "text", n=5)
+    return out.select(
+        "doc_id", "n_grams", "n_dup_grams",
+        _rnd("dup_coverage", 6).alias("dup_coverage"),
+    ).orderBy("doc_id")
+
+
 def q_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible global shuffle with shard assignment: bucketed global
     rank (NO single-partition window — see operators.sampling). Oracle:
@@ -1829,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logloss": q_unigram_logloss,
         "zipf_fit": q_zipf_fit,
         "lexical_diversity": q_lexical_diversity,
+        "dup_ngram_coverage": q_dup_ngram_coverage,
         "asof_join_nearest": q_asof_join_nearest,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
@@ -2300,6 +2316,36 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(pd.n_types AS DOUBLE)) * 1e6
                          + 0.50000095367431640625) / 1e6 AS hapax_ratio
             FROM documents d LEFT JOIN pd USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "dup_ngram_coverage": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), g AS (
+              SELECT doc_id, unnest(list_transform(
+                       generate_series(1, greatest(len(t) - 4, 0)),
+                       i -> array_to_string(t[i:i+4], ' '))) AS shingle
+              FROM toks
+            ), per AS (
+              SELECT doc_id, shingle, count(*) AS c FROM g
+              WHERE shingle <> '' GROUP BY doc_id, shingle
+            ), census AS (
+              SELECT shingle, count(*) AS n_docs FROM per GROUP BY shingle
+            ), agg AS (
+              SELECT doc_id,
+                     CAST(sum(c) AS BIGINT) AS n_grams,
+                     CAST(sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END)
+                          AS BIGINT) AS n_dup_grams
+              FROM per JOIN census USING (shingle)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_grams, 0) AS n_grams,
+                   coalesce(a.n_dup_grams, 0) AS n_dup_grams,
+                   floor((CAST(a.n_dup_grams AS DOUBLE)
+                          / CAST(a.n_grams AS DOUBLE)) * 1e6
+                         + 0.50000095367431640625) / 1e6 AS dup_coverage
+            FROM documents d LEFT JOIN agg a USING (doc_id)
             ORDER BY d.doc_id
         """,
         "unigram_logloss": """

@@ -13,6 +13,8 @@ no Python on the hot path:
   (Hamming ≤ 3 guarantee by pigeonhole)
 * ``ngram_jaccard_pairs`` — exact n-gram Jaccard via self-equi-join on the
   n-gram (bounded by LSH candidates or an id window at scale)
+* ``dup_ngram_coverage`` — per-doc fraction of n-gram occurrences shared
+  with other docs (gram census + AQE-splittable many-to-one join)
 
 Determinism: every hash is ``xxhash64`` with an integer seed column baked
 into the input — reproducible across runs/executors/cluster sizes.
@@ -218,6 +220,50 @@ def ngram_jaccard_pairs(
                 "jaccard"
             ),
         )
+    )
+
+
+def dup_ngram_coverage(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5,
+) -> DataFrame:
+    """Per-doc duplicated-n-gram coverage — the fraction of a document's
+    n-gram occurrences whose n-gram also appears in at least one OTHER
+    document (the corpus-overlap diagnostic behind exact-substring
+    deduplication, Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better"). Complements ``textstats.repetition_ratio``,
+    which is intra-doc only. Returns
+    (id, n_grams, n_dup_grams, dup_coverage); docs shorter than ``n``
+    tokens keep a row with zero counts and a null coverage.
+
+    Scale shape: shingle multiset → ONE (doc, gram) groupBy (map-side
+    combined — within-doc repeats collapse before the shuffle) → ONE
+    gram-keyed census groupBy → many-to-one join census back on the gram
+    → ONE per-doc agg. The census is deliberately a join, NOT a
+    count-over-window: a window partitioned by gram would buffer every
+    (doc, gram) row of a boilerplate gram in one partition, while the
+    join's probe-side skew is AQE-splittable and the build side is one
+    row per distinct gram."""
+    sh = _shingles(df, id_col, text_col, n, dedupe=False)
+    per = sh.groupBy(id_col, "shingle").agg(F.count("*").alias("c"))
+    census = per.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    agg = (
+        per.join(census, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") >= 2, F.col("c")).otherwise(0)).alias(
+                "n_dup_grams"
+            ),
+        )
+    )
+    spine = df.select(F.col(id_col))
+    return spine.join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+        (F.col("n_dup_grams").cast("double") / F.col("n_grams").cast("double")).alias(
+            "dup_coverage"
+        ),
     )
 
 

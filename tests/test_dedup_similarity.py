@@ -501,6 +501,55 @@ def test_lexical_diversity_empty_doc(spark):
         assert got[d].ttr is None and got[d].hapax_ratio is None
 
 
+def test_dup_ngram_coverage_matches_python(docs):
+    from collections import Counter
+    from pyradiomics_spark.operators.dedup import dup_ngram_coverage
+
+    n = 3
+    rows = docs.select("doc_id", "text").collect()
+    grams = {}
+    for r in rows:
+        t = r.text.split(" ")
+        grams[r.doc_id] = Counter(
+            " ".join(t[i:i + n]) for i in range(len(t) - n + 1)
+        ) if len(t) >= n else Counter()
+    docs_per_gram = Counter()
+    for c in grams.values():
+        docs_per_gram.update(c.keys())
+    got = {r.doc_id: r for r in
+           dup_ngram_coverage(docs, "doc_id", "text", n=n).collect()}
+    assert len(got) == len(rows)
+    for did, c in grams.items():
+        g = got[did]
+        total = sum(c.values())
+        dup = sum(v for k, v in c.items() if docs_per_gram[k] >= 2)
+        assert g.n_grams == total
+        assert g.n_dup_grams == dup
+        if total:
+            assert g.dup_coverage == pytest.approx(dup / total, rel=1e-12)
+        else:
+            assert g.dup_coverage is None
+
+
+def test_dup_ngram_coverage_short_and_disjoint(spark):
+    from pyradiomics_spark.operators.dedup import dup_ngram_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c x y"), (3, "p q r s"), (4, "z")],
+        "doc_id int, text string")
+    got = {r.doc_id: r for r in
+           dup_ngram_coverage(df, "doc_id", "text", n=3).collect()}
+    # docs 1 and 2 share exactly the gram "a b c" (1 of 3 grams each)
+    assert got[1].n_grams == 3 and got[1].n_dup_grams == 1
+    assert got[1].dup_coverage == pytest.approx(1 / 3)
+    assert got[2].n_dup_grams == 1
+    # doc 3 shares nothing
+    assert got[3].n_grams == 2 and got[3].n_dup_grams == 0
+    assert got[3].dup_coverage == 0.0
+    # doc 4 is shorter than n: row kept, zero counts, null coverage
+    assert got[4].n_grams == 0 and got[4].dup_coverage is None
+
+
 def test_zipf_fit_small_vocab(spark):
     from pyradiomics_spark.functions.textstats import zipf_fit
 
