@@ -1248,6 +1248,28 @@ def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText rule-set filter (textstats.gopher_quality_filter,
+    Rae et al. 2021 A1.1): six per-rule 0/1 flags + composite pass, pure
+    scan-fused column expressions (no shuffle). 6-dp gate rounding on the
+    ratio metrics; flags compare the UNROUNDED values in both engines."""
+    from pyradiomics_spark.functions.textstats import gopher_quality_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    out = gopher_quality_filter(docs, "text")
+    return out.select(
+        "doc_id", "n_words",
+        _rnd("mean_word_len", 6).alias("mean_word_len"),
+        _rnd("symbol_ratio", 6).alias("symbol_ratio"),
+        _rnd("alpha_word_ratio", 6).alias("alpha_word_ratio"),
+        "n_required_words",
+        _rnd("dup_5gram", 6).alias("dup_5gram"),
+        "pass_word_count", "pass_mean_word_len", "pass_symbol_ratio",
+        "pass_alpha_ratio", "pass_required_words", "pass_repetition",
+        "gopher_pass",
+    ).orderBy("doc_id")
+
+
 def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-doc duplicated-5-gram coverage (operators.dedup.
     dup_ngram_coverage, Lee et al. 2022 metric): shingle census +
@@ -1845,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "lexical_diversity": q_lexical_diversity,
         "dup_ngram_coverage": q_dup_ngram_coverage,
+        "gopher_filter": q_gopher_filter,
         "asof_join_nearest": q_asof_join_nearest,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
@@ -2317,6 +2340,78 @@ def oracle_sql() -> dict[str, str]:
                          + 0.50000095367431640625) / 1e6 AS hapax_ratio
             FROM documents d LEFT JOIN pd USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "gopher_filter": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                len(t) AS n_words,
+                CASE WHEN len(t) > 0 THEN
+                  CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t)
+                END AS mean_word_len,
+                CASE WHEN len(t) > 0 THEN
+                  (CAST(length(text) - length(replace(text, '#', ''))
+                        AS DOUBLE)
+                   + CAST(length(text) - length(replace(text, '...', ''))
+                          AS DOUBLE) / 3)
+                  / len(t)
+                END AS symbol_ratio,
+                CASE WHEN len(t) > 0 THEN
+                  CAST(len(list_filter(t,
+                         x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                  / len(t)
+                END AS alpha_word_ratio,
+                len(list_intersect(
+                      list_transform(t, x -> lower(x)),
+                      ['the','be','to','of','and','that','have','with']))
+                  AS n_required_words,
+                CASE WHEN len(t) >= 5 THEN list_transform(
+                  generate_series(1, len(t) - 4),
+                  i -> array_to_string(t[i:i+4], ' '))
+                ELSE [] END AS g5
+              FROM base
+            ), r AS (
+              SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                     alpha_word_ratio, n_required_words,
+                     CASE WHEN len(g5) > 0
+                          THEN 1.0 - len(list_distinct(g5)) * 1.0 / len(g5)
+                          ELSE 0.0 END AS dup_5gram
+              FROM m
+            ), f AS (
+              SELECT *,
+                CASE WHEN n_words >= 50 AND n_words <= 100000
+                     THEN 1 ELSE 0 END AS pass_word_count,
+                CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                     THEN 1 ELSE 0 END AS pass_mean_word_len,
+                CASE WHEN symbol_ratio < 0.1 THEN 1 ELSE 0 END
+                  AS pass_symbol_ratio,
+                CASE WHEN alpha_word_ratio >= 0.8 THEN 1 ELSE 0 END
+                  AS pass_alpha_ratio,
+                CASE WHEN n_required_words >= 2 THEN 1 ELSE 0 END
+                  AS pass_required_words,
+                CASE WHEN dup_5gram <= 0.15 THEN 1 ELSE 0 END
+                  AS pass_repetition
+              FROM r
+            )
+            SELECT doc_id, n_words,
+                   floor(mean_word_len * 1e6
+                         + 0.50000095367431640625) / 1e6 AS mean_word_len,
+                   floor(symbol_ratio * 1e6
+                         + 0.50000095367431640625) / 1e6 AS symbol_ratio,
+                   floor(alpha_word_ratio * 1e6
+                         + 0.50000095367431640625) / 1e6 AS alpha_word_ratio,
+                   n_required_words,
+                   floor(dup_5gram * 1e6
+                         + 0.50000095367431640625) / 1e6 + 0.0 AS dup_5gram,
+                   pass_word_count, pass_mean_word_len, pass_symbol_ratio,
+                   pass_alpha_ratio, pass_required_words, pass_repetition,
+                   pass_word_count * pass_mean_word_len * pass_symbol_ratio
+                     * pass_alpha_ratio * pass_required_words
+                     * pass_repetition AS gopher_pass
+            FROM f ORDER BY doc_id
         """,
         "dup_ngram_coverage": """
             WITH toks AS (

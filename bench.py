@@ -113,7 +113,7 @@ def main() -> None:
         # exact-N sampling, and the text-analysis trio
         "asof_join_nearest", "matrix_glszm", "stratified_exact",
         "ngram_topk", "tfidf", "unigram_logloss",
-        "lexical_diversity", "dup_ngram_coverage",
+        "lexical_diversity", "dup_ngram_coverage", "gopher_filter",
     ]
     for name in headline:
         if name not in qs:

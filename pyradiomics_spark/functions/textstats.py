@@ -81,6 +81,86 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Gopher rule 6's required-word list (Rae et al. 2021, appendix A1.1)
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_required_words: int = 2,
+    max_dup_5gram: float = 0.15,
+) -> DataFrame:
+    """Gopher/MassiveText document-quality rule set (Rae et al. 2021,
+    appendix A1.1), adapted to whitespace tokens: word-count bounds, mean
+    word length bounds, symbol-to-word ratio (# and ellipsis), fraction
+    of words containing an alphabetic character, presence of ≥2 required
+    English words, and duplicate-5-gram fraction (token-fraction stand-in
+    for the paper's character-fraction). Appends the metric columns, one
+    0/1 flag per rule, and the composite ``gopher_pass``.
+
+    Scale shape: pure builtin column expressions over the text column —
+    no shuffle, no join, no UDF; a straight map that fuses into the scan
+    stage and pushes column pruning down to the parquet reader."""
+    t = F.col(text_col)
+    toks = F.filter(F.split(t, " "), lambda x: x != "")
+    n_words = F.size(toks)
+    word_chars = F.length(t) - (n_words - 1)  # single-spaced char count
+    mean_wl = F.when(n_words > 0, word_chars / n_words)
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.when(n_words > 0, (n_hash + n_ellipsis) / n_words)
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    alpha_ratio = F.when(n_words > 0, n_alpha / n_words)
+    req = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])
+    n_req = F.size(F.array_intersect(F.transform(toks, F.lower), req))
+    dup5 = repetition_ratio(t, n=5)
+
+    # null metrics (empty doc) must FAIL the rule, not propagate null
+    flag = lambda c: F.coalesce(c.cast("int"), F.lit(0))  # noqa: E731
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("symbol_ratio", symbol_ratio)
+        .withColumn("alpha_word_ratio", alpha_ratio)
+        .withColumn("n_required_words", n_req)
+        .withColumn("dup_5gram", dup5)
+        .withColumn(
+            "pass_word_count",
+            flag((n_words >= min_words) & (n_words <= max_words)),
+        )
+        .withColumn(
+            "pass_mean_word_len",
+            flag(
+                (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+            ),
+        )
+        .withColumn("pass_symbol_ratio", flag(symbol_ratio < max_symbol_ratio))
+        .withColumn("pass_alpha_ratio", flag(alpha_ratio >= min_alpha_word_ratio))
+        .withColumn("pass_required_words", flag(n_req >= min_required_words))
+        .withColumn("pass_repetition", flag(dup5 <= max_dup_5gram))
+    )
+    return out.withColumn(
+        "gopher_pass",
+        flag(
+            (F.col("pass_word_count") == 1)
+            & (F.col("pass_mean_word_len") == 1)
+            & (F.col("pass_symbol_ratio") == 1)
+            & (F.col("pass_alpha_ratio") == 1)
+            & (F.col("pass_required_words") == 1)
+            & (F.col("pass_repetition") == 1)
+        ),
+    )
+
+
 def repetition_ratio(text_col, n: int = 3):
     """Duplicate word-n-gram fraction per doc — the Gopher-style repetition
     quality filter (fraction of n-grams that are repeats of an earlier

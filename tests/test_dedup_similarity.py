@@ -501,6 +501,59 @@ def test_lexical_diversity_empty_doc(spark):
         assert got[d].ttr is None and got[d].hapax_ratio is None
 
 
+def test_gopher_filter_rules(spark):
+    from pyradiomics_spark.functions.textstats import gopher_quality_filter
+
+    good = "the quick brown fox jumps over that lazy dog be to of and " \
+           "have with some more plain words here making this document " \
+           "long enough to clear the fifty word minimum threshold while " \
+           "keeping every word alphabetic and nicely varied in length " \
+           "so that no single rule trips on it at all today friends"
+    rows = [
+        (1, good),                            # passes everything
+        (2, "the be to of and " + "ha " * 60),  # repetition trips dup_5gram
+        (3, ("#### " * 60).strip()),          # symbols + no alpha + no stops
+        (4, ""),                              # empty: every rule fails
+        (5, "the be " + "12345 " * 58),       # digits trip alpha ratio
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in
+           gopher_quality_filter(df, "text").collect()}
+
+    g = got[1]
+    assert g.n_words >= 50 and g.gopher_pass == 1
+    assert g.pass_word_count == g.pass_mean_word_len == 1
+    assert g.pass_symbol_ratio == g.pass_alpha_ratio == 1
+    assert g.pass_required_words == g.pass_repetition == 1
+
+    assert got[2].pass_repetition == 0 and got[2].gopher_pass == 0
+    assert got[2].dup_5gram > 0.15
+
+    r3 = got[3]
+    assert r3.pass_symbol_ratio == 0        # 1 '#'-laden symbol per word
+    assert r3.pass_alpha_ratio == 0 and r3.pass_required_words == 0
+    assert r3.gopher_pass == 0
+
+    r4 = got[4]
+    assert r4.n_words == 0 and r4.mean_word_len is None
+    assert r4.gopher_pass == 0              # null metrics fail, not null
+
+    r5 = got[5]
+    assert r5.pass_alpha_ratio == 0 and r5.pass_required_words == 1
+    assert r5.alpha_word_ratio == pytest.approx(2 / 60)
+
+
+def test_gopher_filter_threshold_overrides(spark):
+    from pyradiomics_spark.functions.textstats import gopher_quality_filter
+
+    df = spark.createDataFrame(
+        [(1, "the be of and some words here now")], "doc_id int, text string")
+    strict = gopher_quality_filter(df, "text").collect()[0]
+    assert strict.pass_word_count == 0      # 8 words < default 50
+    loose = gopher_quality_filter(df, "text", min_words=5).collect()[0]
+    assert loose.pass_word_count == 1 and loose.gopher_pass == 1
+
+
 def test_dup_ngram_coverage_matches_python(docs):
     from collections import Counter
     from pyradiomics_spark.operators.dedup import dup_ngram_coverage
