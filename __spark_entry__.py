@@ -1248,6 +1248,27 @@ def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus tertile tiering (operators.sampling.
+    quantile_buckets) over documents.n_chars: one exact-percentile
+    aggregate broadcast back, scan-fused bucket projection — never an
+    ntile window. Boundaries floor-rounded at 6 dp in BOTH engines before
+    comparison (cross-engine interpolation ulp safety)."""
+    from pyradiomics_spark.operators.sampling import quantile_buckets
+
+    docs = _read(spark, sf_dir, "documents")
+    out = quantile_buckets(docs, "n_chars", probs=(1.0 / 3, 2.0 / 3))
+    return (
+        out.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText rule-set filter (textstats.gopher_quality_filter,
     Rae et al. 2021 A1.1): six per-rule 0/1 flags + composite pass, pure
@@ -1868,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": q_lexical_diversity,
         "dup_ngram_coverage": q_dup_ngram_coverage,
         "gopher_filter": q_gopher_filter,
+        "quantile_buckets": q_quantile_buckets,
         "asof_join_nearest": q_asof_join_nearest,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
@@ -2340,6 +2362,26 @@ def oracle_sql() -> dict[str, str]:
                          + 0.50000095367431640625) / 1e6 AS hapax_ratio
             FROM documents d LEFT JOIN pd USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "quantile_buckets": """
+            WITH b AS (
+              SELECT
+                floor(quantile_cont(CAST(n_chars AS DOUBLE), 1.0/3) * 1e6
+                      + 0.50000095367431640625) / 1e6 AS b1,
+                floor(quantile_cont(CAST(n_chars AS DOUBLE), 2.0/3) * 1e6
+                      + 0.50000095367431640625) / 1e6 AS b2
+              FROM documents
+            ), assigned AS (
+              SELECT d.n_chars,
+                     CASE WHEN d.n_chars IS NULL THEN NULL
+                          WHEN CAST(d.n_chars AS DOUBLE) > b.b2 THEN 2
+                          WHEN CAST(d.n_chars AS DOUBLE) > b.b1 THEN 1
+                          ELSE 0 END AS bucket
+              FROM documents d CROSS JOIN b
+            )
+            SELECT bucket, count(*) AS n_docs,
+                   min(n_chars) AS min_chars, max(n_chars) AS max_chars
+            FROM assigned GROUP BY bucket ORDER BY bucket
         """,
         "gopher_filter": """
             WITH base AS (

@@ -185,6 +185,54 @@ def cross_split_contamination(
     )
 
 
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    probs: tuple[float, ...] = (1.0 / 3, 2.0 / 3),
+    bucket_col: str = "bucket",
+    relative_error: float | None = None,
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Corpus-quantile tiering — assign each row the bucket its
+    ``value_col`` falls into between the corpus quantile boundaries at
+    ``probs`` (CCNet's head/middle/tail perplexity tiers with the default
+    tertiles; Wenzek et al. 2020 §4.3). Bucket i means
+    value ≤ boundary_i with boundaries sorted ascending; the last bucket
+    (len(probs)) is everything above the top boundary. Null values get a
+    null bucket.
+
+    Scale shape: ONE all-corpus aggregate producing a single boundary row
+    (broadcast by Catalyst via the crossJoin), then a scan-fused
+    projection — never a global sort/ntile window, which would funnel the
+    corpus through one partition. Exact ``percentile`` by default (one
+    sorted-buffer agg — fine to ~10⁸ rows); pass ``relative_error`` to
+    switch to ``percentile_approx`` (GK sketch, the mergeable 100-TB
+    path; boundaries then differ from exact by ≤ ε·n ranks).
+
+    ``round_dp`` floor-rounds the boundaries (2⁻²⁰-shifted, the repo's
+    ``_rnd`` convention) before comparison so bucket assignment is
+    reproducible across engines whose interpolation arithmetic differs in
+    the last ulp; None compares raw boundaries."""
+    pr = F.array(*[F.lit(float(p)) for p in probs])
+    v = F.col(value_col).cast("double")
+    if relative_error is not None:
+        acc = F.lit(int(round(1.0 / relative_error)))
+        agg = F.percentile_approx(v, pr, acc)
+    else:
+        agg = F.percentile(v, pr)
+    bounds = F.broadcast(df.agg(agg.alias("__b")))
+    b = F.col("__b")
+    if round_dp is not None:
+        shift = 0.5 + 2.0 ** -20
+        b = F.transform(
+            b, lambda x: F.floor(x * 10.0**round_dp + shift) / 10.0**round_dp
+        )
+    bucket = F.when(
+        v.isNotNull(), F.size(F.filter(b, lambda x: v > x))
+    ).cast("int")
+    return df.crossJoin(bounds).withColumn(bucket_col, bucket).drop("__b")
+
+
 def deterministic_shuffle(
     df: DataFrame,
     id_col: str,

@@ -5,6 +5,7 @@ invariance, and the no-shuffle plan guarantees."""
 import hashlib
 
 import pytest
+from pyspark.sql import functions as F
 
 from pyradiomics_spark.operators.sampling import (
     deterministic_shuffle, hash_fraction, split_dataset, stratified_sample)
@@ -208,3 +209,58 @@ def test_stratified_sample_exact_int_n_and_small_stratum(spark, ids):
     # no global single-partition window: the sort is partitioned by tier
     assert "partitionBy=[]" not in _plan(
         stratified_sample_exact(df, "doc_id", 10, strata_col="tier"))
+
+
+def test_quantile_buckets_tertiles(spark):
+    import numpy as np
+    from pyradiomics_spark.operators.sampling import quantile_buckets
+
+    vals = [float(v) for v in range(1, 301)]  # 1..300, tertiles at 100.67/200.33
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id int, v double")
+    got = quantile_buckets(df, "v").collect()
+    b1, b2 = np.percentile(np.array(vals), [100 / 3, 200 / 3])
+    for r in got:
+        exp = 0 if r.v <= round(b1, 6) else (1 if r.v <= round(b2, 6) else 2)
+        assert r.bucket == exp
+    counts = {b: sum(1 for r in got if r.bucket == b) for b in (0, 1, 2)}
+    assert counts == {0: 100, 1: 100, 2: 100}
+
+
+def test_quantile_buckets_nulls_and_custom_probs(spark):
+    from pyradiomics_spark.operators.sampling import quantile_buckets
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0), (5, None)],
+        "doc_id int, v double")
+    got = {r.doc_id: r.bucket for r in
+           quantile_buckets(df, "v", probs=(0.5,)).collect()}
+    assert got[5] is None                       # null value -> null bucket
+    assert got[1] == 0 and got[2] == 0          # <= median (25.0)
+    assert got[3] == 1 and got[4] == 1
+
+
+def test_quantile_buckets_approx_arm(spark):
+    from pyradiomics_spark.operators.sampling import quantile_buckets
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("double").alias("v"))
+    exact = quantile_buckets(df, "v")
+    approx = quantile_buckets(df, "v", relative_error=0.001)
+    # at eps=1e-3 over 3000 uniform rows the GK boundaries sit within
+    # eps*n=3 ranks of exact: bucket flips only near the cut points
+    diff = (
+        exact.select("doc_id", F.col("bucket").alias("be"))
+        .join(approx.select("doc_id", F.col("bucket").alias("ba")), "doc_id")
+        .where(F.col("be") != F.col("ba")).count())
+    assert diff <= 12
+
+
+def test_quantile_buckets_no_global_sort(spark):
+    from pyradiomics_spark.operators.sampling import quantile_buckets
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("double").alias("v"))
+    plan = _plan(quantile_buckets(df, "v"))
+    assert "Window" not in plan          # never an ntile/global-rank window
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
