@@ -1248,6 +1248,31 @@ def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_ccnet_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail composition (Wenzek et al. 2020 §4.3):
+    unigram_logloss (the LM-quality proxy) piped into quantile_buckets
+    tertiles, one summary row per tier. Both engines bucket the 6-dp
+    floor-rounded logloss so summation-order ulps can't flip a tier at
+    the boundary."""
+    from pyradiomics_spark.functions.textstats import unigram_logloss
+    from pyradiomics_spark.operators.sampling import quantile_buckets
+
+    docs = _read(spark, sf_dir, "documents")
+    ll = unigram_logloss(docs, "doc_id", "text").select(
+        "doc_id", _rnd("unigram_logloss", 6).alias("ll"))
+    out = quantile_buckets(ll, "ll", probs=(1.0 / 3, 2.0 / 3),
+                           bucket_col="tier")
+    return (
+        out.groupBy("tier")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("ll").alias("min_ll"),
+            F.max("ll").alias("max_ll"),
+        )
+        .orderBy("tier")
+    )
+
+
 def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus tertile tiering (operators.sampling.
     quantile_buckets) over documents.n_chars: one exact-percentile
@@ -1890,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_coverage": q_dup_ngram_coverage,
         "gopher_filter": q_gopher_filter,
         "quantile_buckets": q_quantile_buckets,
+        "ccnet_tiers": q_ccnet_tiers,
         "asof_join_nearest": q_asof_join_nearest,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
@@ -2362,6 +2388,44 @@ def oracle_sql() -> dict[str, str]:
                          + 0.50000095367431640625) / 1e6 AS hapax_ratio
             FROM documents d LEFT JOIN pd USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "ccnet_tiers": """
+            WITH tk AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+              FROM documents
+            ), tk2 AS (
+              SELECT doc_id, term FROM tk WHERE term <> ''
+            ), counts AS (
+              SELECT term, count(*) AS tc FROM tk2 GROUP BY term
+            ), tot AS (
+              SELECT sum(tc) AS t FROM counts
+            ), probs AS (
+              SELECT term, tc / t AS p FROM counts CROSS JOIN tot
+            ), per AS (
+              SELECT d.doc_id,
+                     floor(x.ull * 1e6 + 0.50000095367431640625) / 1e6 AS ll
+              FROM documents d LEFT JOIN (
+                SELECT doc_id, avg(-log2(p)) AS ull
+                FROM tk2 JOIN probs USING (term) GROUP BY doc_id
+              ) x ON d.doc_id = x.doc_id
+            ), b AS (
+              SELECT
+                floor(quantile_cont(ll, 1.0/3) * 1e6
+                      + 0.50000095367431640625) / 1e6 AS b1,
+                floor(quantile_cont(ll, 2.0/3) * 1e6
+                      + 0.50000095367431640625) / 1e6 AS b2
+              FROM per
+            ), assigned AS (
+              SELECT per.ll,
+                     CASE WHEN per.ll IS NULL THEN NULL
+                          WHEN per.ll > b.b2 THEN 2
+                          WHEN per.ll > b.b1 THEN 1
+                          ELSE 0 END AS tier
+              FROM per CROSS JOIN b
+            )
+            SELECT tier, count(*) AS n_docs,
+                   min(ll) AS min_ll, max(ll) AS max_ll
+            FROM assigned GROUP BY tier ORDER BY tier
         """,
         "quantile_buckets": """
             WITH b AS (
