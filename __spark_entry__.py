@@ -1248,6 +1248,27 @@ def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators.dedup.semdedup, Abbas et al. 2023): k=8
+    deterministic md5-plane centroids, within-cell exact-cosine pairs at
+    0.35, greedy keep-lowest-id. Output = (vec_id, cell, semdedup_keep)
+    per embedding row."""
+    import numpy as np
+
+    from pyradiomics_spark.operators.dedup import semdedup
+    from pyradiomics_spark.operators.similarity import _planes
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = _planes(8, 64, seed="semdedup-gate")
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    out = semdedup(emb, "vec_id", "embedding", cents, threshold=0.35)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cell").cast("long").alias("cell"),
+        F.col("semdedup_keep").cast("long").alias("semdedup_keep"),
+    ).orderBy("vec_id")
+
+
 def q_ccnet_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail composition (Wenzek et al. 2020 §4.3):
     unigram_logloss (the LM-quality proxy) piped into quantile_buckets
@@ -1916,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "quantile_buckets": q_quantile_buckets,
         "ccnet_tiers": q_ccnet_tiers,
+        "semdedup": q_semdedup,
         "asof_join_nearest": q_asof_join_nearest,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
@@ -2043,6 +2065,43 @@ def oracle_sql() -> dict[str, str]:
             c, ", ".join(repr(float(v)) for v in _km[c]))
         for c in range(4)
     )
+    # SemDeDup twin: same deterministic normalized md5-plane centroids as
+    # q_semdedup (seed "semdedup-gate"); assignment replayed with the same
+    # lowest-cell tie rule, within-cell cosine pairs, greedy keep-min-id
+    _sd = _ivf_planes(8, 64, seed="semdedup-gate")
+    _sd = _sd / _np.linalg.norm(_sd, axis=1, keepdims=True)
+    _sd_rows = ",\n              ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            c, ", ".join(repr(float(v)) for v in _sd[c]))
+        for c in range(8)
+    )
+    semdedup_sql = f"""
+            WITH emb AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+            ), cents AS (
+              SELECT * FROM (VALUES
+              {_sd_rows}
+              ) t(cell, cv)
+            ), assign AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.v, c.cv) ASC, c.cell ASC) AS rn
+                FROM emb e CROSS JOIN cents c) WHERE rn = 1
+            ), removed AS (
+              SELECT DISTINCT b.vec_id
+              FROM assign a JOIN assign b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+            )
+            SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+                   CAST(a.cell AS BIGINT) AS cell,
+                   CAST(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS semdedup_keep
+            FROM assign a LEFT JOIN removed r ON a.vec_id = r.vec_id
+            ORDER BY a.vec_id
+        """
     kmeans_step_sql = f"""
             WITH emb AS (
               SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -2833,6 +2892,7 @@ def oracle_sql() -> dict[str, str]:
             FROM vids ORDER BY doc_id, frame_idx
         """,
         "kmeans_step": kmeans_step_sql,
+        "semdedup": semdedup_sql,
         "split_contamination": """
             WITH s AS (
               SELECT doc_id, text,

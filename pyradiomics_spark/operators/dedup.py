@@ -484,6 +484,66 @@ def simhash_hot_buckets(
 
 # ---------------------------------------------------------------- embeddings
 
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids,
+    threshold: float = 0.95,
+    cell_cap: int | None = None,
+    method: str = "auto",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023 "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): k-means-cell-bounded
+    semantic dedup. Rows are assigned to their nearest centroid
+    (clustering.assign_cells, deterministic lowest-cell ties), candidate
+    pairs are generated ONLY within a cell, exact cosine ≥ ``threshold``
+    marks near-dups, and the deterministic greedy keeps the lowest id of
+    each qualifying pair (a row is dropped iff some smaller-id row in its
+    cell is ≥ threshold similar — the one-pass relational variant of the
+    paper's keep-one-per-group; no iterative closure). Returns the input
+    plus ``cell`` and a 0/1 ``semdedup_keep``; null embeddings keep a
+    null cell and are kept.
+
+    Scale shape: assignment is shuffle-free (expr or Arrow-gemm arm);
+    pair generation is an equi-self-join on the cell id — quadratic only
+    within a cell, which is exactly the knob k controls (k ≈ n/target
+    cell size, the paper's regime); ``cell_cap`` drops degenerate
+    over-cap cells from pair generation (their rows stay, flagged kept)
+    with the same _drop_hot_buckets machinery as the LSH families."""
+    from pyradiomics_spark.operators.clustering import assign_cells
+
+    assigned = assign_cells(df, centroids, vec_col, "cell", method)
+    pool = assigned.select(F.col(id_col), "cell").where(
+        F.col("cell").isNotNull())
+    if cell_cap is not None:
+        pool, _ = _drop_hot_buckets(pool, ["cell"], cell_cap)
+    a, b = pool.alias("a"), pool.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    )
+    pairs = embedding_cosine_pairs(
+        df, id_col, vec_col, threshold, candidates=cand)
+    removed = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__rm", F.lit(1))
+    )
+    return (
+        assigned.join(removed, id_col, "left")
+        .withColumn(
+            "semdedup_keep",
+            F.when(F.col("__rm").isNull(), 1).otherwise(0),
+        )
+        .drop("__rm")
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
     candidates: DataFrame | None = None, dim: int | None = None,

@@ -611,3 +611,49 @@ def test_zipf_fit_small_vocab(spark):
     got = zipf_fit(df, "text", top_v=1000).collect()[0]
     assert got.n_terms == 3  # vocab smaller than top_v
     assert got.zipf_slope < 0
+
+
+def test_semdedup_greedy_and_cell_bounded(spark):
+    import numpy as np
+    from pyradiomics_spark.operators.dedup import semdedup
+
+    # two tight clusters around opposite axes: centroids at +x and -x
+    cents = np.zeros((2, 4)); cents[0, 0] = 1.0; cents[1, 0] = -1.0
+    rows = [
+        (1, [1.0, 0.01, 0.0, 0.0]),   # cell 0
+        (2, [1.0, 0.02, 0.0, 0.0]),   # cell 0, ~dup of 1 -> removed
+        (3, [1.0, 0.03, 0.0, 0.0]),   # cell 0, ~dup of 1/2 -> removed
+        (4, [-1.0, 0.01, 0.0, 0.0]),  # cell 1, survives (no same-cell dup)
+        (5, [0.9, 3.0, 0.0, 0.0]),    # cell 0 but dissimilar -> kept
+        (6, None),                    # null embedding -> null cell, kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {r.vec_id: r for r in
+           semdedup(df, "vec_id", "embedding", cents, threshold=0.95)
+           .collect()}
+    assert got[1].semdedup_keep == 1          # lowest id of the dup group
+    assert got[2].semdedup_keep == 0 and got[3].semdedup_keep == 0
+    assert got[4].semdedup_keep == 1          # other cell, kept
+    assert got[5].semdedup_keep == 1          # same cell, below threshold
+    assert got[6].semdedup_keep == 1 and got[6].cell is None
+    assert got[1].cell == got[2].cell == got[3].cell == got[5].cell == 0
+    assert got[4].cell == 1
+
+
+def test_semdedup_cell_cap_skips_hot_cell(spark):
+    import numpy as np
+    from pyradiomics_spark.operators.dedup import semdedup
+
+    cents = np.zeros((2, 2)); cents[0, 0] = 1.0; cents[1, 1] = 1.0
+    # 30 near-identical vectors all landing in cell 0
+    rows = [(i, [1.0, i * 1e-4]) for i in range(30)]
+    rows += [(100, [0.0, 1.0]), (101, [1e-4, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    uncapped = semdedup(df, "vec_id", "embedding", cents, threshold=0.99)
+    assert uncapped.where("cell = 0 and semdedup_keep = 0").count() == 29
+    capped = semdedup(df, "vec_id", "embedding", cents, threshold=0.99,
+                      cell_cap=10)
+    # hot cell dropped from pair generation: its rows all stay, flagged kept
+    assert capped.where("cell = 0 and semdedup_keep = 0").count() == 0
+    # small cell still deduped (101 removed against 100)
+    assert capped.where("vec_id = 101").collect()[0].semdedup_keep == 0
