@@ -1269,6 +1269,23 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicated-span removal (operators.dedup.segment_dedup,
+    Raffel et al. 2020 §2.2): non-overlapping 8-token segments, md5
+    census, keep only the corpus-first occurrence of any segment seen
+    >= 2 times; text reassembled from survivors."""
+    from pyradiomics_spark.operators.dedup import segment_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    out = segment_dedup(docs, "doc_id", "text", seg_tokens=8)
+    return out.select(
+        "doc_id",
+        "text_deduped",
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.col("n_dropped_segments").cast("long").alias("n_dropped_segments"),
+    ).orderBy("doc_id")
+
+
 def q_ccnet_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail composition (Wenzek et al. 2020 §4.3):
     unigram_logloss (the LM-quality proxy) piped into quantile_buckets
@@ -1938,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_buckets": q_quantile_buckets,
         "ccnet_tiers": q_ccnet_tiers,
         "semdedup": q_semdedup,
+        "segment_dedup": q_segment_dedup,
         "asof_join_nearest": q_asof_join_nearest,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
@@ -2893,6 +2911,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_step": kmeans_step_sql,
         "semdedup": semdedup_sql,
+        "segment_dedup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents
+            ), occ AS (
+              SELECT doc_id,
+                     unnest(generate_series(
+                       1, CAST(ceil(len(t) / 8.0) AS BIGINT))) - 1 AS seg_pos,
+                     unnest(list_transform(
+                       generate_series(1, CAST(ceil(len(t) / 8.0) AS BIGINT)),
+                       i -> array_to_string(t[(i-1)*8+1:(i-1)*8+8], ' ')))
+                       AS seg
+              FROM toks
+            ), marked AS (
+              SELECT doc_id, seg_pos, seg,
+                     count(*) OVER (PARTITION BY seg) AS n_occ,
+                     row_number() OVER (PARTITION BY seg
+                                        ORDER BY doc_id, seg_pos) AS rn
+              FROM occ
+            ), kept AS (
+              SELECT doc_id,
+                     string_agg(seg, ' ' ORDER BY seg_pos) AS txt,
+                     count(*) AS n_kept
+              FROM marked WHERE n_occ < 2 OR rn = 1
+              GROUP BY doc_id
+            ), nseg AS (
+              SELECT doc_id,
+                     CASE WHEN t IS NULL THEN 0
+                          ELSE CAST(ceil(len(t) / 8.0) AS BIGINT)
+                     END AS n_segments
+              FROM toks
+            )
+            SELECT d.doc_id,
+                   coalesce(k.txt, '') AS text_deduped,
+                   n.n_segments AS n_segments,
+                   n.n_segments - coalesce(k.n_kept, 0) AS n_dropped_segments
+            FROM documents d
+            JOIN nseg n USING (doc_id)
+            LEFT JOIN kept k USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         "split_contamination": """
             WITH s AS (
               SELECT doc_id, text,

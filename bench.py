@@ -114,7 +114,7 @@ def main() -> None:
         "asof_join_nearest", "matrix_glszm", "stratified_exact",
         "ngram_topk", "tfidf", "unigram_logloss",
         "lexical_diversity", "dup_ngram_coverage", "gopher_filter",
-        "quantile_buckets", "ccnet_tiers", "semdedup",
+        "quantile_buckets", "ccnet_tiers", "semdedup", "segment_dedup",
     ]
     for name in headline:
         if name not in qs:

@@ -267,6 +267,91 @@ def dup_ngram_coverage(
     )
 
 
+def segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_tokens: int = 8,
+    min_count: int = 2,
+    keep_first: bool = True,
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """C4-style duplicated-span removal (Raffel et al. 2020 §2.2: "we
+    discarded all but one of any three-sentence span occurring more than
+    once in the data set"), re-expressed over whitespace tokens: each
+    document is cut into fixed non-overlapping ``seg_tokens``-token
+    segments, a corpus-wide census finds segments occurring
+    ``>= min_count`` times, and every occurrence EXCEPT the corpus-first
+    (lowest ``(id, position)``) is removed from the document
+    (``keep_first=False`` removes all occurrences instead — the
+    boilerplate-strip variant). Returns the input plus ``out_col`` (text
+    reassembled from surviving segments in original order; ``''`` when
+    everything dropped), ``n_segments`` and ``n_dropped_segments``.
+
+    Scale shape: the census is ONE groupBy keyed on ``md5(segment)`` —
+    128 bits, so no collision-borne drop decisions at 10^12 segments
+    (Lee et al. 2022 use 128-bit for the same reason) — with map-side
+    partial ``count`` + ``min(struct(id, pos))`` aggregates; occurrences
+    then equi-join the census back on the key (AQE-splittable probe-side
+    skew for boilerplate segments, build side one row per distinct
+    segment — never a count-over-window, which would buffer every
+    occurrence of a hot segment in one partition); reassembly is ONE
+    per-doc groupBy. No windows, no all-pairs, no Python."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    n_seg = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    segs_arr = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda g: F.array_join(
+                F.slice(toks, g * seg_tokens + 1, seg_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    occ = df.select(
+        F.col(id_col), F.posexplode(segs_arr).alias("seg_pos", "seg")
+    )
+    census = occ.groupBy(F.md5("seg").alias("seg_key")).agg(
+        F.count("*").alias("n_occ"),
+        F.min(F.struct(F.col(id_col).alias("kid"),
+                       F.col("seg_pos").alias("kpos"))).alias("keeper"),
+    )
+    is_keeper = (F.col(f"keeper.kid") == F.col(id_col)) & (
+        F.col("keeper.kpos") == F.col("seg_pos")
+    )
+    survive = (F.col("n_occ") < min_count) | (
+        is_keeper if keep_first else F.lit(False)
+    )
+    kept = (
+        occ.join(census, F.md5("seg") == F.col("seg_key"))
+        .where(survive)
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg_pos", "seg"))),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias(out_col),
+            F.count("*").alias("__n_kept"),
+        )
+    )
+    return (
+        df.withColumn("n_segments", F.coalesce(n_seg, F.lit(0)))
+        .join(kept, id_col, "left")
+        .select(
+            *df.columns,
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            "n_segments",
+            (F.col("n_segments") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("int").alias("n_dropped_segments"),
+        )
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,

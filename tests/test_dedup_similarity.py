@@ -657,3 +657,50 @@ def test_semdedup_cell_cap_skips_hot_cell(spark):
     assert capped.where("cell = 0 and semdedup_keep = 0").count() == 0
     # small cell still deduped (101 removed against 100)
     assert capped.where("vec_id = 101").collect()[0].semdedup_keep == 0
+
+
+def test_segment_dedup_keep_first(spark):
+    from pyradiomics_spark.operators.dedup import segment_dedup
+
+    # seg_tokens=2 -> doc 1 = [a b][c d], doc 2 = [a b][x y],
+    # doc 3 = [a b][a b][z], doc 4 = [q r]
+    rows = [
+        (1, "a b c d"),
+        (2, "a b x y"),
+        (3, "a b a b z"),
+        (4, "q r"),
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in
+           segment_dedup(df, "doc_id", "text", seg_tokens=2).collect()}
+    # corpus-first occurrence of "a b" is (doc 1, pos 0): doc 1 intact
+    assert got[1].text_deduped == "a b c d"
+    assert got[1].n_segments == 2 and got[1].n_dropped_segments == 0
+    # later occurrences dropped everywhere else
+    assert got[2].text_deduped == "x y"
+    assert got[2].n_dropped_segments == 1
+    assert got[3].text_deduped == "z"          # both "a b" copies dropped
+    assert got[3].n_segments == 3 and got[3].n_dropped_segments == 2
+    # unique segments untouched; trailing partial segment is its own unit
+    assert got[4].text_deduped == "q r"
+    # empty / null text -> zero segments, empty output, row preserved
+    assert got[5].text_deduped == "" and got[5].n_segments == 0
+    assert got[6].text_deduped == "" and got[6].n_segments == 0
+
+
+def test_segment_dedup_strip_all(spark):
+    from pyradiomics_spark.operators.dedup import segment_dedup
+
+    rows = [(1, "a b c d"), (2, "a b x y"), (3, "c d q q")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in
+           segment_dedup(df, "doc_id", "text", seg_tokens=2,
+                         keep_first=False).collect()}
+    # boilerplate-strip variant: EVERY occurrence of a duplicated segment
+    # goes, including the corpus-first one
+    assert got[1].text_deduped == ""           # "a b" dup, "c d" dup
+    assert got[2].text_deduped == "x y"
+    assert got[3].text_deduped == "q q"
+    assert got[1].n_dropped_segments == 2
