@@ -1286,6 +1286,40 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions.textstats.pii_redact): email/IPv4/phone
+    regex redaction with stage-wise match counts. The corpus has no
+    literal PII, so the gate plants deterministic PII spans (keyed on
+    doc_id % 7) with the SAME expression in both engines, then both
+    redact — non-degenerate on every pattern."""
+    from pyradiomics_spark.functions.textstats import pii_redact
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    injected = (
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat("text", F.lit(" contact "), F.col("lang"), sid,
+                        F.lit("@example.com now")))
+        .when(F.col("doc_id") % 7 == 1,
+              F.concat("text", F.lit(" call 415-555-0142 or 650.555.0199 x")))
+        .when(F.col("doc_id") % 7 == 2,
+              F.concat("text", F.lit(" from 10."),
+                       (F.col("doc_id") % 200).cast("string"),
+                       F.lit(".0."),
+                       ((F.col("doc_id") * 7) % 250).cast("string"),
+                       F.lit(" logged")))
+        .otherwise(F.col("text"))
+    )
+    out = pii_redact(d.select("doc_id", injected.alias("text")), "text")
+    return out.select(
+        "doc_id", "text_redacted",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ip").cast("long").alias("n_ip"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("pii_total").cast("long").alias("pii_total"),
+    ).orderBy("doc_id")
+
+
 def q_ccnet_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail composition (Wenzek et al. 2020 §4.3):
     unigram_logloss (the LM-quality proxy) piped into quantile_buckets
@@ -1956,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_tiers": q_ccnet_tiers,
         "semdedup": q_semdedup,
         "segment_dedup": q_segment_dedup,
+        "pii_redact": q_pii_redact,
         "asof_join_nearest": q_asof_join_nearest,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
@@ -2911,6 +2946,54 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_step": kmeans_step_sql,
         "semdedup": semdedup_sql,
+        "pii_redact": r"""
+            WITH injected AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN doc_id % 7 = 0 THEN text || ' contact ' || lang
+                            || CAST(doc_id AS VARCHAR) || '@example.com now'
+                       WHEN doc_id % 7 = 1 THEN text
+                            || ' call 415-555-0142 or 650.555.0199 x'
+                       WHEN doc_id % 7 = 2 THEN text || ' from 10.'
+                            || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+                            || CAST((doc_id * 7) % 250 AS VARCHAR)
+                            || ' logged'
+                       ELSE text
+                     END AS t0
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_email,
+                     regexp_replace(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+              FROM injected
+            ), s2 AS (
+              SELECT doc_id, n_email,
+                     len(regexp_extract_all(t1,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+                     regexp_replace(t1,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g') AS t2
+              FROM s1
+            ), s3 AS (
+              SELECT doc_id, n_email, n_ip,
+                     len(regexp_extract_all(t2,
+                       '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+                     regexp_replace(t2,
+                       '\b\d{3}[-.]\d{3}[-.]\d{4}\b',
+                       '<PHONE>', 'g') AS text_redacted
+              FROM s2
+            )
+            SELECT doc_id, text_redacted,
+                   CAST(n_email AS BIGINT) AS n_email,
+                   CAST(n_ip AS BIGINT) AS n_ip,
+                   CAST(n_phone AS BIGINT) AS n_phone,
+                   CAST(n_email + n_ip + n_phone AS BIGINT) AS pii_total
+            FROM s3 ORDER BY doc_id
+        """,
         "segment_dedup": """
             WITH toks AS (
               SELECT doc_id,

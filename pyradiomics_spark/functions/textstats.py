@@ -419,3 +419,49 @@ def unigram_logloss(
         .agg(F.avg(-F.log2("p")).alias(out_col))
     )
     return df.join(per_doc, id_col, "left")
+
+
+#: (name, java/RE2-common regex, replacement token) — the default PII
+#: surface: emails, IPv4 literals, NANP-style phone numbers. Patterns are
+#: restricted to the Java-regex ∩ RE2 common subset (char classes, \d, \b,
+#: bounded repetition — no lookaround, no backrefs) so the same strings
+#: drive Spark (Java) and any RE2-based oracle identically.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_redacted",
+    patterns=PII_PATTERNS,
+) -> DataFrame:
+    """PII scrubbing as scan-fused column expressions (the pre-training
+    redaction pass of C4/RefinedWeb-style pipelines): each ``(name,
+    regex, token)`` pattern is applied IN ORDER with a global
+    ``regexp_replace``, and ``n_<name>`` counts the matches seen at that
+    stage (counts are stage-wise: a span consumed by an earlier pattern
+    is invisible to later ones — e.g. digits inside an already-redacted
+    email never double-count as a phone). Adds ``out_col``, one
+    ``n_<name>`` per pattern, and ``pii_total``.
+
+    Scale shape: zero shuffles, zero joins, zero Python — the whole
+    operator is a projection fused into the scan, so it pipelines inside
+    one WholeStageCodegen span at any corpus size."""
+    cur = F.col(text_col)
+    out = df
+    n_cols = []
+    for name, pat, token in patterns:
+        out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, token)
+        n_cols.append(f"n_{name}")
+    out = out.withColumn(out_col, cur)
+    if n_cols:
+        expr = F.col(n_cols[0])
+        for c in n_cols[1:]:
+            expr = expr + F.col(c)
+        out = out.withColumn("pii_total", expr)
+    return out

@@ -704,3 +704,38 @@ def test_segment_dedup_strip_all(spark):
     assert got[2].text_deduped == "x y"
     assert got[3].text_deduped == "q q"
     assert got[1].n_dropped_segments == 2
+
+
+def test_pii_redact_basic(spark):
+    from pyradiomics_spark.functions.textstats import pii_redact
+
+    rows = [
+        (1, "write to bob@example.com or ping 10.0.0.1 today"),
+        (2, "call 415-555-0142 or 555.123.4567 now"),
+        (3, "plain text no pii"),
+        (4, None),
+        (5, "two mails a@b.org c.d@e-f.co end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in pii_redact(df, "text").collect()}
+    assert got[1].text_redacted == "write to <EMAIL> or ping <IP> today"
+    assert (got[1].n_email, got[1].n_ip, got[1].n_phone) == (1, 1, 0)
+    assert got[2].text_redacted == "call <PHONE> or <PHONE> now"
+    assert got[2].pii_total == 2
+    assert got[3].text_redacted == "plain text no pii"
+    assert got[3].pii_total == 0
+    assert got[4].text_redacted is None
+    assert got[5].n_email == 2 and got[5].text_redacted == \
+        "two mails <EMAIL> <EMAIL> end"
+
+
+def test_pii_redact_stagewise_counts(spark):
+    from pyradiomics_spark.functions.textstats import pii_redact
+
+    # digits inside an email are consumed by the email stage: the later
+    # phone stage must not see "415-555-0142" inside the address
+    rows = [(1, "reach 415-555-0142@corp.example.com or 415-555-0142")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    r = pii_redact(df, "text").collect()[0]
+    assert r.n_email == 1 and r.n_phone == 1
+    assert r.text_redacted == "reach <EMAIL> or <PHONE>"
