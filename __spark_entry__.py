@@ -1320,6 +1320,22 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling weights (textstats.dsir_log_weights,
+    Xie et al. 2023): target = lang='en' docs, raw = whole corpus, add-1
+    smoothed unigram log-ratio summed per doc. ONE dual-count census agg
+    + broadcast totals + term join + per-doc sum; 6-dp gate rounding."""
+    from pyradiomics_spark.functions.textstats import dsir_log_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    out = dsir_log_weights(docs, "doc_id", F.col("lang") == "en")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens_dsir").cast("long").alias("n_tokens_dsir"),
+        _rnd("dsir_log_weight", 6).alias("dsir_log_weight"),
+    ).orderBy("doc_id")
+
+
 def q_ccnet_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail composition (Wenzek et al. 2020 §4.3):
     unigram_logloss (the LM-quality proxy) piped into quantile_buckets
@@ -1991,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "segment_dedup": q_segment_dedup,
         "pii_redact": q_pii_redact,
+        "dsir_weights": q_dsir_weights,
         "asof_join_nearest": q_asof_join_nearest,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
@@ -2946,6 +2963,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_step": kmeans_step_sql,
         "semdedup": semdedup_sql,
+        "dsir_weights": """
+            WITH tk AS (
+              SELECT doc_id,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_tgt,
+                     unnest(string_split(lower(text), ' ')) AS term
+              FROM documents
+            ), tk2 AS (
+              SELECT doc_id, is_tgt, term FROM tk WHERE term <> ''
+            ), census AS (
+              SELECT term, count(*) AS c_raw, sum(is_tgt) AS c_tgt
+              FROM tk2 GROUP BY term
+            ), tot AS (
+              SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt,
+                     count(*) AS v
+              FROM census
+            ), ratio AS (
+              SELECT term,
+                     ln((c_tgt + 1.0) / (n_tgt + 1.0 * v))
+                     - ln((c_raw + 1.0) / (n_raw + 1.0 * v)) AS lr
+              FROM census CROSS JOIN tot
+            ), per AS (
+              SELECT doc_id, sum(lr) AS w, count(*) AS n
+              FROM tk2 JOIN ratio USING (term) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(per.n AS BIGINT) AS n_tokens_dsir,
+                   floor(per.w * 1e6 + 0.50000095367431640625) / 1e6
+                     AS dsir_log_weight
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+            ORDER BY d.doc_id
+        """,
         "pii_redact": r"""
             WITH injected AS (
               SELECT doc_id,

@@ -465,3 +465,64 @@ def pii_redact(
             expr = expr + F.col(c)
         out = out.withColumn("pii_total", expr)
     return out
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    id_col: str,
+    target_pred,
+    text_col: str = "text",
+    smoothing: float = 1.0,
+    out_col: str = "dsir_log_weight",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023 "Data Selection for
+    Language Models via Importance Resampling"), unigram form: the
+    target distribution is estimated from the rows matching
+    ``target_pred`` (a boolean Column), the raw distribution from the
+    whole input, both add-λ smoothed over the SHARED raw vocabulary, and
+    each document scores ``Σ_tokens ln p̂_target(tok) − ln p̂_raw(tok)``
+    — resample with probability ∝ exp(out_col) to tilt the corpus
+    toward the target domain. Adds ``out_col`` (double; null for
+    token-less docs) and ``n_tokens_dsir``.
+
+    Scale shape: ONE map-side-combined census groupBy computes BOTH
+    distributions (count + conditional count per term — the target
+    filter is a flag on the pre-explode row, so no second corpus pass),
+    a broadcast 1-row totals join, then tokens equi-join the per-term
+    log-ratio table (one row per distinct term — hot stop-words skew
+    only the AQE-splittable probe side) and ONE per-doc sum. The hashed
+    n-gram variant of the paper is this same plan with the term replaced
+    by a bucketed hash — exact terms keep the oracle cross-engine."""
+    lam = float(smoothing)
+    toks = df.select(
+        F.col(id_col),
+        target_pred.cast("int").alias("__is_tgt"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    census = toks.groupBy("term").agg(
+        F.count("*").alias("c_raw"),
+        F.sum("__is_tgt").alias("c_tgt"),
+    )
+    totals = F.broadcast(census.agg(
+        F.sum("c_raw").alias("__n_raw"),
+        F.sum("c_tgt").alias("__n_tgt"),
+        F.count("*").alias("__v"),
+    ))
+    ratio = census.crossJoin(totals).select(
+        "term",
+        (
+            F.log((F.col("c_tgt") + lam)
+                  / (F.col("__n_tgt") + lam * F.col("__v")))
+            - F.log((F.col("c_raw") + lam)
+                    / (F.col("__n_raw") + lam * F.col("__v")))
+        ).alias("__lr"),
+    )
+    per_doc = (
+        toks.join(ratio, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__lr").alias(out_col),
+            F.count("*").alias("n_tokens_dsir"),
+        )
+    )
+    return df.join(per_doc, id_col, "left")

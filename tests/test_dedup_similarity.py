@@ -739,3 +739,32 @@ def test_pii_redact_stagewise_counts(spark):
     r = pii_redact(df, "text").collect()[0]
     assert r.n_email == 1 and r.n_phone == 1
     assert r.text_redacted == "reach <EMAIL> or <PHONE>"
+
+
+def test_dsir_log_weights_manual(spark):
+    import math
+    from pyspark.sql import functions as F
+    from pyradiomics_spark.functions.textstats import dsir_log_weights
+
+    rows = [
+        (1, "a a b", "en"),
+        (2, "a c", "de"),
+        (3, "b b", "en"),
+        (4, "", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    got = {r.doc_id: r for r in
+           dsir_log_weights(df, "doc_id", F.col("lang") == "en").collect()}
+    # raw: a=3 b=3 c=1 (N=7, V=3); target: a=2 b=3 c=0 (N=5); lambda=1
+    lr = {
+        "a": math.log(3 / 8) - math.log(4 / 10),
+        "b": math.log(4 / 8) - math.log(4 / 10),
+        "c": math.log(1 / 8) - math.log(2 / 10),
+    }
+    assert got[1].dsir_log_weight == pytest.approx(2 * lr["a"] + lr["b"])
+    assert got[2].dsir_log_weight == pytest.approx(lr["a"] + lr["c"])
+    assert got[3].dsir_log_weight == pytest.approx(2 * lr["b"])
+    assert got[4].dsir_log_weight is None and got[4].n_tokens_dsir is None
+    # target-typical docs must outscore the off-target doc
+    assert got[3].dsir_log_weight > got[2].dsir_log_weight
+    assert got[1].n_tokens_dsir == 3
