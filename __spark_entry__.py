@@ -1336,6 +1336,67 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _with_synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a deterministic ``url`` column (keyed on doc_id % 6)
+    exercising every functions.urls normalization rule — mixed case,
+    www, default/explicit ports, trailing slashes, tracking params,
+    fragments, unparseable strings — with cross-pattern collisions
+    (m=0 and m=1 normalize identically) so URL dedup is non-degenerate.
+    Identical expression in the oracle CTE ``withurl``."""
+    d = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 6
+    s10 = (F.col("doc_id") % 10).cast("string")
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTPS://WWW.Example.COM:443/a/"), s10,
+            F.lit("/?utm_source=x&ref="), F.col("lang"), F.lit("#frag")))
+        .when(m == 1, F.concat(
+            F.lit("http://example.com/a/"), s10, F.lit("?ref="),
+            F.col("lang")))
+        .when(m == 2, F.concat(
+            F.lit("http://news.Example.com:80/item/"),
+            (F.col("doc_id") % 7).cast("string")))
+        .when(m == 3, F.concat(
+            F.lit("https://cdn"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".mirror.org/x//")))
+        .when(m == 4, F.concat(F.lit("http://intra:8080/p/"), s10))
+        .otherwise(F.concat(F.lit("junk "),
+                            F.col("doc_id").cast("string")))
+    )
+    return d.withColumn("url", url)
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL normalization + URL-level dedup (functions.urls.url_dedup):
+    RFC-3986-subset normalization (case, www, default ports, trailing
+    slash, tracking params, fragment) then keep-min-id per normalized
+    URL; unparseable URLs keep NULL components and survive."""
+    from pyradiomics_spark.functions.urls import url_dedup
+
+    out = url_dedup(_with_synth_urls(spark, sf_dir), "doc_id")
+    return out.select(
+        "doc_id", "host", "domain", "url_norm",
+        F.col("url_keep").cast("long").alias("url_keep"),
+    ).orderBy("doc_id")
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain profile (functions.urls.domain_stats):
+    page count, exact distinct normalized URLs, mean doc size — the
+    RefinedWeb domain-blocklist/cap inputs. 6-dp gate rounding on the
+    mean."""
+    from pyradiomics_spark.functions.urls import domain_stats
+
+    out = domain_stats(_with_synth_urls(spark, sf_dir),
+                       size_col="n_chars")
+    return out.select(
+        "domain",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("n_urls").cast("long").alias("n_urls"),
+        _rnd("mean_size", 6).alias("mean_size"),
+    ).orderBy("domain")
+
+
 def q_ccnet_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail composition (Wenzek et al. 2020 §4.3):
     unigram_logloss (the LM-quality proxy) piped into quantile_buckets
@@ -2008,6 +2069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup": q_segment_dedup,
         "pii_redact": q_pii_redact,
         "dsir_weights": q_dsir_weights,
+        "url_normalize": q_url_normalize,
+        "domain_stats": q_domain_stats,
         "asof_join_nearest": q_asof_join_nearest,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
@@ -2172,6 +2235,77 @@ def oracle_sql() -> dict[str, str]:
             FROM assign a LEFT JOIN removed r ON a.vec_id = r.vec_id
             ORDER BY a.vec_id
         """
+    # shared URL-synthesis + normalization CTEs (twin of _with_synth_urls
+    # + functions.urls.url_components): used by url_normalize and
+    # domain_stats below
+    _url_ctes = r"""
+            WITH withurl AS (
+              SELECT doc_id, n_chars,
+                     CASE doc_id % 6
+                       WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/a/'
+                            || CAST(doc_id % 10 AS VARCHAR)
+                            || '/?utm_source=x&ref=' || lang || '#frag'
+                       WHEN 1 THEN 'http://example.com/a/'
+                            || CAST(doc_id % 10 AS VARCHAR)
+                            || '?ref=' || lang
+                       WHEN 2 THEN 'http://news.Example.com:80/item/'
+                            || CAST(doc_id % 7 AS VARCHAR)
+                       WHEN 3 THEN 'https://cdn'
+                            || CAST(doc_id % 3 AS VARCHAR)
+                            || '.mirror.org/x//'
+                       WHEN 4 THEN 'http://intra:8080/p/'
+                            || CAST(doc_id % 10 AS VARCHAR)
+                       ELSE 'junk ' || CAST(doc_id AS VARCHAR)
+                     END AS url
+              FROM documents
+            ), parts AS (
+              SELECT doc_id, n_chars,
+                regexp_replace(regexp_replace(
+                  lower(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                  ':(80|443)$', ''), '^www\.', '') AS h,
+                regexp_replace(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+                  '/+$', '') AS p,
+                coalesce(array_to_string(list_filter(
+                  string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                  x -> x <> '' AND NOT regexp_matches(x,
+                       '^(utm_[A-Za-z0-9_]*|fbclid|gclid)=')), '&'),
+                  '') AS q
+              FROM withurl
+            ), norm AS (
+              SELECT doc_id, n_chars,
+                CASE WHEN h = '' THEN NULL ELSE h END AS host,
+                CASE WHEN h = '' THEN NULL
+                     WHEN regexp_extract(h, '([^.]+\.[^.]+)$', 1) = ''
+                       THEN h
+                     ELSE regexp_extract(h, '([^.]+\.[^.]+)$', 1)
+                END AS domain,
+                CASE WHEN h = '' THEN NULL
+                     ELSE h || p || (CASE WHEN q = '' THEN ''
+                                          ELSE '?' || q END)
+                END AS url_norm
+              FROM parts
+            )
+    """
+    url_normalize_sql = _url_ctes + """
+            SELECT n.doc_id, n.host, n.domain, n.url_norm,
+                   CAST(CASE
+                     WHEN n.url_norm IS NULL THEN 1
+                     WHEN n.doc_id = min(n.doc_id)
+                          OVER (PARTITION BY n.url_norm) THEN 1
+                     ELSE 0 END AS BIGINT) AS url_keep
+            FROM norm n ORDER BY n.doc_id
+    """
+    domain_stats_sql = _url_ctes + """
+            SELECT domain,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(count(DISTINCT url_norm) AS BIGINT) AS n_urls,
+                   floor(avg(n_chars) * 1e6 + 0.50000095367431640625)
+                     / 1e6 AS mean_size
+            FROM norm WHERE domain IS NOT NULL
+            GROUP BY domain ORDER BY domain
+    """
     kmeans_step_sql = f"""
             WITH emb AS (
               SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -2963,6 +3097,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_step": kmeans_step_sql,
         "semdedup": semdedup_sql,
+        "url_normalize": url_normalize_sql,
+        "domain_stats": domain_stats_sql,
         "dsir_weights": """
             WITH tk AS (
               SELECT doc_id,

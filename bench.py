@@ -115,7 +115,7 @@ def main() -> None:
         "ngram_topk", "tfidf", "unigram_logloss",
         "lexical_diversity", "dup_ngram_coverage", "gopher_filter",
         "quantile_buckets", "ccnet_tiers", "semdedup", "segment_dedup",
-        "pii_redact", "dsir_weights",
+        "pii_redact", "dsir_weights", "url_normalize",
     ]
     for name in headline:
         if name not in qs:

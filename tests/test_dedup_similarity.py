@@ -768,3 +768,64 @@ def test_dsir_log_weights_manual(spark):
     # target-typical docs must outscore the off-target doc
     assert got[3].dsir_log_weight > got[2].dsir_log_weight
     assert got[1].n_tokens_dsir == 3
+def test_url_components_rules(spark):
+    from pyradiomics_spark.functions.urls import url_components
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&ref=de#frag"),
+        (2, "http://news.example.com:80/item/7"),
+        (3, "https://cdn2.Mirror.ORG/x//"),
+        (4, "http://localhost:8080/p"),
+        (5, "not a url"),
+        (6, None),
+        (7, "ftp://files.example.com/"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, url string")
+    got = {r.doc_id: r for r in url_components(df).collect()}
+    r = got[1]
+    assert (r.scheme, r.host, r.domain) == ("https", "example.com", "example.com")
+    assert r.path_norm == "/a/b" and r.query_norm == "ref=de"
+    assert r.url_norm == "example.com/a/b?ref=de"
+    assert got[2].url_norm == "news.example.com/item/7"
+    assert got[2].domain == "example.com"
+    # repeated trailing slashes all stripped; host lowercased
+    assert got[3].url_norm == "cdn2.mirror.org/x"
+    # non-default port is identity-bearing
+    assert got[4].host == "localhost:8080" and got[4].domain == "localhost:8080"
+    # unparseable / null -> NULL components
+    assert got[5].url_norm is None and got[5].host is None
+    assert got[6].url_norm is None
+    assert got[7].url_norm == "files.example.com"
+
+
+def test_url_dedup_keep_min_id(spark):
+    from pyradiomics_spark.functions.urls import url_dedup
+
+    rows = [
+        (1, "https://www.a.com/x?utm_source=1"),
+        (2, "http://a.com/x/"),      # same normalized URL as 1
+        (3, "https://a.com/y"),
+        (4, "garbage"),
+        (5, "garbage"),              # unparseable rows all kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, url string")
+    got = {r.doc_id: r.url_keep for r in url_dedup(df, "doc_id").collect()}
+    assert got == {1: 1, 2: 0, 3: 1, 4: 1, 5: 1}
+
+
+def test_domain_stats(spark):
+    from pyradiomics_spark.functions.urls import domain_stats
+
+    rows = [
+        (1, "https://www.a.com/x", 10.0),
+        (2, "http://a.com/x/", 20.0),     # same norm URL, same domain
+        (3, "https://sub.a.com/y", 30.0),
+        (4, "https://b.org/z", 40.0),
+        (5, "junk", 50.0),                # no domain -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, url string, sz double")
+    got = {r.domain: r for r in domain_stats(df, size_col="sz").collect()}
+    assert set(got) == {"a.com", "b.org"}
+    assert got["a.com"].n_pages == 3 and got["a.com"].n_urls == 2
+    assert got["a.com"].mean_size == pytest.approx(20.0)
+    assert got["b.org"].n_pages == 1
