@@ -1594,6 +1594,34 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed logistic-regression gradient step
+    (operators/training.py): the CCNet/DSIR-style quality-classifier
+    trainer as ONE scan-fused aggregate (k+2 sums, partial-aggregated —
+    no shuffle wider than a single row, no Python on the hot path).
+    Features are doc-size signals (n_chars/1000, ln(1+n_chars)), label =
+    "is English", initial weights / lr are exact binary fractions. The
+    DuckDB twin replays the identical clipped-sigmoid arithmetic and the
+    driver's weight update entirely in SQL; output rows (idx, value) =
+    [b', w1', w2', mean_loss, n] — any drift in the gradient, the loss,
+    or the update rule reddens the row."""
+    from pyradiomics_spark.operators.training import logreg_grad_step
+
+    docs = _read(spark, sf_dir, "documents").select(
+        (F.col("n_chars") / F.lit(1000.0)).alias("x1"),
+        F.log(F.lit(1.0) + F.col("n_chars")).alias("x2"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    w, loss, n = logreg_grad_step(
+        docs, ["x1", "x2"], "y", [0.0, 0.25, -0.125], lr=0.5)
+    vals = list(w) + [loss, float(n)]
+    out = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["idx", "value"])
+    return out.select(
+        F.col("idx").cast("long").alias("idx"),
+        _rnd("value", 6).alias("value")).orderBy("idx")
+
+
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN end-to-end vs exact brute force: recall@5 per query (5
     queries, 8 deterministic md5-seeded centroids, nprobe=2). The DuckDB
@@ -2072,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "domain_stats": q_domain_stats,
         "asof_join_nearest": q_asof_join_nearest,
+        "logreg_step": q_logreg_step,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -2306,6 +2335,39 @@ def oracle_sql() -> dict[str, str]:
             FROM norm WHERE domain IS NOT NULL
             GROUP BY domain ORDER BY domain
     """
+    # q_logreg_step: replay the clipped-sigmoid gradient AND the driver's
+    # weight update w' = w − lr·∇/n in SQL. Initial weights / lr are exact
+    # binary fractions so the only cross-engine noise is exp/ln ulps,
+    # absorbed by the 1e-6 floor rounding after the /n normalization.
+    logreg_step_sql = """
+            WITH feats AS (
+              SELECT n_chars / 1000.0 AS x1,
+                     ln(1.0 + n_chars) AS x2,
+                     CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+              FROM documents
+            ), scored AS (
+              SELECT x1, x2, y,
+                     1.0 / (1.0 + exp(-greatest(-30.0, least(30.0,
+                         0.0 + 0.25 * x1 + -0.125 * x2)))) AS p
+              FROM feats
+            ), g AS (
+              SELECT sum(p - y) AS g0,
+                     sum((p - y) * x1) AS g1,
+                     sum((p - y) * x2) AS g2,
+                     sum(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))) AS loss_sum,
+                     count(*) AS n
+              FROM scored
+            ), vals AS (
+              SELECT 0 AS idx, 0.0 - 0.5 * (g0 / n) AS value FROM g
+              UNION ALL SELECT 1, 0.25 - 0.5 * (g1 / n) FROM g
+              UNION ALL SELECT 2, -0.125 - 0.5 * (g2 / n) FROM g
+              UNION ALL SELECT 3, loss_sum / n FROM g
+              UNION ALL SELECT 4, CAST(n AS DOUBLE) FROM g
+            )
+            SELECT CAST(idx AS BIGINT) AS idx,
+                   floor(value * 1e6 + 0.50000095367431640625) / 1e6 AS value
+            FROM vals ORDER BY idx
+        """
     kmeans_step_sql = f"""
             WITH emb AS (
               SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -3096,6 +3158,7 @@ def oracle_sql() -> dict[str, str]:
             FROM vids ORDER BY doc_id, frame_idx
         """,
         "kmeans_step": kmeans_step_sql,
+        "logreg_step": logreg_step_sql,
         "semdedup": semdedup_sql,
         "url_normalize": url_normalize_sql,
         "domain_stats": domain_stats_sql,

@@ -1,0 +1,85 @@
+"""In-engine model-training steps for data-curation classifiers.
+
+The fastText-style quality/domain classifier of CCNet/DSIR pipelines is
+a linear model; one synchronous full-batch gradient step is a pure
+aggregation, so it belongs in the engine next to ``kmeans_step``
+(operators/clustering.py): features and per-row gradient contributions
+are scan-fused column expressions, and ONE map-side-combined aggregate
+returns k+2 numbers to the driver — no Python on the hot path, no
+shuffle wider than the final single-row agg, identical plan at 10^12
+rows.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: logit clamp — keeps exp() finite in IEEE doubles in every engine
+_Z_CLIP = 30.0
+
+
+def logreg_grad_step(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    weights,
+    lr: float = 0.1,
+    l2: float = 0.0,
+):
+    """One full-batch gradient-descent step of L2-regularized logistic
+    regression: ``weights`` is ``[bias, w_1 … w_k]`` aligned with
+    ``feature_cols``; returns ``(new_weights: list, mean_loss: float,
+    n_rows: int)``.
+
+    Per row: ``z = clip(b + Σ w_i x_i, ±30)``, ``p = 1/(1+e^{-z})``,
+    gradient contribution ``(p − y)`` for the bias and ``(p − y)·x_i``
+    per feature, log-loss ``−[y ln p + (1−y) ln(1−p)]``. The driver
+    update is ``w ← w − lr·(∇/n + l2·w)`` (bias unregularized).
+
+    Scale shape: one projection + ONE agg with k+2 sums — partial
+    aggregation makes the shuffle k+2 doubles per partition; the model
+    itself (k+1 doubles) rides into the plan as literals, so there is
+    no join and nothing to broadcast. Iterating = calling this in a
+    driver loop, exactly like Lloyd's ``kmeans_step``."""
+    w = [float(v) for v in np.asarray(weights, dtype=float)]
+    if len(w) != len(feature_cols) + 1:
+        raise ValueError(
+            f"weights has {len(w)} entries, need {len(feature_cols) + 1} "
+            "(bias first)")
+    z = F.lit(w[0])
+    for wi, c in zip(w[1:], feature_cols):
+        z = z + F.lit(wi) * F.col(c)
+    z = F.greatest(F.lit(-_Z_CLIP), F.least(F.lit(_Z_CLIP), z))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    y = F.col(label_col).cast("double")
+    resid = p - y
+    aggs = [F.sum(resid).alias("g0")]
+    aggs += [
+        F.sum(resid * F.col(c)).alias(f"g{i + 1}")
+        for i, c in enumerate(feature_cols)
+    ]
+    aggs += [
+        F.sum(-(y * F.log(p) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p))
+              ).alias("loss_sum"),
+        F.count("*").alias("n"),
+    ]
+    row = df.agg(*aggs).collect()[0]
+    n = int(row["n"])
+    if n == 0:
+        raise ValueError("empty input")
+    new_w = []
+    for i, wi in enumerate(w):
+        g = float(row[f"g{i}"]) / n
+        reg = 0.0 if i == 0 else l2 * wi
+        new_w.append(wi - lr * (g + reg))
+    return new_w, float(row["loss_sum"]) / n, n
+
+
+def sigmoid(x: float) -> float:
+    """Driver-side twin of the row expression (clipped like it)."""
+    x = max(-_Z_CLIP, min(_Z_CLIP, x))
+    return 1.0 / (1.0 + math.exp(-x))
