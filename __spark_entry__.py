@@ -1622,6 +1622,55 @@ def q_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rnd("value", 6).alias("value")).orderBy("idx")
 
 
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi/Pile-style static domain-mixture resampling
+    (operators/sampling.py domain_mix_sample): water-fill target shares
+    {src0: ½, src1: ¼, src2: ⅛, src3: ⅛} against availability — src0
+    binds and is kept whole, the others hash-downsample to dyadic-exact
+    rates (0.5 / 0.25 / 0.25), so cross-engine membership is exact. The
+    DuckDB twin re-derives availability, the water-fill T, the per-domain
+    rates, AND the md5-fraction membership in SQL; output = per-domain
+    (n_kept, id_sum checksum, rate) — any drifted rate or flipped row
+    reddens it."""
+    from pyradiomics_spark.operators.sampling import domain_mix_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    shares = {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125}
+    out, rates = domain_mix_sample(docs, "doc_id", "source", shares, seed=4)
+    rate_col = None
+    for d, (_, r) in rates.items():
+        cond = F.col("source") == F.lit(d)
+        rate_col = (F.when(cond, r) if rate_col is None
+                    else rate_col.when(cond, r))
+    return (
+        out.groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("doc_id").alias("id_sum"))
+        .withColumn("rate", _rnd(rate_col, 6))
+        .orderBy("source")
+    )
+
+
+def q_ngram_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style n-gram decontamination (operators/sampling.py
+    ngram_decontaminate) over a hash split of documents (seed 7, the
+    dataset_split gate's assignment): train docs sharing any 5-token
+    n-gram with the 10% eval tail, with the distinct shared-gram count.
+    n-gram generation is JVM-side (sequence+slice+md5, no Python); the
+    eval side distinct-reduces before the join so AQE broadcasts it.
+    The DuckDB twin replays tokenization, gram hashing, the split, and
+    the census."""
+    from pyradiomics_spark.operators.sampling import (ngram_decontaminate,
+                                                      split_dataset)
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    sp = split_dataset(docs, "doc_id", seed=7)
+    return (
+        ngram_decontaminate(sp, "doc_id", "text", n=5)
+        .select("doc_id", "n_shared_grams")
+        .orderBy("doc_id")
+    )
+
+
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN end-to-end vs exact brute force: recall@5 per query (5
     queries, 8 deterministic md5-seeded centroids, nprobe=2). The DuckDB
@@ -2101,6 +2150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "asof_join_nearest": q_asof_join_nearest,
         "logreg_step": q_logreg_step,
+        "domain_mix": q_domain_mix,
+        "ngram_decon": q_ngram_decon,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -2367,6 +2418,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(idx AS BIGINT) AS idx,
                    floor(value * 1e6 + 0.50000095367431640625) / 1e6 AS value
             FROM vals ORDER BY idx
+        """
+    # q_domain_mix: water-filling + md5-fraction membership, all in SQL.
+    # Shares are dyadic-exact so rates (1.0/0.5/0.25/0.25) carry no float
+    # noise into the frac < rate membership test.
+    domain_mix_sql = """
+            WITH sh AS (
+              SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.25),
+                                    ('src2', 0.125), ('src3', 0.125))
+                     t(source, share)
+            ), tot AS (SELECT sum(share) AS s FROM sh
+            ), counts AS (
+              SELECT d.source, count(*) AS c FROM documents d
+              JOIN sh ON d.source = sh.source GROUP BY d.source
+            ), tt AS (
+              SELECT min(c / (share / s)) AS t_rows
+              FROM counts JOIN sh USING (source) CROSS JOIN tot
+            ), r AS (
+              SELECT counts.source, share / s * t_rows / c AS rate
+              FROM counts JOIN sh USING (source) CROSS JOIN tot CROSS JOIN tt
+            ), kept AS (
+              SELECT d.doc_id, d.source, r.rate
+              FROM documents d JOIN r ON d.source = r.source
+              WHERE ('0x' || substr(md5(d.doc_id || ':4'), 1, 8))::BIGINT
+                      / 4294967296.0 < r.rate
+            )
+            SELECT source, count(*) AS n_kept,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                   floor(rate * 1e6 + 0.50000095367431640625) / 1e6 AS rate
+            FROM kept GROUP BY source, rate ORDER BY source
+        """
+    # q_ngram_decon: token 5-grams via list slicing + md5, split via the
+    # seed-7 hash fraction; census of train docs sharing grams with eval.
+    ngram_decon_sql = """
+            WITH f AS (
+              SELECT doc_id, text,
+                     ('0x' || substr(md5(doc_id || ':7'), 1, 8))::BIGINT
+                       / 4294967296.0 AS frac
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, frac >= 0.9 AS ev, string_split(text, ' ') AS t
+              FROM f
+            ), grams AS (
+              SELECT doc_id, ev, md5(array_to_string(t[i:i+4], ' ')) AS g
+              FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, greatest(len(t) - 4, 0)))
+                       AS i) s(i)
+            ), evg AS (SELECT DISTINCT g FROM grams WHERE ev)
+            SELECT grams.doc_id,
+                   count(DISTINCT grams.g) AS n_shared_grams
+            FROM grams JOIN evg ON grams.g = evg.g
+            WHERE NOT ev GROUP BY grams.doc_id ORDER BY grams.doc_id
         """
     kmeans_step_sql = f"""
             WITH emb AS (
@@ -3159,6 +3261,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_step": kmeans_step_sql,
         "logreg_step": logreg_step_sql,
+        "domain_mix": domain_mix_sql,
+        "ngram_decon": ngram_decon_sql,
         "semdedup": semdedup_sql,
         "url_normalize": url_normalize_sql,
         "domain_stats": domain_stats_sql,

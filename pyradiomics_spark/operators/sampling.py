@@ -341,3 +341,108 @@ def pack_sequences(
         .drop("__pk_off", "__pk_cum")
     )
     return out
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    target_shares: dict[str, float],
+    seed: int = 0,
+):
+    """Static domain-mixture resampling (the Pile/DoReMi data-mixing
+    move): downsample each domain so the OUTPUT corpus approaches the
+    target mixture ``target_shares`` (weights, normalized internally)
+    WITHOUT upsampling any domain. Domains absent from the dict are
+    dropped; domains present keep at most their full contents.
+
+    Water-filling: with availability c_d and normalized target share
+    s_d, the largest achievable mixed corpus is T = min_d(c_d / s_d) —
+    the binding domain is kept whole — and every other domain is
+    hash-downsampled at rate s_d·T / c_d. Deterministic per-id hash
+    (same draw family as stratified_sample, independent by seed), so
+    the mix is reproducible across retries and partitionings.
+
+    Returns ``(sampled_df, rates)`` where ``rates`` maps domain →
+    (availability, rate) for monitoring/logging.
+
+    Scale shape: ONE map-side-combined count agg (≤ |domains| rows to
+    the driver — domains are data sources, a bounded small set), rates
+    ride back into the plan as a literal CASE — then a pure scan-fused
+    filter. No join, no shuffle of the corpus itself.
+    """
+    if not target_shares:
+        raise ValueError("target_shares must be non-empty")
+    if min(target_shares.values()) <= 0:
+        raise ValueError("target shares must be > 0")
+    tot = float(sum(target_shares.values()))
+    shares = {k: v / tot for k, v in target_shares.items()}
+    counts = {
+        r[domain_col]: r["n"]
+        for r in df.groupBy(domain_col).agg(F.count("*").alias("n"))
+        .collect()
+        if r[domain_col] in shares
+    }
+    missing = [d for d in shares if counts.get(d, 0) == 0]
+    if missing:
+        raise ValueError(f"target domains absent from corpus: {missing}")
+    t_rows = min(counts[d] / shares[d] for d in shares)
+    rates = {d: (counts[d], shares[d] * t_rows / counts[d]) for d in shares}
+    frac = hash_fraction(id_col, seed)
+    rate = None
+    for d, (_, r) in rates.items():
+        cond = F.col(domain_col) == F.lit(d)
+        rate = F.when(cond, r) if rate is None else rate.when(cond, r)
+    rate = rate.otherwise(0.0)
+    return df.where(frac < rate), rates
+
+
+def ngram_decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str = "split",
+    n: int = 13,
+    eval_splits: tuple = ("val", "test"),
+) -> DataFrame:
+    """GPT-3-style n-gram decontamination census: every TRAIN doc that
+    shares at least one ``n``-token (space-split) n-gram with any eval
+    doc, with the count of distinct shared n-grams. Stricter than
+    ``cross_split_contamination``'s prefix key — a leaked span anywhere
+    inside a document is caught, which is the standard eval-integrity
+    bar (GPT-3 appendix C uses 13-grams). Docs shorter than ``n``
+    tokens contribute no n-grams (and cannot be flagged).
+
+    Output: (doc_id, n_shared_grams) per contaminated train doc.
+    Downstream either drops these ids (anti-join) or masks the spans.
+
+    Scale shape: n-gram generation is JVM-side (``transform`` over a
+    ``sequence`` of start positions + ``slice``/``concat_ws`` — no
+    Python); keys are md5 digests so the join shuffles 16-byte keys,
+    never text. The eval side is distinct-reduced first — at web scale
+    eval sets are tiny, so AQE turns the join broadcast; the census is
+    then a map-side lookup against a ~|eval n-grams| hash set, one scan
+    of train.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = F.split(F.col(text_col), " ")
+    # sequence(1, 0) counts DOWN in Spark — guard short docs explicitly
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    is_eval = F.col(split_col).isin(*eval_splits)
+    exploded = df.select(
+        F.col(id_col), is_eval.alias("__ev"),
+        F.explode(grams).alias("__g"))
+    ev = exploded.where("__ev").select("__g").distinct()
+    return (
+        exploded.where(~F.col("__ev"))
+        .join(ev, "__g")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__g").alias("n_shared_grams"))
+    )

@@ -264,3 +264,94 @@ def test_quantile_buckets_no_global_sort(spark):
     plan = _plan(quantile_buckets(df, "v"))
     assert "Window" not in plan          # never an ntile/global-rank window
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_domain_mix_water_filling(spark, ids):
+    from pyradiomics_spark.operators.sampling import domain_mix_sample
+
+    # three domains with availability 1000 / 600 / 400
+    df = ids.withColumn(
+        "domain",
+        F.when(F.col("doc_id") < 1000, "web")
+        .when(F.col("doc_id") < 1600, "books").otherwise("code"))
+    out, rates = domain_mix_sample(
+        df, "doc_id", "domain", {"web": 0.5, "books": 0.25, "code": 0.25})
+    # binding domain: books needs 0.25 share with 600 avail → T=2400 > web's
+    # 1000/0.5=2000 > code's 400/0.25=1600 → code binds, T=1600, code whole
+    assert rates["code"] == (400, 1.0)
+    assert rates["web"][1] == pytest.approx(800 / 1000)
+    assert rates["books"][1] == pytest.approx(400 / 600)
+    got = {r.domain: r["count"]
+           for r in out.groupBy("domain").count().collect()}
+    assert got["code"] == 400
+    # hash sampling is approximate for the non-binding domains (±~5%)
+    assert abs(got["web"] - 800) < 80 and abs(got["books"] - 400) < 60
+    # output mix ≈ target mix
+    tot = sum(got.values())
+    assert abs(got["web"] / tot - 0.5) < 0.05
+
+
+def test_domain_mix_drops_unlisted_and_validates(spark, ids):
+    from pyradiomics_spark.operators.sampling import domain_mix_sample
+
+    df = ids.withColumn(
+        "domain", F.when(F.col("doc_id") < 1000, "web").otherwise("spam"))
+    out, rates = domain_mix_sample(df, "doc_id", "domain", {"web": 1.0})
+    assert out.where("domain = 'spam'").count() == 0
+    assert out.count() == 1000  # single listed domain kept whole
+    with pytest.raises(ValueError, match="non-empty"):
+        domain_mix_sample(df, "doc_id", "domain", {})
+    with pytest.raises(ValueError, match="absent"):
+        domain_mix_sample(df, "doc_id", "domain", {"web": 0.5, "nope": 0.5})
+
+
+def test_domain_mix_deterministic_subset(spark, ids):
+    from pyradiomics_spark.operators.sampling import domain_mix_sample
+
+    df = ids.withColumn(
+        "domain", F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b"))
+    shares = {"a": 0.75, "b": 0.25}
+    a1, _ = domain_mix_sample(df, "doc_id", "domain", shares, seed=3)
+    a2, _ = domain_mix_sample(df.repartition(7), "doc_id", "domain",
+                              shares, seed=3)
+    assert sorted(r.doc_id for r in a1.collect()) == \
+        sorted(r.doc_id for r in a2.collect())
+
+
+def test_ngram_decontaminate_catches_interior_span(spark):
+    from pyradiomics_spark.operators.sampling import ngram_decontaminate
+
+    leak = "the quick brown fox jumps over"   # 6-token span
+    rows = [
+        (0, f"prefix junk {leak} suffix junk here", "train"),  # interior hit
+        (1, "completely unrelated training text with no overlap at all",
+         "train"),
+        (2, f"another doc {leak} twice embedded {leak} again ok", "train"),
+        (10, f"eval question containing {leak} verbatim", "test"),
+        (11, "short eval", "val"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "split"])
+    out = {r.doc_id: r.n_shared_grams
+           for r in ngram_decontaminate(
+               df, "doc_id", "text", n=6).collect()}
+    assert 0 in out and 2 in out and 1 not in out
+    # eval docs are never in the output
+    assert 10 not in out and 11 not in out
+    # doc 0 shares exactly the one 6-gram; doc 2 shares it too (distinct=1)
+    assert out[0] == 1 and out[2] == 1
+
+
+def test_ngram_decontaminate_prefix_equivalence(spark):
+    """With n > every doc length no doc yields grams → empty result; with
+    n=1 it reduces to shared-vocabulary detection."""
+    from pyradiomics_spark.operators.sampling import ngram_decontaminate
+
+    df = spark.createDataFrame(
+        [(0, "a b c", "train"), (1, "c d e", "test")],
+        ["doc_id", "text", "split"])
+    assert ngram_decontaminate(df, "doc_id", "text", n=9).count() == 0
+    out = {r.doc_id: r.n_shared_grams
+           for r in ngram_decontaminate(df, "doc_id", "text", n=1).collect()}
+    assert out == {0: 1}  # only token 'c' shared
+    with pytest.raises(ValueError, match="n must be"):
+        ngram_decontaminate(df, "doc_id", "text", n=0)
