@@ -652,6 +652,48 @@ def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust rolling smoothing (operators/windows.py rolling_median):
+    EXACT interpolated median + p25 over a ±2 row frame per user — the
+    spike-resistant twin of rolling_stats' moments. Spark's exact
+    ``percentile`` window aggregate and DuckDB's ``median``/``quantile_cont``
+    share the linear-interpolation convention, so values are
+    engine-reproducible (percentile_approx would not be)."""
+    from pyradiomics_spark.operators.windows import rolling_median
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value")
+    out = rolling_median(ev, "user_id", ["ts", "event_id"], "value",
+                         radius=2, probs=(0.25,))
+    return out.select(
+        "event_id", "user_id",
+        _rnd("roll_median", 6).alias("roll_median"),
+        _rnd("roll_median_p25", 6).alias("roll_p25"),
+    ).orderBy("event_id")
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier census per language
+    (functions/textstats.py mad_outliers) on document length — the
+    corpus-level analog of the reference's sigma outlier clamp
+    (imageoperations.py normalizeImage), median-based so heavy tails
+    can't drag the threshold. Output: per-lang median, MAD, and flagged
+    count at k=3; the DuckDB twin replays both exact-percentile passes
+    and the 1.4826 consistency scaling."""
+    from pyradiomics_spark.functions.textstats import mad_outliers
+
+    docs = _read(spark, sf_dir, "documents").select("lang", "n_chars")
+    out = mad_outliers(docs, "n_chars", "lang", k=3.0)
+    return (
+        out.groupBy("lang")
+        .agg(_rnd(F.first("grp_median"), 6).alias("med"),
+             _rnd(F.first("grp_mad"), 6).alias("mad"),
+             F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+             F.count("*").alias("n"))
+        .orderBy("lang")
+    )
+
+
 def q_ngtdm_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NGTDM n_i/s_i built relationally (window neighbor mean, SURVEY §2.4)."""
     from pyradiomics_spark.operators.windows import ngtdm_window
@@ -2152,6 +2194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_step": q_logreg_step,
         "domain_mix": q_domain_mix,
         "ngram_decon": q_ngram_decon,
+        "rolling_median": q_rolling_median,
+        "mad_outliers": q_mad_outliers,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -3263,6 +3307,42 @@ def oracle_sql() -> dict[str, str]:
         "logreg_step": logreg_step_sql,
         "domain_mix": domain_mix_sql,
         "ngram_decon": ngram_decon_sql,
+        "rolling_median": """
+            SELECT event_id, user_id,
+                   floor((median(value) OVER w) * 1e6
+                         + 0.50000095367431640625) / 1e6 AS roll_median,
+                   floor((quantile_cont(value, 0.25) OVER w) * 1e6
+                         + 0.50000095367431640625) / 1e6 AS roll_p25
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+            ORDER BY event_id
+        """,
+        "mad_outliers": """
+            WITH med AS (
+              SELECT lang, median(n_chars) AS grp_median
+              FROM documents GROUP BY lang
+            ), mad AS (
+              SELECT d.lang, m.grp_median,
+                     median(abs(d.n_chars - m.grp_median)) AS grp_mad
+              FROM documents d JOIN med m USING (lang)
+              GROUP BY d.lang, m.grp_median
+            )
+            SELECT d.lang,
+                   floor(grp_median * 1e6 + 0.50000095367431640625) / 1e6
+                     AS med,
+                   floor(grp_mad * 1e6 + 0.50000095367431640625) / 1e6
+                     AS mad,
+                   CAST(sum(CASE WHEN CASE
+                         WHEN grp_mad = 0.0
+                           THEN d.n_chars <> grp_median
+                         ELSE abs(d.n_chars - grp_median)
+                              > 3.0 * 1.4826 * grp_mad END
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                   count(*) AS n
+            FROM documents d JOIN mad USING (lang)
+            GROUP BY d.lang, grp_median, grp_mad ORDER BY d.lang
+        """,
         "semdedup": semdedup_sql,
         "url_normalize": url_normalize_sql,
         "domain_stats": domain_stats_sql,

@@ -526,3 +526,49 @@ def dsir_log_weights(
         )
     )
     return df.join(per_doc, id_col, "left")
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    k: float = 3.0,
+    consistency: float = 1.4826,
+    out_col: str = "is_outlier",
+):
+    """Robust (median/MAD) outlier flag per group — the corpus-level
+    analog of the reference's sigma outlier clamp
+    (imageoperations.py normalizeImage sigma clip), but median-based so
+    a heavy tail can't drag the threshold: flag rows where
+    ``|x − median| > k · consistency · MAD``. ``consistency=1.4826``
+    rescales MAD to σ-equivalents for Gaussian data; MAD==0 (constant
+    group) flags only values different from the median.
+
+    Scale shape: two grouped EXACT-percentile aggregates (median, then
+    median of |x−median|) + one broadcastable per-group stats join back
+    — group count is bounded (languages/domains), never a window over
+    the corpus. Returns the input plus (grp_median, grp_mad, out_col).
+    """
+    v = F.col(value_col).cast("double")
+    keys = [group_col] if group_col else []
+    med_agg = F.expr(f"percentile({value_col}, 0.5)").alias("grp_median")
+    if keys:
+        med = df.groupBy(*keys).agg(med_agg)
+        j1 = df.join(F.broadcast(med), keys)
+    else:
+        med = df.agg(med_agg)
+        j1 = df.crossJoin(F.broadcast(med))
+    mad_agg = F.expr(
+        "percentile(abs(cast({v} as double) - grp_median), 0.5)".format(
+            v=value_col)).alias("grp_mad")
+    if keys:
+        mad = j1.groupBy(*keys, "grp_median").agg(mad_agg)
+        out = df.join(F.broadcast(mad), keys)
+    else:
+        mad = j1.groupBy("grp_median").agg(mad_agg)
+        out = df.crossJoin(F.broadcast(mad))
+    thresh = F.lit(float(k)) * F.lit(float(consistency)) * F.col("grp_mad")
+    return out.withColumn(
+        out_col,
+        F.when(F.col("grp_mad") == 0.0, v != F.col("grp_median"))
+        .otherwise(F.abs(v - F.col("grp_median")) > thresh))

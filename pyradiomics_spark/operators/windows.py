@@ -164,3 +164,38 @@ def gldm_window(
                 nbr.isNotNull() & (F.abs(F.col(level_col) - nbr) <= alpha), 1
             ).otherwise(0)
     return df.withColumn("dependence", dep)
+
+
+def rolling_median(
+    df: DataFrame,
+    on,
+    order_by,
+    value_col: str,
+    radius: int,
+    out_col: str = "roll_median",
+    probs: tuple = (),
+) -> DataFrame:
+    """EXACT rolling median (and optional extra percentiles) over frame
+    rowsBetween(-radius, +radius) — the robust twin of
+    ``rolling_firstorder``'s mean, for spike-resistant temporal feature
+    smoothing. Spark's ``percentile`` aggregate is exact with linear
+    interpolation, the same convention as DuckDB/numpy, so the result is
+    engine-reproducible (unlike ``percentile_approx``).
+
+    Scale shape: one window per partition key, frame-bounded state (the
+    2·radius+1 frame is re-sorted per row by the percentile aggregate —
+    O(frame log frame) per row, fine for the small radii rolling features
+    use; for radius ≫ 100 prefer rolling_firstorder's moments).
+    """
+    w = (
+        Window.partitionBy(*_keys(on))
+        .orderBy(*_keys(order_by))
+        .rowsBetween(-radius, radius)
+    )
+    out = df.withColumn(
+        out_col, F.expr(f"percentile({value_col}, 0.5)").over(w))
+    for p in probs:
+        out = out.withColumn(
+            f"{out_col}_p{int(round(p * 100))}",
+            F.expr(f"percentile({value_col}, {p!r})").over(w))
+    return out

@@ -153,3 +153,30 @@ def test_batch_text_to_intensity_unicode_whitespace_exhaustive():
     got = batch_text_to_intensity(texts)
     for t, g in zip(texts, got):
         assert np.array_equal(g, text_to_intensity(t)), repr(t)
+
+
+def test_mad_outliers_grouped(spark):
+    from pyradiomics_spark.functions.textstats import mad_outliers
+
+    rows = ([("en", float(v)) for v in (1, 2, 3, 4, 5, 100)]
+            + [("de", float(v)) for v in (10, 20, 30, 40, 50)])
+    df = spark.createDataFrame(rows, ["lang", "v"])
+    out = mad_outliers(df, "v", "lang")
+    en = {r.v: r.is_outlier for r in out.where("lang='en'").collect()}
+    assert en[100.0] is True and not any(en[v] for v in (1.0, 5.0))
+    # per-group stats are independent
+    de = out.where("lang='de'").first()
+    assert de.grp_median == 30.0 and de.grp_mad == 10.0
+
+
+def test_mad_outliers_constant_group_and_global(spark):
+    from pyradiomics_spark.functions.textstats import mad_outliers
+
+    df = spark.createDataFrame(
+        [("a", 7.0)] * 5 + [("a", 9.0)], ["g", "v"])
+    out = {(r.v): r.is_outlier for r in mad_outliers(df, "v", "g").collect()}
+    # MAD == 0: only the value off the median is flagged
+    assert out[9.0] is True and out[7.0] is False
+    # global (no group) arm
+    g = mad_outliers(df, "v", None)
+    assert g.where("is_outlier").count() == 1

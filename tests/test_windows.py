@@ -151,3 +151,43 @@ def test_leakage_audit(spark, events):
         assert v["rts"] > 0
         with pytest.raises(AssertionError):
             assert_no_leakage(leaky, "ts", "rts")
+
+
+def test_rolling_median_exact_and_interpolated(spark):
+    from pyradiomics_spark.operators.windows import rolling_median
+
+    vals = [1.0, 9.0, 2.0, 8.0, 3.0, 100.0, 4.0]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)], ["g", "i", "v"])
+    got = {r.i: (r.roll_median, r.roll_median_p25)
+           for r in rolling_median(df, "g", "i", "v", 1,
+                                   probs=(0.25,)).collect()}
+    import numpy as np
+    for i in range(len(vals)):
+        frame = vals[max(0, i - 1):i + 2]
+        assert got[i][0] == pytest.approx(np.median(frame))
+        assert got[i][1] == pytest.approx(np.percentile(frame, 25))
+
+
+def test_rolling_median_spike_resistance(spark):
+    """The robustness property rolling mean lacks: one spike never moves
+    the median of a frame it doesn't dominate."""
+    from pyradiomics_spark.operators.windows import rolling_median
+
+    base = [("k", i, 5.0) for i in range(9)]
+    spiked = [(g, i, 1e9 if i == 4 else v) for g, i, v in base]
+    df = spark.createDataFrame(spiked, ["g", "i", "v"])
+    out = {r.i: r.roll_median
+           for r in rolling_median(df, "g", "i", "v", 2).collect()}
+    assert all(out[i] == 5.0 for i in range(9))
+
+
+def test_rolling_median_partition_isolation(spark):
+    from pyradiomics_spark.operators.windows import rolling_median
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, 3.0), ("b", 0, 100.0), ("b", 1, 200.0)],
+        ["g", "i", "v"])
+    out = {(r.g, r.i): r.roll_median
+           for r in rolling_median(df, "g", "i", "v", 5).collect()}
+    assert out[("a", 0)] == 2.0 and out[("b", 0)] == 150.0
