@@ -1713,6 +1713,30 @@ def q_ngram_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed second-moment (gram) matrix of the embedding corpus
+    (operators/decomp.py gram_moments — the PCA/whitening data pass):
+    per-batch BLAS partials reduced in ONE groupBy whose shuffle is
+    dim(dim+1)/2 rows per partition regardless of corpus size. Output =
+    the mean outer product E[x xᵀ] upper triangle (mean, not sum, so the
+    1e-6 rounding dominates cross-engine summation-order noise); the
+    DuckDB twin recomputes it by unnest self-join. The downstream
+    eigendecomposition (pca_fit) is driver-side numpy — pinned by
+    tests/test_decomp.py, no exact SQL twin (same status as GLCM MCC)."""
+    from pyradiomics_spark.operators.decomp import gram_moments
+
+    emb = _read(spark, sf_dir, "embeddings").select("embedding")
+    n = emb.count()
+    g = gram_moments(emb, "embedding", 64, with_moments=False)
+    return (
+        g.select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            _rnd(F.col("value") / F.lit(float(n)), 6).alias("m2"))
+        .orderBy("i", "j")
+    )
+
+
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN end-to-end vs exact brute force: recall@5 per query (5
     queries, 8 deterministic md5-seeded centroids, nprobe=2). The DuckDB
@@ -2196,6 +2220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_decon": q_ngram_decon,
         "rolling_median": q_rolling_median,
         "mad_outliers": q_mad_outliers,
+        "gram_matrix": q_gram_matrix,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -3307,6 +3332,24 @@ def oracle_sql() -> dict[str, str]:
         "logreg_step": logreg_step_sql,
         "domain_mix": domain_mix_sql,
         "ngram_decon": ngram_decon_sql,
+        "gram_matrix": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+            ), n AS (SELECT count(*)::DOUBLE AS cnt FROM e
+            ), ex AS (
+              SELECT vec_id, generate_subscripts(v, 1) - 1 AS i,
+                     unnest(v) AS xi
+              FROM e
+            )
+            SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+                   floor(sum(a.xi * b.xi) / any_value(n.cnt) * 1e6
+                         + 0.50000095367431640625) / 1e6 AS m2
+            FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+            CROSS JOIN n
+            GROUP BY a.i, b.i ORDER BY i, j
+        """,
         "rolling_median": """
             SELECT event_id, user_id,
                    floor((median(value) OVER w) * 1e6
