@@ -672,6 +672,55 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch end-to-end (operators/sketches.py): build a
+    256×4 sketch over all document tokens (fixed-size mergeable state —
+    the crawl-monitoring move at 10^12 pages), then point-query it for
+    the exact top-10 tokens. Output (tok, exact_n, cms_n) — the DuckDB
+    twin replays the md5 hash family bit-for-bit, so the sketch counts
+    (collisions included) are strict-exact, and cms_n ≥ exact_n (the
+    CMS one-sided guarantee) is visible in the gated values."""
+    from pyradiomics_spark.operators.sketches import cms_estimate, cms_sketch
+
+    toks = (
+        _read(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    sk = cms_sketch(toks, "tok", width=256, depth=4, seed=9)
+    top10 = (
+        toks.groupBy("tok").agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "tok").limit(10)
+    )
+    est = cms_estimate(sk, top10.select("tok"), "tok",
+                       width=256, depth=4, seed=9)
+    return (
+        top10.join(est, "tok")
+        .select("tok", "exact_n", F.col("cms_count").alias("cms_n"))
+        .orderBy(F.desc("exact_n"), "tok")
+    )
+
+
+def q_decayed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed recency features per user
+    (operators/windows.py decayed_features): decayed sum/count of event
+    values with a 1-day half-life — the leakage-free "decayed activity"
+    feature, factored into plain window aggregates via the per-entity
+    exponent rebase (no recursion, no Python, one Exchange shared with
+    the other per-user windows). RANGE-frame tie rows are peers in both
+    engines; the DuckDB twin replays the identical rebased arithmetic."""
+    from pyradiomics_spark.operators.windows import decayed_features
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value")
+    out = decayed_features(ev, "user_id", "ts", "value", half_life=86400.0)
+    return out.select(
+        "event_id", "user_id",
+        _rnd("decayed_sum", 6).alias("decayed_sum"),
+        _rnd("decayed_count", 6).alias("decayed_count"),
+    ).orderBy("event_id")
+
+
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD robust outlier census per language
     (functions/textstats.py mad_outliers) on document length — the
@@ -2221,6 +2270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_median": q_rolling_median,
         "mad_outliers": q_mad_outliers,
         "gram_matrix": q_gram_matrix,
+        "decayed_features": q_decayed_features,
+        "cms_counts": q_cms_counts,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -3332,6 +3383,56 @@ def oracle_sql() -> dict[str, str]:
         "logreg_step": logreg_step_sql,
         "domain_mix": domain_mix_sql,
         "ngram_decon": ngram_decon_sql,
+        "cms_counts": """
+            WITH t AS (
+              SELECT tok FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+              WHERE tok <> ''
+            ), ds AS (
+              SELECT unnest(generate_series(0, 3)) AS d
+            ), top10 AS (
+              SELECT tok, count(*) AS exact_n FROM t
+              GROUP BY tok ORDER BY exact_n DESC, tok LIMIT 10
+            ), sketch AS (
+              SELECT d,
+                     ('0x' || substr(md5(t.tok || ':' || (9 + d)), 1, 8))
+                       ::BIGINT % 256 AS cell,
+                     count(*) AS cnt
+              FROM t CROSS JOIN ds GROUP BY d, cell
+            ), q AS (
+              SELECT top10.tok, top10.exact_n, ds.d,
+                     ('0x' || substr(md5(top10.tok || ':' || (9 + ds.d)),
+                                     1, 8))::BIGINT % 256 AS cell
+              FROM top10 CROSS JOIN ds
+            )
+            SELECT q.tok, any_value(q.exact_n) AS exact_n,
+                   min(coalesce(s.cnt, 0)) AS cms_n
+            FROM q LEFT JOIN sketch s ON q.d = s.d AND q.cell = s.cell
+            GROUP BY q.tok ORDER BY exact_n DESC, tok
+        """,
+        "decayed_features": """
+            WITH e AS (
+              SELECT event_id, user_id, epoch(ts) AS t, value FROM events
+            ), r AS (
+              SELECT *, min(t) OVER (PARTITION BY user_id) AS t0 FROM e
+            ), s AS (
+              SELECT event_id, user_id, t, t0,
+                     sum(value * exp((ln(2) / 86400.0) * (t - t0)))
+                       OVER w AS sv,
+                     sum(exp((ln(2) / 86400.0) * (t - t0))) OVER w AS sc
+              FROM r
+              WINDOW w AS (PARTITION BY user_id ORDER BY t
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)
+            )
+            SELECT event_id, user_id,
+                   floor(exp(-(ln(2) / 86400.0) * (t - t0)) * sv * 1e6
+                         + 0.50000095367431640625) / 1e6 AS decayed_sum,
+                   floor(exp(-(ln(2) / 86400.0) * (t - t0)) * sc * 1e6
+                         + 0.50000095367431640625) / 1e6 AS decayed_count
+            FROM s ORDER BY event_id
+        """,
         "gram_matrix": """
             WITH e AS (
               SELECT vec_id,

@@ -1,0 +1,94 @@
+"""Count-min sketch — fixed-size mergeable frequency summaries.
+
+The monitoring half of a web-scale pipeline (which tokens/domains/URLs
+are exploding this crawl?) cannot afford a full census per window; a
+count-min sketch (Cormode & Muthukrishnan 2005) bounds the state at
+depth×width cells with a one-sided error guarantee (estimates only ever
+OVERcount, by ≤ εN with ε = e/width at the usual depth = ⌈ln 1/δ⌉).
+
+Spark-first shape: the sketch IS a tiny DataFrame (depth·width rows) —
+built with one explode + ONE map-side-combined groupBy, so each
+partition ships at most depth·width partial cells no matter how many
+rows it scanned; sketches from different days/shards union+sum to merge
+(the mergeability is the point at 100 TB). Hashing is the engine-wide
+md5 family, so a DuckDB oracle replays the sketch bit-for-bit —
+deterministic, unlike seeded-at-random sketch libraries.
+
+Reference scope note: pyradiomics has no sketch stage; LLM-pipeline
+surface alongside quantile_buckets' GK arm (operators/sampling.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cell(col, d: int, width: int, seed: int) -> Column:
+    """Row d's cell for a value: first 8 md5 hex digits of
+    ``value ':' seed+d`` mod width — same derivation family as
+    sampling.hash_fraction, engine-reproducible."""
+    h = F.md5(F.concat(col.cast("string"), F.lit(f":{seed + d}")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            % F.lit(int(width)))
+
+
+def cms_sketch(
+    df: DataFrame,
+    col,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Build the sketch: rows ``(d, cell, cnt)`` with
+    ``cnt = #values hashing to cell under row d's hash``. Null values
+    are not counted. Union+``groupBy(d, cell).sum`` merges sketches.
+
+    One explode (×depth) + one partial-aggregated groupBy — the shuffle
+    carries ≤ depth·width rows per partition, independent of corpus
+    size."""
+    if width < 1 or depth < 1:
+        raise ValueError("width and depth must be >= 1")
+    c = F.col(col) if isinstance(col, str) else col
+    pairs = F.array(*[
+        F.struct(F.lit(d).alias("d"), _cell(c, d, width, seed).alias("cell"))
+        for d in range(depth)
+    ])
+    return (
+        df.where(c.isNotNull())
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.d").alias("d"), F.col("p.cell").alias("cell"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 0,
+    out_col: str = "cms_count",
+) -> DataFrame:
+    """Point-query the sketch for each row of ``items``: the estimate is
+    ``min over d of sketch[d, h_d(item)]`` (0 if a cell is empty —
+    value never seen). One-sided: ``estimate >= true count`` always.
+
+    Scale shape: items explode ×depth and equi-join the sketch —
+    the sketch side is ≤ depth·width rows, so AQE broadcasts it and the
+    query is one scan of items. width/depth/seed MUST match the build
+    (they parameterize the hash — a mismatch silently queries garbage,
+    so they are explicit arguments, not inferred)."""
+    c = F.col(item_col)
+    pairs = F.array(*[
+        F.struct(F.lit(d).alias("d"), _cell(c, d, width, seed).alias("cell"))
+        for d in range(depth)
+    ])
+    exploded = items.select(c, F.explode(pairs).alias("p")).select(
+        item_col, F.col("p.d").alias("d"), F.col("p.cell").alias("cell"))
+    return (
+        exploded.join(F.broadcast(sketch), ["d", "cell"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
+    )

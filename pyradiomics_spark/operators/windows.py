@@ -199,3 +199,68 @@ def rolling_median(
             f"{out_col}_p{int(round(p * 100))}",
             F.expr(f"percentile({value_col}, {p!r})").over(w))
     return out
+
+
+def decayed_features(
+    df: DataFrame,
+    on,
+    ts_col: str,
+    value_col: str,
+    half_life: float,
+    horizon: float | None = None,
+    prefix: str = "decayed_",
+) -> DataFrame:
+    """Exponentially time-decayed point-in-time features per entity: at
+    each event, ``{prefix}sum`` = Σ over all prior-or-equal events of
+    ``value · 2^(−Δt/half_life)`` and ``{prefix}count`` = the same with
+    value≡1 (the classic leakage-free recency features — "decayed spend",
+    "decayed activity"). ``horizon`` (seconds) bounds the lookback to a
+    RANGE frame; None means all history.
+
+    Implementation: the decayed sum factors as
+    ``e^{−λ(t−t₀)} · Σ v_i e^{λ(t_i−t₀)}`` with λ = ln2/half_life and t₀
+    the per-entity min timestamp, so the Σ is an ordinary cumulative /
+    range-frame window sum — pure JVM window aggregates, no recursion,
+    no Python, no self-join. Rows with equal timestamps are RANGE-frame
+    peers: they share the full tie group's sum in both engines (ties are
+    simultaneous events — no intra-tie ordering is defensible).
+
+    Numerics: exponents are rebased per entity, so overflow needs
+    λ·(entity time span) > ~700 — a half-life of 1 day allows ~2.7 years
+    of per-entity history; longer spans need a longer half-life or a
+    chunked rebase (raise at the call site, not silently inf). Spark and
+    DuckDB both evaluate exp in IEEE doubles; cross-engine noise is ulp-
+    scale and absorbed by the gate's 1e-6 rounding.
+
+    Scale shape: two window passes over one entity-partitioned sort
+    (min-rebase, then the framed sum) — the same single shuffle the
+    downstream lag/lead features already pay; reusing the partitioning
+    means Catalyst plans ONE Exchange for the whole feature block.
+    """
+    import math
+
+    lam = math.log(2.0) / float(half_life)
+    t = _epoch(ts_col)
+    went = Window.partitionBy(*_keys(on))
+    t0 = F.min(t).over(went)
+    if horizon is None:
+        lo = Window.unboundedPreceding
+    else:
+        # the DataFrame rangeBetween API takes long bounds — whole seconds
+        if float(horizon) != int(horizon):
+            raise ValueError("horizon must be whole seconds")
+        lo = -int(horizon)
+    w = (
+        Window.partitionBy(*_keys(on))
+        .orderBy(t)
+        .rangeBetween(lo, 0)
+    )
+    rebased = F.exp(F.lit(lam) * (t - t0))
+    decay_now = F.exp(-F.lit(lam) * (t - t0))
+    v = F.col(value_col).cast("double")
+    return (
+        df.withColumn(f"{prefix}sum",
+                      decay_now * F.sum(v * rebased).over(w))
+        .withColumn(f"{prefix}count",
+                    decay_now * F.sum(rebased).over(w))
+    )

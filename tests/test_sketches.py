@@ -1,0 +1,72 @@
+"""Count-min sketch (operators/sketches.py): one-sided error guarantee,
+exactness below saturation, mergeability, and determinism."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyradiomics_spark.operators.sketches import cms_estimate, cms_sketch
+
+
+@pytest.fixture(scope="module")
+def zipf_tokens(spark):
+    rng = np.random.default_rng(11)
+    toks = [f"tok{z}" for z in rng.zipf(1.5, 3000) if z < 500]
+    return spark.createDataFrame([(t,) for t in toks], ["tok"]), toks
+
+
+def test_estimate_never_undercounts(spark, zipf_tokens):
+    df, toks = zipf_tokens
+    sk = cms_sketch(df, "tok", width=64, depth=4)  # narrow → collisions
+    items = df.select("tok").distinct()
+    est = {r.tok: r.cms_count
+           for r in cms_estimate(sk, items, "tok", width=64,
+                                 depth=4).collect()}
+    from collections import Counter
+    true = Counter(toks)
+    assert all(est[t] >= n for t, n in true.items())
+    # ...and within the CMS bound with room to spare for most items
+    n_tot = len(toks)
+    tight = sum(1 for t, n in true.items() if est[t] <= n + n_tot // 8)
+    assert tight > len(true) * 0.9
+
+
+def test_exact_when_unsaturated(spark):
+    df = spark.createDataFrame(
+        [(f"v{i % 5}",) for i in range(100)], ["tok"])
+    sk = cms_sketch(df, "tok", width=4096, depth=4)
+    est = {r.tok: r.cms_count
+           for r in cms_estimate(sk, df.distinct(), "tok", width=4096,
+                                 depth=4).collect()}
+    assert est == {f"v{i}": 20 for i in range(5)}
+
+
+def test_unseen_item_estimates_zero_on_empty_cells(spark):
+    df = spark.createDataFrame([("a",)], ["tok"])
+    sk = cms_sketch(df, "tok", width=4096, depth=4)
+    items = spark.createDataFrame([("zzz-never-seen",)], ["tok"])
+    est = cms_estimate(sk, items, "tok", width=4096, depth=4).first()
+    assert est.cms_count == 0
+
+
+def test_merge_equals_single_build(spark, zipf_tokens):
+    df, _ = zipf_tokens
+    half1 = df.limit(1000)
+    half2 = df.exceptAll(half1)
+    merged = (
+        cms_sketch(half1, "tok", width=64, depth=4)
+        .unionByName(cms_sketch(half2, "tok", width=64, depth=4))
+        .groupBy("d", "cell").agg(F.sum("cnt").alias("cnt"))
+    )
+    single = cms_sketch(df, "tok", width=64, depth=4)
+    a = {(r.d, r.cell): r.cnt for r in merged.collect()}
+    b = {(r.d, r.cell): r.cnt for r in single.collect()}
+    assert a == b
+
+
+def test_sketch_size_bounded_and_validated(spark, zipf_tokens):
+    df, _ = zipf_tokens
+    sk = cms_sketch(df, "tok", width=32, depth=3)
+    assert sk.count() <= 32 * 3
+    with pytest.raises(ValueError, match=">= 1"):
+        cms_sketch(df, "tok", width=0)

@@ -191,3 +191,58 @@ def test_rolling_median_partition_isolation(spark):
     out = {(r.g, r.i): r.roll_median
            for r in rolling_median(df, "g", "i", "v", 5).collect()}
     assert out[("a", 0)] == 2.0 and out[("b", 0)] == 150.0
+
+
+def test_decayed_features_matches_numpy(spark):
+    import math
+
+    import numpy as np
+
+    from pyradiomics_spark.operators.windows import decayed_features
+
+    rng = np.random.default_rng(3)
+    ts = np.sort(rng.uniform(0, 86400 * 10, 40))
+    vals = rng.normal(10, 3, 40)
+    rows = [("u", float(t), float(v)) for t, v in zip(ts, vals)]
+    df = spark.createDataFrame(rows, ["user", "tsec", "v"]).select(
+        "user", F.col("tsec").cast("timestamp").alias("ts"), "v")
+    out = decayed_features(df, "user", "ts", "v", half_life=86400.0)
+    got = [(r.decayed_sum, r.decayed_count)
+           for r in out.orderBy("ts").collect()]
+    lam = math.log(2.0) / 86400.0
+    for i, (gs, gc) in enumerate(got):
+        w = np.exp(-lam * (ts[i] - ts[: i + 1]))
+        assert gs == pytest.approx((vals[: i + 1] * w).sum(), rel=1e-10)
+        assert gc == pytest.approx(w.sum(), rel=1e-10)
+
+
+def test_decayed_features_horizon_and_halflife(spark):
+    from pyradiomics_spark.operators.windows import decayed_features
+
+    rows = [("u", float(t), 1.0) for t in (0, 100, 200, 300)]
+    df = spark.createDataFrame(rows, ["user", "tsec", "v"]).select(
+        "user", F.col("tsec").cast("timestamp").alias("ts"), "v")
+    # horizon 150s: at t=300 only t=200,300 are in frame
+    out = {r.ts.timestamp() % 1000: r.decayed_count
+           for r in decayed_features(df, "user", "ts", "v", half_life=100.0,
+                                     horizon=150.0).collect()}
+    assert out[300.0] == pytest.approx(1.0 + 0.5)  # self + 2^-1
+    # a value exactly one half-life back contributes exactly half
+    out2 = decayed_features(df, "user", "ts", "v",
+                            half_life=100.0).orderBy("ts").collect()
+    assert out2[1].decayed_count == pytest.approx(1.5)
+
+
+def test_decayed_features_entity_isolation_and_ties(spark):
+    from pyradiomics_spark.operators.windows import decayed_features
+
+    rows = [("a", 0.0, 5.0), ("a", 10.0, 5.0),
+            ("b", 10.0, 100.0), ("b", 10.0, 100.0)]  # b: tied timestamps
+    df = spark.createDataFrame(rows, ["user", "tsec", "v"]).select(
+        "user", F.col("tsec").cast("timestamp").alias("ts"), "v")
+    out = decayed_features(df, "user", "ts", "v", half_life=10.0)
+    b = out.where("user = 'b'").collect()
+    # RANGE peers: both tied rows see the full tie group
+    assert all(r.decayed_sum == pytest.approx(200.0) for r in b)
+    a = out.where("user = 'a'").orderBy("ts").collect()
+    assert a[0].decayed_sum == pytest.approx(5.0)  # no cross-entity leak
