@@ -116,6 +116,11 @@ def main() -> None:
         "lexical_diversity", "dup_ngram_coverage", "gopher_filter",
         "quantile_buckets", "ccnet_tiers", "semdedup", "segment_dedup",
         "pii_redact", "dsir_weights", "url_normalize",
+        # round 5 late additions: in-engine classifier training, domain
+        # mixing, span-level decontamination, robust/decayed temporal
+        # features, second-moment reduction, CMS monitoring
+        "logreg_step", "domain_mix", "ngram_decon", "rolling_median",
+        "mad_outliers", "gram_matrix", "decayed_features", "cms_counts",
     ]
     for name in headline:
         if name not in qs:
