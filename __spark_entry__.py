@@ -701,6 +701,28 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog register census
+    (operators/sketches.py hll_registers): p=10 sketch of the document
+    token stream — the fixed-state distinct counter for 10^12-page URL/
+    vocab monitoring, built with the md5 hash family and EXACT integer
+    bit-length (never floating log2), so the full register table is
+    bit-identical across engines: the DuckDB twin replays the 60-bit
+    hash split with shifts/masks. Integer-exact — the strongest sketch
+    gate (the estimate itself is driver arithmetic, pytest-pinned)."""
+    from pyradiomics_spark.operators.sketches import hll_registers
+
+    toks = (
+        _read(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    regs = hll_registers(toks, "tok", p=10, seed=9)
+    return regs.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("rho").cast("long").alias("rho")).orderBy("bucket")
+
+
 def q_decayed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially time-decayed recency features per user
     (operators/windows.py decayed_features): decayed sum/count of event
@@ -2272,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gram_matrix": q_gram_matrix,
         "decayed_features": q_decayed_features,
         "cms_counts": q_cms_counts,
+        "hll_registers": q_hll_registers,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -3383,6 +3406,26 @@ def oracle_sql() -> dict[str, str]:
         "logreg_step": logreg_step_sql,
         "domain_mix": domain_mix_sql,
         "ngram_decon": ngram_decon_sql,
+        "hll_registers": """
+            WITH t AS (
+              SELECT tok FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+              WHERE tok <> ''
+            ), h AS (
+              SELECT ('0x' || substr(md5(tok || ':9'), 1, 15))::BIGINT AS h
+              FROM t
+            ), b AS (
+              SELECT h >> 50 AS bucket,
+                     h & ((1::BIGINT << 50) - 1) AS w
+              FROM h
+            )
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(max(CASE WHEN w = 0 THEN 51
+                                 ELSE 51 - length(bin(w)) END) AS BIGINT)
+                     AS rho
+            FROM b GROUP BY bucket ORDER BY bucket
+        """,
         "cms_counts": """
             WITH t AS (
               SELECT tok FROM (

@@ -92,3 +92,62 @@ def cms_estimate(
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
     )
+
+
+def hll_registers(
+    df: DataFrame,
+    col,
+    p: int = 10,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic HyperLogLog register table: rows ``(bucket, rho)``
+    for the 2^p observed buckets, ``rho`` = max over the bucket's values
+    of (leading zeros of the 50-bit hash suffix + 1). Unlike
+    ``approx_count_distinct`` (whose sketch is engine-internal), the
+    hash is the repo's md5 family — two engines, or two runs of two
+    different clusters, build THE SAME registers, so sketch state can be
+    checkpointed, diffed, and oracle-verified. Merge = union +
+    ``groupBy(bucket).max(rho)``; fixed ≤ 2^p rows of state.
+
+    Bit layout: 60-bit hash (15 md5 hex chars — stays positive in an
+    int64 in every engine), top ``p`` bits = bucket, low ``60−p`` bits =
+    suffix; rho via EXACT integer bit-length (``length(bin(w))``), never
+    floating log2 (which misrounds at powers of two).
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(
+        F.substring(F.md5(F.concat(c.cast("string"), F.lit(f":{seed}"))),
+                    1, 15), 16, 10).cast("long")
+    suffix_bits = 60 - p
+    # bit shifts, NOT `/` (double division — loses bits above 2^53 and
+    # can flip a bucket near a power-of-two boundary)
+    bucket = F.shiftright(h, suffix_bits)
+    w = h.bitwiseAND(F.lit(2 ** suffix_bits - 1))
+    rho = F.when(w == 0, F.lit(suffix_bits + 1)).otherwise(
+        F.lit(suffix_bits + 1) - F.length(F.bin(w)))
+    return (
+        df.where(c.isNotNull())
+        .select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 10):
+    """Cardinality estimate from a register table (driver-side, O(2^p)):
+    the standard HLL harmonic mean with the small-range linear-counting
+    correction. Returns ``(estimate: float, nonzero_buckets: int)``."""
+    import math
+
+    m = 2 ** p
+    rows = registers.collect()
+    nonzero = len(rows)
+    inv = float(m - nonzero) + sum(2.0 ** -r["rho"] for r in rows)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / inv
+    zeros = m - nonzero
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return est, nonzero

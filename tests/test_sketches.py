@@ -70,3 +70,62 @@ def test_sketch_size_bounded_and_validated(spark, zipf_tokens):
     assert sk.count() <= 32 * 3
     with pytest.raises(ValueError, match=">= 1"):
         cms_sketch(df, "tok", width=0)
+
+
+def _py_hll(values, p=10, seed=0):
+    """Pure-python register twin."""
+    import hashlib
+    regs = {}
+    sb = 60 - p
+    for v in values:
+        h = int(hashlib.md5(f"{v}:{seed}".encode()).hexdigest()[:15], 16)
+        b, w = h >> sb, h & ((1 << sb) - 1)
+        rho = sb + 1 if w == 0 else sb + 1 - w.bit_length()
+        regs[b] = max(regs.get(b, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_python_twin(spark):
+    from pyradiomics_spark.operators.sketches import hll_registers
+
+    vals = [f"url{i}" for i in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["u"])
+    got = {r.bucket: r.rho
+           for r in hll_registers(df, "u", p=8, seed=3).collect()}
+    assert got == _py_hll(vals, p=8, seed=3)
+
+
+def test_hll_estimate_accuracy(spark):
+    from pyradiomics_spark.operators.sketches import (hll_estimate,
+                                                      hll_registers)
+
+    # duplicates must not move the estimate: distinct semantics
+    vals = [f"item{i % 5000}" for i in range(20000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["u"])
+    regs = hll_registers(df, "u", p=10)
+    est, nonzero = hll_estimate(regs, p=10)
+    # HLL rel error ~ 1.04/sqrt(1024) ≈ 3.3%; allow 3 sigma
+    assert abs(est - 5000) / 5000 < 0.10
+    assert nonzero <= 1024
+
+
+def test_hll_merge_and_small_range(spark):
+    from pyspark.sql import functions as F
+
+    from pyradiomics_spark.operators.sketches import (hll_estimate,
+                                                      hll_registers)
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], ["u"])
+    b = spark.createDataFrame([(f"a{i}",) for i in range(150, 450)], ["u"])
+    merged = (
+        hll_registers(a, "u").unionByName(hll_registers(b, "u"))
+        .groupBy("bucket").agg(F.max("rho").alias("rho"))
+    )
+    single = hll_registers(a.unionByName(b), "u")
+    assert ({(r.bucket, r.rho) for r in merged.collect()}
+            == {(r.bucket, r.rho) for r in single.collect()})
+    est, _ = hll_estimate(single, p=10)
+    # 450 distinct « 2.5·1024: linear-counting regime, tight accuracy
+    assert abs(est - 450) / 450 < 0.05
+    with pytest.raises(ValueError, match="p must be"):
+        hll_registers(a, "u", p=2)
