@@ -701,6 +701,24 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus CDF/rank normalization of document length
+    (operators/sampling.py rank_normalize) — the quantile feature
+    transform computed WITHOUT a global window: exact-percentile bucket
+    cuts + broadcast offsets + per-bucket rank arithmetic, tie groups
+    intact. The DuckDB twin uses the textbook global-window form
+    ((rank−1)/n and cume_dist), so the gate proves the distributed
+    decomposition equals the single-node definition exactly."""
+    from pyradiomics_spark.operators.sampling import rank_normalize
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = rank_normalize(docs, "n_chars", num_buckets=16)
+    return out.select(
+        "doc_id",
+        _rnd("cdf_strict", 6).alias("cdf_strict"),
+        _rnd("cdf", 6).alias("cdf")).orderBy("doc_id")
+
+
 def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog register census
     (operators/sketches.py hll_registers): p=10 sketch of the document
@@ -2295,6 +2313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_features": q_decayed_features,
         "cms_counts": q_cms_counts,
         "hll_registers": q_hll_registers,
+        "rank_normalize": q_rank_normalize,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -3406,6 +3425,20 @@ def oracle_sql() -> dict[str, str]:
         "logreg_step": logreg_step_sql,
         "domain_mix": domain_mix_sql,
         "ngram_decon": ngram_decon_sql,
+        "rank_normalize": """
+            WITH r AS (
+              SELECT doc_id,
+                     (rank() OVER (ORDER BY n_chars) - 1)::DOUBLE
+                       / count(*) OVER () AS cdf_strict,
+                     cume_dist() OVER (ORDER BY n_chars) AS cdf
+              FROM documents
+            )
+            SELECT doc_id,
+                   floor(cdf_strict * 1e6 + 0.50000095367431640625) / 1e6
+                     AS cdf_strict,
+                   floor(cdf * 1e6 + 0.50000095367431640625) / 1e6 AS cdf
+            FROM r ORDER BY doc_id
+        """,
         "hll_registers": """
             WITH t AS (
               SELECT tok FROM (

@@ -446,3 +446,78 @@ def ngram_decontaminate(
         .groupBy(id_col)
         .agg(F.count_distinct("__g").alias("n_shared_grams"))
     )
+
+
+def rank_normalize(
+    df: DataFrame,
+    value_col: str,
+    out_col: str = "cdf",
+    num_buckets: int = 64,
+    relative_error: float | None = None,
+):
+    """Corpus rank/CDF normalization (the quantile transform): adds
+    ``{out_col}_strict`` = (#values < v)/n and ``{out_col}`` =
+    (#values ≤ v)/n per row — the uniform-marginal feature scaling
+    robust to any input distribution, and the per-doc form of corpus
+    percentile signals (a doc's length/perplexity percentile). Null
+    values pass through with null outputs.
+
+    Scale shape — the global-rank problem WITHOUT a global window:
+    corpus quantile boundaries (ONE exact-percentile agg; GK-sketch arm
+    via ``relative_error``) cut the corpus into ``num_buckets``
+    value-ordered buckets; per-bucket counts (≤ num_buckets rows) come
+    to the driver once and return as a broadcast offset table; inside a
+    bucket ``rank()``/descending ``rank()`` windows give exact
+    strictly-less / strictly-greater counts, tie groups intact (rank,
+    not row_number — no arbitrary tie order). Same discipline as
+    ``deterministic_shuffle``: bounded per-bucket sorts, one balanced
+    shuffle, identical result at any partitioning. Boundary-straddling
+    tie groups are safe: boundaries only place a row in a bucket; the
+    strict/equal counts come from rank arithmetic against GLOBAL offsets,
+    and equal values always land in the same bucket (value-deterministic
+    cut).
+    """
+    v = F.col(value_col).cast("double")
+    probs = tuple((i + 1) / num_buckets for i in range(num_buckets - 1))
+    pr = F.array(*[F.lit(float(p)) for p in probs])
+    if relative_error is not None:
+        agg = F.percentile_approx(v, pr, F.lit(int(round(1.0 / relative_error))))
+    else:
+        agg = F.percentile(v, pr)
+    brow = df.agg(agg.alias("__b")).collect()[0]["__b"]
+    bounds = [float(x) for x in (brow or [])]
+    bucket = F.when(v.isNotNull(), F.lit(0))
+    expr = F.lit(0)
+    for b in bounds:
+        expr = expr + F.when(v > F.lit(b), 1).otherwise(0)
+    bucket = F.when(v.isNotNull(), expr).cast("int")
+    src = df.withColumn("__rn_bucket", bucket)
+    counts = {r["__rn_bucket"]: r["cnt"] for r in
+              src.where(v.isNotNull())
+              .groupBy("__rn_bucket").agg(F.count("*").alias("cnt"))
+              .collect()}
+    n = sum(counts.values())
+    offsets, acc = [], 0
+    for b in sorted(counts):
+        offsets.append((b, acc, n - acc - counts[b]))
+        acc += counts[b]
+    spark = df.sparkSession
+    odf = spark.createDataFrame(
+        offsets or [(0, 0, 0)],
+        "__rn_bucket int, __rn_below long, __rn_above long")
+    wa = Window.partitionBy("__rn_bucket").orderBy(v.asc())
+    wd = Window.partitionBy("__rn_bucket").orderBy(v.desc())
+    out = (
+        src.join(F.broadcast(odf), "__rn_bucket", "left")
+        .withColumn("__lt", F.col("__rn_below") + F.rank().over(wa) - 1)
+        .withColumn("__gt", F.col("__rn_above") + F.rank().over(wd) - 1)
+        .withColumn(
+            f"{out_col}_strict",
+            F.when(v.isNotNull(), F.col("__lt") / F.lit(float(n))))
+        .withColumn(
+            out_col,
+            F.when(v.isNotNull(),
+                   (F.lit(float(n)) - F.col("__gt")) / F.lit(float(n))))
+        .drop("__rn_bucket", "__rn_below", "__rn_above", "__lt", "__gt")
+    )
+    return out

@@ -355,3 +355,51 @@ def test_ngram_decontaminate_prefix_equivalence(spark):
     assert out == {0: 1}  # only token 'c' shared
     with pytest.raises(ValueError, match="n must be"):
         ngram_decontaminate(df, "doc_id", "text", n=0)
+
+
+def test_rank_normalize_matches_numpy(spark):
+    import numpy as np
+
+    from pyradiomics_spark.operators.sampling import rank_normalize
+
+    rng = np.random.default_rng(5)
+    vals = np.round(rng.normal(50, 10, 500), 2)  # rounding forces ties
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], ["id", "v"])
+    out = {r.id: (r.cdf_strict, r.cdf)
+           for r in rank_normalize(df, "v", num_buckets=8).collect()}
+    n = len(vals)
+    for i, v in enumerate(vals):
+        lt = float((vals < v).sum())
+        le = float((vals <= v).sum())
+        assert out[i][0] == pytest.approx(lt / n, abs=1e-12)
+        assert out[i][1] == pytest.approx(le / n, abs=1e-12)
+
+
+def test_rank_normalize_bucket_invariance_and_ties(spark):
+    from pyradiomics_spark.operators.sampling import rank_normalize
+
+    vals = [1.0] * 10 + [2.0] * 5 + [3.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["id", "v"])
+    a = {r.id: (r.cdf_strict, r.cdf)
+         for r in rank_normalize(df, "v", num_buckets=2).collect()}
+    b = {r.id: (r.cdf_strict, r.cdf)
+         for r in rank_normalize(df.repartition(7), "v",
+                                 num_buckets=16).collect()}
+    assert a == b
+    # all members of a tie group share BOTH cdfs
+    assert a[0] == (0.0, 10 / 16) and a[0] == a[9]
+    assert a[10] == (10 / 16, 15 / 16)
+    assert a[15] == (15 / 16, 1.0)
+
+
+def test_rank_normalize_null_passthrough(spark):
+    from pyradiomics_spark.operators.sampling import rank_normalize
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, None), (2, 2.0)], "id long, v double")
+    out = {r.id: (r.cdf_strict, r.cdf)
+           for r in rank_normalize(df, "v").collect()}
+    assert out[1] == (None, None)
+    assert out[0] == (0.0, 0.5) and out[2] == (0.5, 1.0)
