@@ -701,6 +701,32 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom membership (operators/sketches.py
+    bloom_build/bloom_contains), decontamination-shaped: the filter is
+    built over the 'de' documents' vocabulary, then the ENTIRE corpus
+    vocabulary probes it. One-sided by construction — every true 'de'
+    token answers true (no false negatives), non-members answer true
+    only at the designed fp rate. The md5 bit positions are replayed
+    bit-for-bit by the DuckDB twin, so the gated values pin the exact
+    filter state AND every membership answer, false positives included."""
+    from pyradiomics_spark.operators.sketches import (bloom_build,
+                                                      bloom_contains)
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")).where(
+        F.col("tok") != "")
+    de = toks.where(F.col("lang") == "de").select("tok").distinct()
+    vocab = toks.select("tok").distinct()
+    bloom = bloom_build(de, "tok", n_bits=4096, n_hashes=3, seed=2)
+    return (
+        bloom_contains(bloom, vocab, "tok", n_bits=4096, n_hashes=3, seed=2)
+        .select("tok", "maybe_member")
+        .orderBy("tok")
+    )
+
+
 def q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus CDF/rank normalization of document length
     (operators/sampling.py rank_normalize) — the quantile feature
@@ -2314,6 +2340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "hll_registers": q_hll_registers,
         "rank_normalize": q_rank_normalize,
+        "bloom_filter": q_bloom_filter,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -3425,6 +3452,30 @@ def oracle_sql() -> dict[str, str]:
         "logreg_step": logreg_step_sql,
         "domain_mix": domain_mix_sql,
         "ngram_decon": ngram_decon_sql,
+        "bloom_filter": """
+            WITH toks AS (
+              SELECT lang, tok FROM (
+                SELECT lang, unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+              WHERE tok <> ''
+            ), ds AS (SELECT unnest(generate_series(0, 2)) AS d
+            ), de AS (SELECT DISTINCT tok FROM toks WHERE lang = 'de'
+            ), vocab AS (SELECT DISTINCT tok FROM toks
+            ), bits AS (
+              SELECT DISTINCT
+                     ('0x' || substr(md5(de.tok || ':' || (2 + ds.d)),
+                                     1, 8))::BIGINT % 4096 AS bit
+              FROM de CROSS JOIN ds
+            ), probe AS (
+              SELECT vocab.tok,
+                     ('0x' || substr(md5(vocab.tok || ':' || (2 + ds.d)),
+                                     1, 8))::BIGINT % 4096 AS bit
+              FROM vocab CROSS JOIN ds
+            )
+            SELECT p.tok, count(b.bit) = count(*) AS maybe_member
+            FROM probe p LEFT JOIN bits b ON p.bit = b.bit
+            GROUP BY p.tok ORDER BY p.tok
+        """,
         "rank_normalize": """
             WITH r AS (
               SELECT doc_id,

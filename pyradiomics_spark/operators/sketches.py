@@ -151,3 +151,68 @@ def hll_estimate(registers: DataFrame, p: int = 10):
     if est <= 2.5 * m and zeros > 0:
         est = m * math.log(m / zeros)
     return est, nonzero
+
+
+def bloom_build(
+    df: DataFrame,
+    col,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic Bloom filter as a DataFrame of SET bit positions
+    ``(bit,)`` — the at-scale membership structure for decontamination
+    (is this train doc's hash in the eval set?) and URL seen-lists. The
+    md5 hash family makes the filter value-deterministic: build it
+    twice, on two clusters or two engines, and the SAME bits are set
+    (so filters are checkpointable and diffable, unlike
+    ``DataFrame.stat.bloomFilter``'s opaque binary).
+
+    Build = explode ×n_hashes + distinct — shuffle bounded by n_bits
+    rows total, map-side combined. Merge = union + distinct. Size the
+    filter as n_bits ≈ 1.44·n·log2(1/fpr), n_hashes ≈ 0.693·n_bits/n.
+    """
+    if n_bits < 2 or n_hashes < 1:
+        raise ValueError("n_bits must be >= 2 and n_hashes >= 1")
+    c = F.col(col) if isinstance(col, str) else col
+    bits = F.array(*[
+        _cell(c, d, n_bits, seed).alias(f"b{d}") for d in range(n_hashes)
+    ])
+    return (
+        df.where(c.isNotNull())
+        .select(F.explode(bits).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_contains(
+    bloom: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    seed: int = 0,
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """Membership test: true iff ALL n_hashes bits are set — one-sided
+    (false positives at the designed rate, never false negatives), so a
+    negative is a PROOF of absence: filtering train docs on
+    ``~maybe_member`` can never drop a clean doc's contamination flag.
+
+    Scale shape: items explode ×n_hashes, LEFT join the bit table
+    (≤ n_bits rows — broadcast), count hits per item, compare to
+    n_hashes. One scan of items; parameters must match the build (they
+    define the hash family — explicit, never inferred)."""
+    c = F.col(item_col)
+    bits = F.array(*[
+        _cell(c, d, n_bits, seed) for d in range(n_hashes)
+    ])
+    exploded = items.select(c, F.explode(bits).alias("bit"))
+    marked = bloom.withColumn("__set", F.lit(1))
+    return (
+        exploded.join(F.broadcast(marked), "bit", "left")
+        .groupBy(item_col)
+        # count found vs count probed (not the literal n_hashes) so a
+        # duplicated item row still answers correctly
+        .agg((F.count(F.col("__set")) == F.count(F.lit(1))).alias(out_col))
+    )

@@ -129,3 +129,51 @@ def test_hll_merge_and_small_range(spark):
     assert abs(est - 450) / 450 < 0.05
     with pytest.raises(ValueError, match="p must be"):
         hll_registers(a, "u", p=2)
+
+
+def test_bloom_no_false_negatives(spark):
+    from pyradiomics_spark.operators.sketches import (bloom_build,
+                                                      bloom_contains)
+
+    members = [f"doc{i}" for i in range(1000)]
+    df = spark.createDataFrame([(m,) for m in members], ["u"])
+    bloom = bloom_build(df, "u", n_bits=1 << 14, n_hashes=4)
+    got = {r.u: r.maybe_member
+           for r in bloom_contains(bloom, df, "u", n_bits=1 << 14,
+                                   n_hashes=4).collect()}
+    assert all(got[m] for m in members)  # NEVER a false negative
+
+
+def test_bloom_false_positive_rate_in_design_band(spark):
+    from pyradiomics_spark.operators.sketches import (bloom_build,
+                                                      bloom_contains)
+
+    members = spark.createDataFrame(
+        [(f"in{i}",) for i in range(1000)], ["u"])
+    probes = spark.createDataFrame(
+        [(f"out{i}",) for i in range(2000)], ["u"])
+    bloom = bloom_build(members, "u", n_bits=1 << 14, n_hashes=4)
+    fp = (bloom_contains(bloom, probes, "u", n_bits=1 << 14, n_hashes=4)
+          .where("maybe_member").count())
+    # theoretical fpr ≈ (1-e^(-kn/m))^k ≈ 0.24% at n=1000,m=16384,k=4;
+    # allow a generous band
+    assert fp / 2000 < 0.02
+
+
+def test_bloom_merge_and_duplicate_items(spark):
+    from pyradiomics_spark.operators.sketches import (bloom_build,
+                                                      bloom_contains)
+
+    a = spark.createDataFrame([("x",), ("y",)], ["u"])
+    b = spark.createDataFrame([("z",)], ["u"])
+    merged = bloom_build(a, "u").unionByName(bloom_build(b, "u")).distinct()
+    single = bloom_build(a.unionByName(b), "u")
+    assert ({r.bit for r in merged.collect()}
+            == {r.bit for r in single.collect()})
+    # duplicated probe rows answer once, correctly
+    probes = spark.createDataFrame([("x",), ("x",), ("nope",)], ["u"])
+    got = {r.u: r.maybe_member
+           for r in bloom_contains(single, probes, "u").collect()}
+    assert got["x"] is True and got["nope"] is False
+    with pytest.raises(ValueError, match="n_bits"):
+        bloom_build(a, "u", n_bits=1)
