@@ -701,6 +701,46 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sketch gate row: a per-hour count-min sketch of the
+    event-type feed run through the REAL Structured Streaming engine
+    (file source, availableNow, complete-mode memory sink) — bounded
+    depth×width monitoring state per window under a watermark. Oracle:
+    batch SQL replaying the hour bucketing and the md5 cell hashes;
+    stream ≡ batch on bounded input is the exactness contract, and the
+    sketch cells are integer-exact."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyradiomics_spark.streaming.sessions import stream_cms
+
+    ev = _read(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="pyrs_stream_cms_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "events.parquet"))
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = stream_cms(stream, "ts", "event_type", width="1 hour",
+                     watermark="1 hour", sketch_width=64, depth=2, seed=5)
+    name = f"stream_cms_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True)
+         .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
+    q.awaitTermination()
+    out = (
+        spark.table(name)
+        .select(F.col("window_start").cast("timestamp_ntz")
+                .alias("window_start"),
+                F.col("d").cast("long").alias("d"), "cell", "cnt")
+        .orderBy("window_start", "d", "cell")
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Bloom membership (operators/sketches.py
     bloom_build/bloom_contains), decontamination-shaped: the filter is
@@ -2341,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_registers": q_hll_registers,
         "rank_normalize": q_rank_normalize,
         "bloom_filter": q_bloom_filter,
+        "stream_cms": q_stream_cms,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -3452,6 +3493,17 @@ def oracle_sql() -> dict[str, str]:
         "logreg_step": logreg_step_sql,
         "domain_mix": domain_mix_sql,
         "ngram_decon": ngram_decon_sql,
+        "stream_cms": """
+            WITH ds AS (SELECT unnest(generate_series(0, 1)) AS d)
+            SELECT date_trunc('hour', e.ts) AS window_start, ds.d,
+                   ('0x' || substr(md5(e.event_type || ':' || (5 + ds.d)),
+                                   1, 8))::BIGINT % 64 AS cell,
+                   count(*) AS cnt
+            FROM events e CROSS JOIN ds
+            WHERE e.event_type IS NOT NULL
+            GROUP BY window_start, ds.d, cell
+            ORDER BY window_start, d, cell
+        """,
         "bloom_filter": """
             WITH toks AS (
               SELECT lang, tok FROM (

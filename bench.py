@@ -121,7 +121,7 @@ def main() -> None:
         # features, second-moment reduction, CMS monitoring
         "logreg_step", "domain_mix", "ngram_decon", "rolling_median",
         "mad_outliers", "gram_matrix", "decayed_features", "cms_counts",
-        "hll_registers", "rank_normalize", "bloom_filter",
+        "hll_registers", "rank_normalize", "bloom_filter", "stream_cms",
     ]
     for name in headline:
         if name not in qs:

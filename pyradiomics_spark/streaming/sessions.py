@@ -193,3 +193,40 @@ def stream_asof_sink(
         stream_left.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def stream_cms(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    width: str = "1 hour",
+    watermark: str = "1 hour",
+    sketch_width: int = 64,
+    depth: int = 2,
+    seed: int = 0,
+) -> DataFrame:
+    """Count-min sketch per tumbling event-time window, on a STREAM: the
+    crawl-monitoring sketch (operators/sketches.py) grouped by
+    ``window(ts)`` under a watermark, so each closed window emits a
+    fixed depth×width frequency summary and state is bounded by
+    (open windows)·depth·sketch_width cells — the way to watch
+    heavy hitters on an unbounded feed without a per-key census.
+    Output rows: (window_start, d, cell, cnt); windows merge downstream
+    by summing cnt (CMS mergeability)."""
+    from pyradiomics_spark.operators.sketches import _cell
+
+    c = F.col(value_col)
+    src = watermarked(df, ts_col, watermark)
+    pairs = F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 _cell(c, d, sketch_width, seed).alias("cell"))
+        for d in range(depth)
+    ])
+    return (
+        src.where(c.isNotNull())
+        .select(F.window(F.col(ts_col), width).alias("w"),
+                F.explode(pairs).alias("p"))
+        .groupBy("w", F.col("p.d").alias("d"), F.col("p.cell").alias("cell"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "d", "cell", "cnt")
+    )
