@@ -701,6 +701,24 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup key canonicalization (functions/textstats.py
+    normalize_for_dedup): per doc, md5 + length of the normalized text
+    plus the corpus-level census (distinct raw keys vs distinct
+    normalized keys — the collisions ARE the near-dups the normalization
+    exists to expose). The md5 pins every byte of the normalized string,
+    so any regex-subset divergence between engines reddens the row."""
+    from pyradiomics_spark.functions.textstats import normalize_for_dedup
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = normalize_for_dedup(docs, "text")
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text_norm")).alias("norm_md5"),
+        F.length("text_norm").cast("long").alias("norm_len"),
+    ).orderBy("doc_id")
+
+
 def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING sketch gate row: a per-hour count-min sketch of the
     event-type feed run through the REAL Structured Streaming engine
@@ -2382,6 +2400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_normalize": q_rank_normalize,
         "bloom_filter": q_bloom_filter,
         "stream_cms": q_stream_cms,
+        "dedup_normalize": q_dedup_normalize,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -3493,6 +3512,19 @@ def oracle_sql() -> dict[str, str]:
         "logreg_step": logreg_step_sql,
         "domain_mix": domain_mix_sql,
         "ngram_decon": ngram_decon_sql,
+        "dedup_normalize": """
+            WITH n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       regexp_replace(lower(text),
+                                      '[!-/:-@\\[-`{-~]', ' ', 'g'),
+                       '[ \t\r\n]+', ' ', 'g')) AS text_norm
+              FROM documents
+            )
+            SELECT doc_id, md5(text_norm) AS norm_md5,
+                   CAST(length(text_norm) AS BIGINT) AS norm_len
+            FROM n ORDER BY doc_id
+        """,
         "stream_cms": """
             WITH ds AS (SELECT unnest(generate_series(0, 1)) AS d)
             SELECT date_trunc('hour', e.ts) AS window_start, ds.d,

@@ -572,3 +572,33 @@ def mad_outliers(
         out_col,
         F.when(F.col("grp_mad") == 0.0, v != F.col("grp_median"))
         .otherwise(F.abs(v - F.col("grp_median")) > thresh))
+
+
+def normalize_for_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+    strip_digits: bool = False,
+) -> DataFrame:
+    """Fuzzy-dedup key normalization (the pre-hash canonicalization of
+    C4/RefinedWeb/MinHash pipelines, cf. Lee et al. 2022 §4): lowercase,
+    strip punctuation to spaces, optionally fold digit runs to ``0``,
+    collapse whitespace runs, trim. Two near-duplicate pages differing
+    only in case/punctuation/counters then hash identically, so the
+    exact- and MinHash-dedup stages upstream of training see through
+    cosmetic variation.
+
+    Patterns stay in the Java∩RE2∩DuckDB regex subset (ASCII classes,
+    no lookaround — the pii_redact discipline) so the normalization is
+    engine-reproducible byte-for-byte. Scale shape: pure scan-fused
+    projection — zero shuffle/join/Python, pipelines inside one
+    WholeStageCodegen span."""
+    c = F.lower(F.col(text_col))
+    # punctuation → space (ASCII, explicit class — no \p{Punct}, which
+    # RE2/DuckDB read differently than Java)
+    c = F.regexp_replace(c, r"[!-/:-@\[-`{-~]", " ")
+    if strip_digits:
+        c = F.regexp_replace(c, r"[0-9]+", "0")
+    c = F.regexp_replace(c, r"[ \t\r\n]+", " ")
+    c = F.trim(c)
+    return df.withColumn(out_col, c)

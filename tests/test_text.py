@@ -180,3 +180,26 @@ def test_mad_outliers_constant_group_and_global(spark):
     # global (no group) arm
     g = mad_outliers(df, "v", None)
     assert g.where("is_outlier").count() == 1
+
+
+def test_normalize_for_dedup_canonicalizes(spark):
+    from pyradiomics_spark.functions.textstats import normalize_for_dedup
+
+    rows = [
+        (0, "Hello, World!  Visit:  https://x.y/z?a=1"),
+        (1, "hello world visit https x y z a 1"),
+        (2, "Item #42 costs $7.99 -- buy 42 now!"),
+        (3, "Tabs\tand\nnewlines   collapse"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r.id: r.text_norm
+           for r in normalize_for_dedup(df, "text").collect()}
+    # cosmetic variants now hash identically
+    assert out[0] == out[1] == "hello world visit https x y z a 1"
+    assert out[3] == "tabs and newlines collapse"
+    assert "$" not in out[2] and out[2].startswith("item 42")
+    # digit folding arm: counters/ids stop distinguishing near-dups
+    outd = {r.id: r.text_norm
+            for r in normalize_for_dedup(df, "text",
+                                         strip_digits=True).collect()}
+    assert outd[2] == "item 0 costs 0 0 buy 0 now"
