@@ -1551,6 +1551,27 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR pipeline end-to-end: importance weights
+    (textstats.dsir_log_weights, target lang='en') fed into the
+    Gumbel-top-k resampler (operators/sampling.py gumbel_topk_sample,
+    k=50) — weighted sampling WITHOUT replacement as a k-bounded
+    TakeOrdered, Gumbel noise a pure hash function of (doc_id, seed) so
+    the draw is engine-reproducible. The DuckDB twin recomputes weights,
+    noise, and the top-50 selection; ranking-margin caveat as
+    ivf_recall (float ordering — margins far exceed ulp noise on the
+    gate corpora)."""
+    from pyradiomics_spark.functions.textstats import dsir_log_weights
+    from pyradiomics_spark.operators.sampling import gumbel_topk_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    w = dsir_log_weights(docs, "doc_id", F.col("lang") == "en")
+    out = gumbel_topk_sample(w, "doc_id", "dsir_log_weight", k=50, seed=8)
+    return out.select(
+        "doc_id", _rnd("gumbel_score", 6).alias("gumbel_score")
+    ).orderBy("doc_id")
+
+
 def _with_synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + a deterministic ``url`` column (keyed on doc_id % 6)
     exercising every functions.urls normalization rule — mixed case,
@@ -2401,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_filter": q_bloom_filter,
         "stream_cms": q_stream_cms,
         "dedup_normalize": q_dedup_normalize,
+        "dsir_sample": q_dsir_sample,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -3731,6 +3753,45 @@ def oracle_sql() -> dict[str, str]:
                      AS dsir_log_weight
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
             ORDER BY d.doc_id
+        """,
+        "dsir_sample": """
+            WITH tk AS (
+              SELECT doc_id,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_tgt,
+                     unnest(string_split(lower(text), ' ')) AS term
+              FROM documents
+            ), tk2 AS (
+              SELECT doc_id, is_tgt, term FROM tk WHERE term <> ''
+            ), census AS (
+              SELECT term, count(*) AS c_raw, sum(is_tgt) AS c_tgt
+              FROM tk2 GROUP BY term
+            ), tot AS (
+              SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt,
+                     count(*) AS v
+              FROM census
+            ), ratio AS (
+              SELECT term,
+                     ln((c_tgt + 1.0) / (n_tgt + 1.0 * v))
+                     - ln((c_raw + 1.0) / (n_raw + 1.0 * v)) AS lr
+              FROM census CROSS JOIN tot
+            ), per AS (
+              SELECT doc_id, sum(lr) AS w
+              FROM tk2 JOIN ratio USING (term) GROUP BY doc_id
+            ), scored AS (
+              SELECT doc_id,
+                     w - ln(-ln(
+                       ('0x' || substr(md5(doc_id || ':8'), 1, 8))::BIGINT
+                         / 4294967296.0 + 0.0000000001164153218269348145))
+                       AS gumbel_score
+              FROM per WHERE w IS NOT NULL
+            ), topk AS (
+              SELECT doc_id, gumbel_score FROM scored
+              ORDER BY gumbel_score DESC, doc_id LIMIT 50
+            )
+            SELECT doc_id,
+                   floor(gumbel_score * 1e6 + 0.50000095367431640625) / 1e6
+                     AS gumbel_score
+            FROM topk ORDER BY doc_id
         """,
         "pii_redact": r"""
             WITH injected AS (

@@ -521,3 +521,46 @@ def rank_normalize(
         .drop("__rn_bucket", "__rn_below", "__rn_above", "__lt", "__gt")
     )
     return out
+
+
+def gumbel_topk_sample(
+    df: DataFrame,
+    id_col: str,
+    log_weight_col: str,
+    k: int,
+    seed: int = 0,
+    score_col: str = "gumbel_score",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Gumbel-top-k trick
+    (the DSIR §2 resampling step executed at scale): keep the k rows
+    maximizing ``log_weight + G_id`` where ``G_id = −ln(−ln(u_id))`` and
+    ``u_id`` is the row's deterministic hash fraction. This draws k rows
+    with probability proportional to ``exp(log_weight)`` without
+    replacement — importance resampling as an ORDER — and because the
+    Gumbel noise is a pure function of (id, seed), the sample is
+    reproducible across retries, partitionings, and engines (no RNG
+    state, unlike df.sample/rand()).
+
+    Null log-weights (e.g. token-less docs from dsir_log_weights) are
+    excluded. Returns the k sampled rows plus ``score_col``.
+
+    Scale shape: a scan-fused score projection + a k-bounded global
+    TakeOrdered (Spark's orderBy().limit(k) physical plan — per-
+    partition top-k then a k-sized driver merge, NEVER a full global
+    sort). u=0 is impossible (md5 of a finite id), so the double log is
+    finite.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = hash_fraction(id_col, seed)
+    # u in [0,1): -ln(-ln(u)) needs u>0; the 2^-32 floor of the md5
+    # fraction makes u=0 a 2^-32 event per id — shift by half an ulp of
+    # the fraction grid so the expression is total, without moving any
+    # realizable draw perceptibly
+    g = -F.log(-F.log(u + F.lit(2.0 ** -33)))
+    lw = F.col(log_weight_col).cast("double")
+    out = (
+        df.where(lw.isNotNull())
+        .withColumn(score_col, lw + g)
+    )
+    return out.orderBy(F.desc(score_col), F.col(id_col)).limit(k)

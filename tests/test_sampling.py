@@ -403,3 +403,55 @@ def test_rank_normalize_null_passthrough(spark):
            for r in rank_normalize(df, "v").collect()}
     assert out[1] == (None, None)
     assert out[0] == (0.0, 0.5) and out[2] == (0.5, 1.0)
+
+
+def test_gumbel_topk_matches_python_twin(spark):
+    import hashlib
+    import math
+
+    from pyradiomics_spark.operators.sampling import gumbel_topk_sample
+
+    rows = [(i, float((i % 7) - 3)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "lw"])
+    got = [r.id for r in gumbel_topk_sample(df, "id", "lw", k=20,
+                                            seed=4).collect()]
+
+    def score(i, lw):
+        u = int(hashlib.md5(f"{i}:4".encode()).hexdigest()[:8], 16) / 2**32
+        return lw - math.log(-math.log(u + 2.0 ** -33))
+
+    exp = sorted(rows, key=lambda r: (-score(*r), r[0]))[:20]
+    assert got == [i for i, _ in exp]
+
+
+def test_gumbel_topk_is_weighted_without_replacement(spark):
+    """Heavier log-weights are sampled proportionally more often across
+    independent seeds, and a draw never repeats an id."""
+    import numpy as np
+
+    from pyradiomics_spark.operators.sampling import gumbel_topk_sample
+
+    # two strata: 100 ids at weight ln(9), 100 at weight 0 → a single
+    # draw picks the heavy stratum w.p. 0.9
+    rows = [(i, float(np.log(9.0)) if i < 100 else 0.0) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "lw"]).cache()
+    heavy = 0
+    for seed in range(30):
+        got = gumbel_topk_sample(df, "id", "lw", k=10, seed=seed).collect()
+        ids = [r.id for r in got]
+        assert len(set(ids)) == 10  # without replacement
+        heavy += sum(1 for i in ids if i < 100)
+    df.unpersist()
+    # E[heavy fraction] ≈ 0.9 (slightly below due to depletion); 300 draws
+    assert 0.78 < heavy / 300 < 0.98
+
+
+def test_gumbel_topk_null_weights_excluded_and_validation(spark):
+    from pyradiomics_spark.operators.sampling import gumbel_topk_sample
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, None), (2, 0.5)], "id long, lw double")
+    got = {r.id for r in gumbel_topk_sample(df, "id", "lw", k=3).collect()}
+    assert got == {0, 2}
+    with pytest.raises(ValueError, match="k must be"):
+        gumbel_topk_sample(df, "id", "lw", k=0)
