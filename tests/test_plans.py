@@ -115,3 +115,56 @@ def test_minhash_single_aggregate_stage(spark):
     plan = _plan(minhash_signatures(docs, "doc_id", "text", num_hashes=16))
     # one (partial+final) hash aggregate pair over the shingles
     assert plan.count("HashAggregate") <= 4
+
+
+def test_decayed_features_single_exchange(spark):
+    """Both windows (per-entity min rebase + range cumsum) share ONE
+    hash partitioning — the operator costs one shuffle, reusable by the
+    other per-entity feature windows."""
+    from pyspark.sql import functions as F
+
+    from pyradiomics_spark.operators.windows import decayed_features
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "user_id", "ts", "value")
+    plan = _plan(decayed_features(ev, "user_id", "ts", "value", 3600.0))
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan.lower().replace(
+        "hashpartitioning", "")
+
+
+def test_cms_sketch_partial_aggregated_single_shuffle(spark):
+    """The sketch shuffle moves ≤ depth·width partial cells per
+    partition, never corpus rows: one Exchange, map-side combine."""
+    from pyradiomics_spark.operators.sketches import cms_sketch
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(cms_sketch(docs, "lang", width=64, depth=4))
+    assert plan.count("Exchange") == 1
+    # partial+final pair proves map-side combine before the shuffle
+    assert plan.count("HashAggregate") == 2
+
+
+def test_bloom_and_cms_probes_broadcast(spark):
+    from pyradiomics_spark.operators.sketches import (bloom_build,
+                                                      bloom_contains)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bloom = bloom_build(docs.select("lang"), "lang", n_bits=1024)
+    plan = _plan(bloom_contains(bloom, docs.select("lang").distinct(),
+                                "lang", n_bits=1024))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gumbel_topk_never_global_sorts(spark):
+    """orderBy().limit(k) must plan as TakeOrderedAndProject (per-
+    partition top-k + k-sized merge), not a full Sort+Exchange."""
+    from pyspark.sql import functions as F
+
+    from pyradiomics_spark.operators.sampling import gumbel_topk_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.col("n_chars").cast("double").alias("lw"))
+    plan = _plan(gumbel_topk_sample(docs, "doc_id", "lw", k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
