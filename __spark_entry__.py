@@ -1551,6 +1551,23 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card census (functions/textstats.py corpus_profile): the
+    constant-size (metric, value) table a datasheet/drift monitor reads
+    per crawl snapshot — doc/char/token totals, exact length
+    percentiles, empty-doc count, language-mix entropy. ONE scalar
+    aggregate (token counts scan-fused, no explode) + one bounded lang
+    groupBy; the DuckDB twin recomputes every metric."""
+    from pyradiomics_spark.functions.textstats import corpus_profile
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        corpus_profile(docs, "text", "lang")
+        .select("metric", _rnd("value", 6).alias("value"))
+        .orderBy("metric")
+    )
+
+
 def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DSIR pipeline end-to-end: importance weights
     (textstats.dsir_log_weights, target lang='en') fed into the
@@ -2423,6 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cms": q_stream_cms,
         "dedup_normalize": q_dedup_normalize,
         "dsir_sample": q_dsir_sample,
+        "corpus_profile": q_corpus_profile,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -3753,6 +3771,46 @@ def oracle_sql() -> dict[str, str]:
                      AS dsir_log_weight
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
             ORDER BY d.doc_id
+        """,
+        "corpus_profile": """
+            WITH toks AS (
+              SELECT length(text) AS lc,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), ' +'))
+                     END AS nt
+              FROM documents
+            ), base AS (
+              SELECT count(*)::DOUBLE AS n_docs,
+                     sum(lc)::DOUBLE AS n_chars,
+                     sum(nt)::DOUBLE AS n_tokens,
+                     avg(nt) AS mean_tokens,
+                     quantile_cont(lc, 0.5) AS p50_chars,
+                     quantile_cont(lc, 0.9) AS p90_chars,
+                     sum(CASE WHEN nt = 0 THEN 1 ELSE 0 END)::DOUBLE
+                       AS n_empty
+              FROM toks
+            ), langs AS (
+              SELECT lang, count(*) AS c FROM documents GROUP BY lang
+            ), lt AS (SELECT sum(c) AS t FROM langs
+            ), lm AS (
+              SELECT count(*)::DOUBLE AS n_langs,
+                     -sum((c / t) * log2(c / t)) AS lang_entropy
+              FROM langs CROSS JOIN lt
+            ), stacked AS (
+              SELECT 'n_docs' AS metric, n_docs AS value FROM base
+              UNION ALL SELECT 'n_chars', n_chars FROM base
+              UNION ALL SELECT 'n_tokens', n_tokens FROM base
+              UNION ALL SELECT 'mean_tokens', mean_tokens FROM base
+              UNION ALL SELECT 'p50_chars', p50_chars FROM base
+              UNION ALL SELECT 'p90_chars', p90_chars FROM base
+              UNION ALL SELECT 'n_empty', n_empty FROM base
+              UNION ALL SELECT 'n_langs', n_langs FROM lm
+              UNION ALL SELECT 'lang_entropy', lang_entropy FROM lm
+            )
+            SELECT metric,
+                   floor(value * 1e6 + 0.50000095367431640625) / 1e6
+                     AS value
+            FROM stacked ORDER BY metric
         """,
         "dsir_sample": """
             WITH tk AS (

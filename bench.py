@@ -122,7 +122,7 @@ def main() -> None:
         "logreg_step", "domain_mix", "ngram_decon", "rolling_median",
         "mad_outliers", "gram_matrix", "decayed_features", "cms_counts",
         "hll_registers", "rank_normalize", "bloom_filter", "stream_cms",
-        "dedup_normalize", "dsir_sample",
+        "dedup_normalize", "dsir_sample", "corpus_profile",
     ]
     for name in headline:
         if name not in qs:

@@ -602,3 +602,57 @@ def normalize_for_dedup(
     c = F.regexp_replace(c, r"[ \t\r\n]+", " ")
     c = F.trim(c)
     return df.withColumn(out_col, c)
+
+
+def corpus_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """The data-card census: one tidy (metric, value) table describing a
+    corpus — doc/token/char totals, token-length moments, exact char
+    percentiles, empty-doc count, and (with ``lang_col``) language
+    diversity (distinct langs + Shannon entropy of the language mix).
+    The standard first page of a dataset datasheet, producible per
+    snapshot/shard and diffable across crawls.
+
+    Scale shape: ONE map-side-combined aggregate for every scalar
+    metric (the token counts are scan-fused expressions — no explode),
+    plus one bounded ``lang`` groupBy for the mix entropy (|langs|
+    rows). Output is a constant-size table at any corpus size.
+    """
+    t = F.col(text_col)
+    n_toks = F.when(
+        F.length(F.trim(t)) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(t), " +")))
+    base = df.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length(t)).alias("n_chars"),
+        F.sum(n_toks).alias("n_tokens"),
+        F.avg(n_toks).alias("mean_tokens"),
+        F.expr(f"percentile(length({text_col}), 0.5)").alias("p50_chars"),
+        F.expr(f"percentile(length({text_col}), 0.9)").alias("p90_chars"),
+        F.sum(F.when(F.length(F.trim(t)) == 0, 1).otherwise(0))
+        .alias("n_empty"),
+    )
+    metrics = base.selectExpr(
+        "stack(7, 'n_docs', cast(n_docs as double), "
+        "'n_chars', cast(n_chars as double), "
+        "'n_tokens', cast(n_tokens as double), "
+        "'mean_tokens', mean_tokens, "
+        "'p50_chars', p50_chars, "
+        "'p90_chars', p90_chars, "
+        "'n_empty', cast(n_empty as double)) AS (metric, value)")
+    if lang_col is None:
+        return metrics
+    counts = df.groupBy(lang_col).agg(F.count("*").alias("c"))
+    tot = counts.agg(F.sum("c").alias("t"))
+    p_l = F.col("c") / F.col("t")
+    lc = counts.crossJoin(F.broadcast(tot)).agg(
+        F.count("*").cast("double").alias("n_langs"),
+        (-F.sum(p_l * F.log2(p_l))).alias("lang_entropy"),
+    )
+    lang_metrics = lc.selectExpr(
+        "stack(2, 'n_langs', n_langs, 'lang_entropy', lang_entropy)"
+        " AS (metric, value)")
+    return metrics.unionByName(lang_metrics)

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from pyradiomics_spark.functions.text import (
     extract_text, tokenize, token_intensity, text_to_intensity)
@@ -203,3 +204,24 @@ def test_normalize_for_dedup_canonicalizes(spark):
             for r in normalize_for_dedup(df, "text",
                                          strip_digits=True).collect()}
     assert outd[2] == "item 0 costs 0 0 buy 0 now"
+
+
+def test_corpus_profile_metrics(spark):
+    import math
+
+    from pyradiomics_spark.functions.textstats import corpus_profile
+
+    rows = [(0, "a b c", "en"), (1, "d e", "en"),
+            (2, "", "de"), (3, "  ", "de"), (4, "x", "fr")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {r.metric: r.value for r in corpus_profile(df).collect()}
+    assert got["n_docs"] == 5.0
+    assert got["n_tokens"] == 6.0  # 3 + 2 + 0 + 0 + 1
+    assert got["n_empty"] == 2.0   # '' and whitespace-only
+    assert got["n_langs"] == 3.0
+    # mix = (2,2,1)/5 → H = 2·(2/5)·log2(5/2) + (1/5)·log2(5)
+    h = 2 * (2 / 5) * math.log2(5 / 2) + (1 / 5) * math.log2(5)
+    assert got["lang_entropy"] == pytest.approx(h, rel=1e-12)
+    # lang_col=None drops the language block
+    nolang = {r.metric for r in corpus_profile(df, lang_col=None).collect()}
+    assert "lang_entropy" not in nolang and "n_docs" in nolang
