@@ -1551,6 +1551,67 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-incremental dedup, relational twin of
+    operators/dedup.py incremental_dedup (md5 hash family so DuckDB
+    replays it; the production operator's xxhash64 arm is pytest-pinned
+    in test_dedup_similarity.py): prior corpus = doc_id < half, new
+    crawl = the rest PLUS five cloned old docs (injected so the exact
+    arm is non-degenerate). Exact = content-hash marker join; near =
+    shared MinHash LSH band (4 md5 sigs, 2 bands) against the old
+    side's DISTINCT band keys — new×old only, never a pair blow-up."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    half = 250
+    old = docs.where(F.col("doc_id") < half)
+    clones = old.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text")
+    new = docs.where(F.col("doc_id") >= half).unionByName(clones)
+
+    def sigs(side):
+        toks = F.split(F.col("text"), " ")
+        grams = F.when(
+            F.size(toks) >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        sh = side.select("doc_id", F.explode(grams).alias("g")).where(
+            F.col("g") != "")
+        s = sh.groupBy("doc_id").agg(*[
+            F.min(F.md5(F.concat(F.col("g"), F.lit(f":{i}")))).alias(f"s{i}")
+            for i in range(4)
+        ])
+        bandrows = []
+        for b in range(2):
+            bandrows.append(F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", F.col(f"s{2*b}"),
+                                  F.col(f"s{2*b+1}"))).alias("bh")))
+        return s.select(
+            "doc_id", F.explode(F.array(*bandrows)).alias("b")
+        ).select("doc_id", F.col("b.band").alias("band"),
+                 F.col("b.bh").alias("bh"))
+
+    old_h = old.select(F.md5("text").alias("__h")).distinct().withColumn(
+        "__x", F.lit(1))
+    out = (new.withColumn("__h", F.md5("text"))
+           .join(old_h, "__h", "left")
+           .withColumn("dup_exact", F.col("__x").isNotNull())
+           .drop("__h", "__x"))
+    old_keys = sigs(old).select("band", "bh").distinct().withColumn(
+        "__n", F.lit(1))
+    near = (sigs(new).join(old_keys, ["band", "bh"], "left")
+            .groupBy("doc_id")
+            .agg(F.max(F.coalesce(F.col("__n"), F.lit(0))).alias("__a"))
+            .where(F.col("__a") == 1).select("doc_id")
+            .withColumn("__nr", F.lit(1)))
+    return (out.join(near, "doc_id", "left")
+            .withColumn("dup_near", F.col("__nr").isNotNull())
+            .select("doc_id", "dup_exact", "dup_near")
+            .orderBy("doc_id"))
+
+
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-card census (functions/textstats.py corpus_profile): the
     constant-size (metric, value) table a datasheet/drift monitor reads
@@ -2441,6 +2502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_normalize": q_dedup_normalize,
         "dsir_sample": q_dsir_sample,
         "corpus_profile": q_corpus_profile,
+        "incremental_dedup": q_incremental_dedup,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -3771,6 +3833,54 @@ def oracle_sql() -> dict[str, str]:
                      AS dsir_log_weight
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
             ORDER BY d.doc_id
+        """,
+        "incremental_dedup": """
+            WITH oldc AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 250
+            ), newc AS (
+              SELECT doc_id, text FROM documents WHERE doc_id >= 250
+              UNION ALL
+              SELECT doc_id + 10000, text FROM documents WHERE doc_id < 5
+            ), go AS (
+              SELECT doc_id, unnest(list_transform(
+                generate_series(1, greatest(len(t) - 2, 0)),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+              FROM (SELECT doc_id, string_split(text, ' ') AS t FROM oldc)
+            ), gn AS (
+              SELECT doc_id, unnest(list_transform(
+                generate_series(1, greatest(len(t) - 2, 0)),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+              FROM (SELECT doc_id, string_split(text, ' ') AS t FROM newc)
+            ), so AS (
+              SELECT doc_id, min(md5(g || ':0')) AS s0,
+                     min(md5(g || ':1')) AS s1, min(md5(g || ':2')) AS s2,
+                     min(md5(g || ':3')) AS s3
+              FROM go WHERE g <> '' GROUP BY doc_id
+            ), sn AS (
+              SELECT doc_id, min(md5(g || ':0')) AS s0,
+                     min(md5(g || ':1')) AS s1, min(md5(g || ':2')) AS s2,
+                     min(md5(g || ':3')) AS s3
+              FROM gn WHERE g <> '' GROUP BY doc_id
+            ), ko AS (
+              SELECT DISTINCT band, bh FROM (
+                SELECT 0 AS band, md5(s0 || '|' || s1) AS bh FROM so
+                UNION ALL
+                SELECT 1, md5(s2 || '|' || s3) FROM so)
+            ), kn AS (
+              SELECT doc_id, 0 AS band, md5(s0 || '|' || s1) AS bh FROM sn
+              UNION ALL
+              SELECT doc_id, 1, md5(s2 || '|' || s3) FROM sn
+            ), near AS (
+              SELECT DISTINCT kn.doc_id
+              FROM kn JOIN ko ON kn.band = ko.band AND kn.bh = ko.bh
+            ), oh AS (SELECT DISTINCT md5(text) AS h FROM oldc)
+            SELECT n.doc_id,
+                   (oh.h IS NOT NULL) AS dup_exact,
+                   (near.doc_id IS NOT NULL) AS dup_near
+            FROM newc n
+            LEFT JOIN oh ON md5(n.text) = oh.h
+            LEFT JOIN near ON n.doc_id = near.doc_id
+            ORDER BY n.doc_id
         """,
         "corpus_profile": """
             WITH toks AS (

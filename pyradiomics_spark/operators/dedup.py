@@ -680,3 +680,60 @@ def embedding_cosine_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Snapshot-incremental dedup — the recurring-crawl form of the
+    pipeline: flag each NEW-crawl doc that duplicates the PRIOR corpus,
+    ``dup_exact`` (content hash seen before) and ``dup_near`` (shares
+    ≥1 MinHash LSH band with any old doc). Unlike the batch self-join
+    dedup, nothing old×old or new×new is compared: each crawl pays only
+    new×old — the shape that keeps a 10^12-page corpus's weekly delta
+    affordable.
+
+    Scale shape: the old side reduces to DISTINCT content hashes and
+    DISTINCT (band, bucket) keys — both ≤ |old| rows of fixed-width
+    keys, equi-joined as flag markers (left join on the distinct key
+    table, never a pair materialization). ``bucket_cap`` drops
+    boilerplate buckets from the OLD side before the join (the
+    _drop_hot_buckets treatment); new docs keep their other bands.
+    Returns new_df + both boolean flags.
+    """
+    h = F.sha2(F.col(text_col).cast("binary"), 256)
+    old_h = (old_df.select(h.alias("__h")).distinct()
+             .withColumn("__seen_x", F.lit(1)))
+    out = (new_df.withColumn("__h", h)
+           .join(old_h, "__h", "left")
+           .withColumn("dup_exact", F.col("__seen_x").isNotNull())
+           .drop("__h", "__seen_x"))
+
+    old_bands = _lsh_banded(
+        minhash_signatures(old_df, id_col, text_col, num_hashes, shingle_n),
+        id_col, num_hashes, bands)
+    if bucket_cap is not None:
+        old_bands, _ = _drop_hot_buckets(old_bands, ["band", "bh"], bucket_cap)
+    old_keys = (old_bands.select("band", "bh").distinct()
+                .withColumn("__seen_n", F.lit(1)))
+    new_bands = _lsh_banded(
+        minhash_signatures(new_df, id_col, text_col, num_hashes, shingle_n),
+        id_col, num_hashes, bands)
+    near_ids = (
+        new_bands.join(old_keys, ["band", "bh"], "left")
+        .groupBy(id_col)
+        .agg(F.max(F.coalesce(F.col("__seen_n"), F.lit(0))).alias("__any"))
+        .where(F.col("__any") == 1)
+        .select(id_col)
+        .withColumn("__near", F.lit(1))
+    )
+    return (out.join(near_ids, id_col, "left")
+            .withColumn("dup_near", F.col("__near").isNotNull())
+            .drop("__near"))

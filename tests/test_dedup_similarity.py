@@ -829,3 +829,63 @@ def test_domain_stats(spark):
     assert got["a.com"].n_pages == 3 and got["a.com"].n_urls == 2
     assert got["a.com"].mean_size == pytest.approx(20.0)
     assert got["b.org"].n_pages == 1
+
+
+def test_incremental_dedup_flags(spark):
+    from pyradiomics_spark.operators.dedup import incremental_dedup
+
+    old = spark.createDataFrame([
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "completely different prior document about spark engines"),
+    ], ["doc_id", "text"])
+    new = spark.createDataFrame([
+        # exact copy of old 0
+        (10, "the quick brown fox jumps over the lazy dog today"),
+        # near-dup of old 0 (one word changed)
+        (11, "the quick brown fox jumps over the lazy cat today"),
+        # genuinely novel
+        (12, "unrelated brand new content with zero shingle overlap here"),
+    ], ["doc_id", "text"])
+    got = {r.doc_id: (r.dup_exact, r.dup_near)
+           for r in incremental_dedup(new, old, "doc_id", "text",
+                                      num_hashes=16, bands=8).collect()}
+    assert got[10] == (True, True)
+    assert got[11][0] is False and got[11][1] is True
+    assert got[12] == (False, False)
+
+
+def test_incremental_dedup_never_compares_new_to_new(spark):
+    """Two identical NEW docs with no old counterpart must both pass
+    (the incremental contract: only new-vs-old is deduped)."""
+    from pyradiomics_spark.operators.dedup import incremental_dedup
+
+    old = spark.createDataFrame(
+        [(0, "prior corpus text entirely unlike the rest")],
+        ["doc_id", "text"])
+    new = spark.createDataFrame([
+        (10, "same new content repeated across the delta exactly"),
+        (11, "same new content repeated across the delta exactly"),
+    ], ["doc_id", "text"])
+    got = {r.doc_id: (r.dup_exact, r.dup_near)
+           for r in incremental_dedup(new, old, "doc_id", "text",
+                                      num_hashes=16, bands=8).collect()}
+    assert got[10] == (False, False) and got[11] == (False, False)
+
+
+def test_incremental_dedup_bucket_cap_drops_boilerplate(spark):
+    """A hot old-side bucket beyond the cap stops flagging; docs keep
+    their other bands."""
+    from pyradiomics_spark.operators.dedup import incremental_dedup
+
+    boiler = "copyright notice all rights reserved contact us terms"
+    old = spark.createDataFrame(
+        [(i, boiler) for i in range(50)], ["doc_id", "text"])
+    new = spark.createDataFrame([(100, boiler)], ["doc_id", "text"])
+    capped = incremental_dedup(new, old, "doc_id", "text", num_hashes=16,
+                               bands=8, bucket_cap=10).first()
+    uncapped = incremental_dedup(new, old, "doc_id", "text", num_hashes=16,
+                                 bands=8).first()
+    assert uncapped.dup_near is True
+    # identical docs: ALL bands are hot and dropped → no near flag, but
+    # the exact flag still catches it (layered defense)
+    assert capped.dup_near is False and capped.dup_exact is True
