@@ -1551,6 +1551,22 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document chunking (operators/sampling.py chunk_documents):
+    32-token windows, 8-token overlap, tails kept — one row per chunk
+    with its md5 so every byte of every window is pinned. Pure JVM
+    projection+explode; the DuckDB twin replays the stride arithmetic
+    with list slicing."""
+    from pyradiomics_spark.operators.sampling import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = chunk_documents(docs, "doc_id", "text", 32, overlap=8)
+    return out.select(
+        "doc_id", "chunk_idx", "chunk_n_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-incremental dedup, relational twin of
     operators/dedup.py incremental_dedup (md5 hash family so DuckDB
@@ -2503,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "corpus_profile": q_corpus_profile,
         "incremental_dedup": q_incremental_dedup,
+        "chunk_documents": q_chunk_documents,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -3833,6 +3850,22 @@ def oracle_sql() -> dict[str, str]:
                      AS dsir_log_weight
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
             ORDER BY d.doc_id
+        """,
+        "chunk_documents": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), c AS (
+              SELECT doc_id, s.i,
+                     list_slice(t, s.i * 24 + 1, s.i * 24 + 32) AS ch
+              FROM toks, LATERAL (
+                SELECT unnest(generate_series(0,
+                  CAST(floor((greatest(len(t) - 32, 0) + 23) / 24)
+                       AS INT))) AS i) s(i)
+            )
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                   CAST(len(ch) AS BIGINT) AS chunk_n_tokens,
+                   md5(array_to_string(ch, ' ')) AS chunk_md5
+            FROM c ORDER BY doc_id, chunk_idx
         """,
         "incremental_dedup": """
             WITH oldc AS (

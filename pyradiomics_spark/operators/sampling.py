@@ -564,3 +564,57 @@ def gumbel_topk_sample(
         .withColumn(score_col, lw + g)
     )
     return out.orderBy(F.desc(score_col), F.col(id_col)).limit(k)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int,
+    overlap: int = 0,
+    out_col: str = "chunk_text",
+) -> DataFrame:
+    """Split each document into fixed-size token windows — the
+    long-document half of corpus preparation (pack_sequences handles the
+    short half): chunk i covers tokens ``[i·stride, i·stride +
+    chunk_tokens)`` with ``stride = chunk_tokens − overlap``; the final
+    chunk keeps its tail even when short, and every chunk starts within
+    the document (no empty trailing chunks). Emits one row per chunk
+    with ``chunk_idx``, ``chunk_n_tokens``, and ``out_col``.
+
+    Whitespace tokenization (the repo's token convention) — swap in a
+    BPE count upstream and chunk on precomputed token arrays if exact
+    model tokens matter.
+
+    Scale shape: pure JVM projection + explode (sequence/transform/
+    slice/concat_ws — no Python, no shuffle); output row count is
+    Σ ceil(max(n_i − overlap, 1)/stride), linear in corpus tokens.
+    """
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # number of chunks: 1 + floor((max(n - chunk, 0) + stride - 1)/stride)
+    # == chunks whose start < n, with the last partial tail kept
+    extra = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+    n_chunks = F.lit(1) + F.floor(
+        (extra + F.lit(stride - 1)) / F.lit(stride)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.slice(toks, i * stride + 1, chunk_tokens).alias("t"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("c.t").cast("long").alias("chunk_n_tokens"),
+            F.concat_ws(" ", F.col("c.t")).alias(out_col),
+        )
+    )

@@ -455,3 +455,48 @@ def test_gumbel_topk_null_weights_excluded_and_validation(spark):
     assert got == {0, 2}
     with pytest.raises(ValueError, match="k must be"):
         gumbel_topk_sample(df, "id", "lw", k=0)
+
+
+def test_chunk_documents_layout(spark):
+    from pyradiomics_spark.operators.sampling import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    got = {r.chunk_idx: (r.chunk_n_tokens, r.chunk_text)
+           for r in chunk_documents(df, "doc_id", "text", 4).collect()}
+    assert len(got) == 3
+    assert got[0] == (4, "w0 w1 w2 w3")
+    assert got[1] == (4, "w4 w5 w6 w7")
+    assert got[2] == (2, "w8 w9")  # short tail kept
+
+
+def test_chunk_documents_overlap_and_reconstruction(spark):
+    from pyradiomics_spark.operators.sampling import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(9))
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, "doc_id", "text", 4, overlap=2).collect(),
+        key=lambda r: r.chunk_idx)
+    # stride 2: starts at 0,2,4 — every token covered, overlap = 2
+    assert [r.chunk_text.split()[0] for r in rows] == ["w0", "w2", "w4", "w6"]
+    # consecutive chunks agree on their overlap (the training contract)
+    for a, b in zip(rows, rows[1:]):
+        assert a.chunk_text.split()[2:] == b.chunk_text.split()[:2]
+    # non-overlap chunks reconstruct the doc exactly
+    plain = sorted(chunk_documents(df, "doc_id", "text", 4).collect(),
+                   key=lambda r: r.chunk_idx)
+    assert " ".join(r.chunk_text for r in plain) == text
+
+
+def test_chunk_documents_short_doc_single_chunk_and_validation(spark):
+    from pyradiomics_spark.operators.sampling import chunk_documents
+
+    df = spark.createDataFrame([(0, "a b"), (1, "x")], ["doc_id", "text"])
+    got = {(r.doc_id, r.chunk_idx): r.chunk_text
+           for r in chunk_documents(df, "doc_id", "text", 16).collect()}
+    assert got == {(0, 0): "a b", (1, 0): "x"}
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", "text", 4, overlap=4)
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(df, "doc_id", "text", 0)
