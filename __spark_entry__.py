@@ -1551,6 +1551,22 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_tag_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic tagging by vocabulary hit counts (functions/textstats.py
+    tag_keywords): two tag lists over the corpus vocabulary, counts are
+    token-exact multiset hits via scan-fused array filters (no
+    shuffle/join/Python). The DuckDB twin counts via list filtering on
+    the identical vocabularies."""
+    from pyradiomics_spark.functions.textstats import tag_keywords
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tag_keywords(docs, {
+        "exec": ["scan", "filter", "join", "agg"],
+        "stream": ["stream", "window", "batch"],
+    })
+    return out.select("doc_id", "kw_exec", "kw_stream").orderBy("doc_id")
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-document chunking (operators/sampling.py chunk_documents):
     32-token windows, 8-token overlap, tails kept — one row per chunk
@@ -2520,6 +2536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": q_corpus_profile,
         "incremental_dedup": q_incremental_dedup,
         "chunk_documents": q_chunk_documents,
+        "tag_keywords": q_tag_keywords,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -3850,6 +3867,21 @@ def oracle_sql() -> dict[str, str]:
                      AS dsir_log_weight
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
             ORDER BY d.doc_id
+        """,
+        "tag_keywords": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(text), ' +') AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(list_filter(t, x -> x IN
+                     ('scan', 'filter', 'join', 'agg'))) AS BIGINT)
+                     AS kw_exec,
+                   CAST(len(list_filter(t, x -> x IN
+                     ('stream', 'window', 'batch'))) AS BIGINT)
+                     AS kw_stream
+            FROM toks ORDER BY doc_id
         """,
         "chunk_documents": """
             WITH toks AS (

@@ -123,7 +123,7 @@ def main() -> None:
         "mad_outliers", "gram_matrix", "decayed_features", "cms_counts",
         "hll_registers", "rank_normalize", "bloom_filter", "stream_cms",
         "dedup_normalize", "dsir_sample", "corpus_profile",
-        "incremental_dedup", "chunk_documents",
+        "incremental_dedup", "chunk_documents", "tag_keywords",
     ]
     for name in headline:
         if name not in qs:

@@ -656,3 +656,44 @@ def corpus_profile(
         "stack(2, 'n_langs', n_langs, 'lang_entropy', lang_entropy)"
         " AS (metric, value)")
     return metrics.unionByName(lang_metrics)
+
+
+def tag_keywords(
+    df: DataFrame,
+    keyword_sets: dict,
+    text_col: str = "text",
+    lowercase: bool = True,
+    prefix: str = "kw_",
+) -> DataFrame:
+    """Topic/keyword tagging — the curation step that routes documents
+    to domain buckets (code/medical/legal/...) by vocabulary hit
+    counts: for each ``tag → [words]`` entry, adds ``{prefix}{tag}`` =
+    the number of tokens (multiset count) that belong to the tag's word
+    set. Matching is token-exact after optional lowercasing, not
+    substring (no 'cat' inside 'category').
+
+    Scale shape: the vocabularies ride into the plan as array literals
+    and counting is ``size(filter(tokens, t -> array_contains(...)))``
+    — a pure scan-fused projection, zero shuffle/join/Python. For
+    vocabularies beyond a few thousand words per tag, switch to the
+    token-explode + broadcast-join census (ngram_topk's shape) — the
+    literal form keeps the oracle byte-exact and the plan O(vocab) in
+    size, fine for curated tag lists.
+    """
+    if not keyword_sets:
+        raise ValueError("keyword_sets must be non-empty")
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    toks = F.split(t, " +")
+    out = df
+    for tag, words in keyword_sets.items():
+        if not words:
+            raise ValueError(f"empty keyword list for tag {tag!r}")
+        vocab = F.array(*[
+            F.lit(w.lower() if lowercase else w) for w in words])
+        out = out.withColumn(
+            f"{prefix}{tag}",
+            F.size(F.filter(toks, lambda x: F.array_contains(vocab, x)))
+            .cast("long"))
+    return out

@@ -225,3 +225,27 @@ def test_corpus_profile_metrics(spark):
     # lang_col=None drops the language block
     nolang = {r.metric for r in corpus_profile(df, lang_col=None).collect()}
     assert "lang_entropy" not in nolang and "n_docs" in nolang
+
+
+def test_tag_keywords_token_exact_counts(spark):
+    from pyradiomics_spark.functions.textstats import tag_keywords
+
+    rows = [
+        (0, "The cat sat near another CAT and a category of dogs"),
+        (1, "pure python code compiles spark code fast"),
+        (2, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.kw_animals, r.kw_tech)
+           for r in tag_keywords(df, {
+               "animals": ["cat", "dogs"],
+               "tech": ["code", "spark"],
+           }).collect()}
+    # token-exact: 'category' does NOT match 'cat'; case-folded
+    assert out[0] == (3, 0)
+    assert out[1] == (0, 3)  # code ×2 + spark
+    assert out[2] == (0, 0)
+    with pytest.raises(ValueError, match="non-empty"):
+        tag_keywords(df, {})
+    with pytest.raises(ValueError, match="empty keyword list"):
+        tag_keywords(df, {"x": []})
