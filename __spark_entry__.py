@@ -1551,6 +1551,54 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization of doc length (functions/textstats.py
+    winsorize): clamp at the exact (p5, p95) corpus quantiles — one
+    percentile agg broadcast back + scan-fused clamp. DuckDB twin uses
+    quantile_cont (shared linear-interpolation convention)."""
+    from pyradiomics_spark.functions.textstats import winsorize
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = winsorize(docs, "n_chars", 0.05, 0.95)
+    return out.select(
+        "doc_id", _rnd("n_chars_wins", 6).alias("n_chars_wins")
+    ).orderBy("doc_id")
+
+
+def q_group_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-score of doc length (functions/textstats.py
+    group_standardize): bounded groupBy stats + broadcast join back,
+    zero-variance groups defined as 0.0. DuckDB twin replays avg/
+    stddev_samp per group."""
+    from pyradiomics_spark.functions.textstats import group_standardize
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    out = group_standardize(docs, "n_chars", "lang")
+    return out.select(
+        "doc_id", "lang", _rnd("n_chars_z", 6).alias("z")
+    ).orderBy("doc_id")
+
+
+def q_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-QA correlation matrix (functions/textstats.py
+    feature_corr): pairwise Pearson over three scan-fused doc features
+    in ONE map-side-combined aggregate; tidy (col_a, col_b, corr) rows.
+    DuckDB twin uses its corr() on identical projections."""
+    from pyradiomics_spark.functions.textstats import feature_corr
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("double").alias("nc"),
+        F.size(F.split(F.trim("text"), " +")).cast("double").alias("nt"),
+        F.log(F.lit(1.0) + F.col("n_chars")).alias("lnc"),
+    )
+    return (
+        feature_corr(docs, ["nc", "nt", "lnc"])
+        .select("col_a", "col_b", _rnd("corr", 6).alias("corr"))
+        .orderBy("col_a", "col_b")
+    )
+
+
 def q_tag_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic tagging by vocabulary hit counts (functions/textstats.py
     tag_keywords): two tag lists over the corpus vocabulary, counts are
@@ -2537,6 +2585,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "chunk_documents": q_chunk_documents,
         "tag_keywords": q_tag_keywords,
+        "winsorize": q_winsorize,
+        "group_standardize": q_group_standardize,
+        "feature_corr": q_feature_corr,
         # --- last driver-verified in r1/r2 on older code ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -3867,6 +3918,48 @@ def oracle_sql() -> dict[str, str]:
                      AS dsir_log_weight
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
             ORDER BY d.doc_id
+        """,
+        "winsorize": """
+            WITH b AS (
+              SELECT quantile_cont(n_chars, 0.05) AS lo,
+                     quantile_cont(n_chars, 0.95) AS hi
+              FROM documents
+            )
+            SELECT doc_id,
+                   floor(greatest(lo, least(hi, n_chars::DOUBLE)) * 1e6
+                         + 0.50000095367431640625) / 1e6 AS n_chars_wins
+            FROM documents CROSS JOIN b ORDER BY doc_id
+        """,
+        "group_standardize": """
+            WITH s AS (
+              SELECT lang, avg(n_chars) AS mu, stddev_samp(n_chars) AS sd
+              FROM documents GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang,
+                   floor(CASE WHEN s.sd IS NULL OR s.sd = 0.0 THEN 0.0
+                              ELSE (d.n_chars - s.mu) / s.sd END * 1e6
+                         + 0.50000095367431640625) / 1e6 AS z
+            FROM documents d JOIN s USING (lang) ORDER BY d.doc_id
+        """,
+        "feature_corr": """
+            WITH f AS (
+              SELECT n_chars::DOUBLE AS nc,
+                     len(regexp_split_to_array(trim(text), ' +'))::DOUBLE
+                       AS nt,
+                     ln(1.0 + n_chars) AS lnc
+              FROM documents
+            ), c AS (
+              SELECT corr(nc, nt) AS c_nc_nt, corr(nc, lnc) AS c_nc_lnc,
+                     corr(nt, lnc) AS c_nt_lnc
+              FROM f
+            ), stacked AS (
+              SELECT 'nc' AS col_a, 'lnc' AS col_b, c_nc_lnc AS corr FROM c
+              UNION ALL SELECT 'nc', 'nt', c_nc_nt FROM c
+              UNION ALL SELECT 'nt', 'lnc', c_nt_lnc FROM c
+            )
+            SELECT col_a, col_b,
+                   floor(corr * 1e6 + 0.50000095367431640625) / 1e6 AS corr
+            FROM stacked ORDER BY col_a, col_b
         """,
         "tag_keywords": """
             WITH toks AS (

@@ -124,6 +124,7 @@ def main() -> None:
         "hll_registers", "rank_normalize", "bloom_filter", "stream_cms",
         "dedup_normalize", "dsir_sample", "corpus_profile",
         "incremental_dedup", "chunk_documents", "tag_keywords",
+        "winsorize", "group_standardize", "feature_corr",
     ]
     for name in headline:
         if name not in qs:

@@ -697,3 +697,100 @@ def tag_keywords(
             F.size(F.filter(toks, lambda x: F.array_contains(vocab, x)))
             .cast("long"))
     return out
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out_col: str | None = None,
+    relative_error: float | None = None,
+) -> DataFrame:
+    """Percentile winsorization — clamp a feature at its corpus
+    quantiles (the tail-taming preprocessing step; the percentile twin
+    of the reference's sigma clamp, imageoperations.py normalizeImage):
+    values below the ``lower`` quantile snap up to it, above ``upper``
+    snap down. Nulls pass through.
+
+    Scale shape: ONE exact-percentile aggregate (GK-sketch arm via
+    ``relative_error`` for the 100-TB path) broadcast back through a
+    crossJoin, then a scan-fused clamp — the quantile_buckets
+    discipline, never a sort."""
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError("need 0 <= lower < upper <= 1")
+    v = F.col(value_col).cast("double")
+    pr = F.array(F.lit(float(lower)), F.lit(float(upper)))
+    if relative_error is not None:
+        agg = F.percentile_approx(
+            v, pr, F.lit(int(round(1.0 / relative_error))))
+    else:
+        agg = F.percentile(v, pr)
+    bounds = F.broadcast(df.agg(agg.alias("__wb")))
+    out_col = out_col or f"{value_col}_wins"
+    lo, hi = F.col("__wb")[0], F.col("__wb")[1]
+    return (
+        df.crossJoin(bounds)
+        .withColumn(out_col,
+                    F.when(v.isNull(), None)
+                    .otherwise(F.greatest(lo, F.least(hi, v))))
+        .drop("__wb")
+    )
+
+
+def group_standardize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    out_col: str | None = None,
+    ddof: int = 1,
+) -> DataFrame:
+    """Z-score standardization, optionally per group (per-language /
+    per-domain feature normalization): ``(x − μ_g) / σ_g``; a
+    zero-variance group standardizes to 0.0 (defined, not NaN — a
+    constant feature carries no signal). Nulls pass through.
+
+    Scale shape: one bounded groupBy for (μ, σ) + a broadcast stats
+    join back — group count is languages/domains, never a window over
+    the corpus; same discipline as mad_outliers."""
+    v = F.col(value_col).cast("double")
+    std = F.stddev_samp(v) if ddof == 1 else F.stddev_pop(v)
+    keys = [group_col] if group_col else []
+    if keys:
+        stats = df.groupBy(*keys).agg(
+            F.avg(v).alias("__mu"), std.alias("__sd"))
+        j = df.join(F.broadcast(stats), keys)
+    else:
+        stats = df.agg(F.avg(v).alias("__mu"), std.alias("__sd"))
+        j = df.crossJoin(F.broadcast(stats))
+    out_col = out_col or f"{value_col}_z"
+    z = F.when(v.isNull(), None).otherwise(
+        F.when((F.col("__sd").isNull()) | (F.col("__sd") == 0.0), 0.0)
+        .otherwise((v - F.col("__mu")) / F.col("__sd")))
+    return j.withColumn(out_col, z).drop("__mu", "__sd")
+
+
+def feature_corr(
+    df: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix of feature columns as tidy
+    (col_a, col_b, corr) rows (a < b) — the feature-QA/drift diagnostic
+    (near-±1 pairs are redundant features; a correlation that moves
+    between crawls is drift). ONE aggregate computes every pair
+    map-side-combined; output is |cols|²/2 rows at any corpus size."""
+    if len(cols) < 2:
+        raise ValueError("need at least 2 columns")
+    aggs = []
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            pairs.append((a, b))
+            aggs.append(F.corr(F.col(a).cast("double"),
+                               F.col(b).cast("double"))
+                        .alias(f"__c_{a}__{b}"))
+    row = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{a}', '{b}', `__c_{a}__{b}`" for a, b in pairs)
+    return row.selectExpr(
+        f"stack({len(pairs)}, {stack}) AS (col_a, col_b, corr)")

@@ -249,3 +249,64 @@ def test_tag_keywords_token_exact_counts(spark):
         tag_keywords(df, {})
     with pytest.raises(ValueError, match="empty keyword list"):
         tag_keywords(df, {"x": []})
+
+
+def test_winsorize_clamps_at_quantiles(spark):
+    import numpy as np
+
+    from pyradiomics_spark.functions.textstats import winsorize
+
+    vals = list(range(1, 101))  # 1..100
+    df = spark.createDataFrame([(float(v),) for v in vals], ["v"])
+    out = winsorize(df, "v", 0.05, 0.95).collect()
+    lo = np.percentile(vals, 5)
+    hi = np.percentile(vals, 95)
+    got = sorted(r.v_wins for r in out)
+    assert got[0] == pytest.approx(lo) and got[-1] == pytest.approx(hi)
+    # interior values untouched
+    assert any(r.v == r.v_wins for r in out)
+    with pytest.raises(ValueError, match="lower < upper"):
+        winsorize(df, "v", 0.9, 0.1)
+
+
+def test_group_standardize(spark):
+    import numpy as np
+
+    from pyradiomics_spark.functions.textstats import group_standardize
+
+    rows = ([("a", float(v)) for v in (1, 2, 3, 4)]
+            + [("b", 7.0), ("b", 7.0)])  # constant group
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = group_standardize(df, "v", "g")
+    a = sorted(r.v_z for r in out.where("g='a'").collect())
+    exp = sorted((np.array([1, 2, 3, 4]) - 2.5) / np.std([1, 2, 3, 4],
+                                                         ddof=1))
+    np.testing.assert_allclose(a, exp, rtol=1e-12)
+    # zero-variance group → defined 0.0, not NaN
+    assert all(r.v_z == 0.0 for r in out.where("g='b'").collect())
+    # global arm: mean 0, sd 1
+    g = group_standardize(df, "v", None)
+    zs = np.array([r.v_z for r in g.collect()])
+    assert abs(zs.mean()) < 1e-12 and abs(zs.std(ddof=1) - 1) < 1e-12
+
+
+def test_feature_corr_matches_numpy(spark):
+    import numpy as np
+
+    from pyradiomics_spark.functions.textstats import feature_corr
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=200)
+    y = 2 * x + rng.normal(scale=0.1, size=200)
+    z = rng.normal(size=200)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        ["x", "y", "z"])
+    got = {(r.col_a, r.col_b): r.corr
+           for r in feature_corr(df, ["x", "y", "z"]).collect()}
+    assert set(got) == {("x", "y"), ("x", "z"), ("y", "z")}
+    assert got[("x", "y")] == pytest.approx(np.corrcoef(x, y)[0, 1],
+                                            rel=1e-9)
+    assert abs(got[("x", "z")]) < 0.2
+    with pytest.raises(ValueError, match="at least 2"):
+        feature_corr(df, ["x"])
