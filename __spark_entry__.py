@@ -1551,6 +1551,83 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl vocabulary drift (functions/textstats.py
+    snapshot_drift): JSD + top-10 probability movers between the two
+    halves of the documents table as synthetic snapshots. Census
+    groupBys + a |vocab|-row full-outer join — never a corpus-row
+    shuffle; the movers ranking is division-of-integers deterministic
+    so the k-bounded TakeOrdered is engine-stable. DuckDB twin replays
+    the censuses, the 0·log0-exact JSD, and the ranking."""
+    from pyradiomics_spark.functions.textstats import snapshot_drift
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.where(F.col("doc_id") < 250)
+    b = docs.where(F.col("doc_id") >= 250)
+    out = snapshot_drift(a, b, top_movers=10)
+    return out.select(
+        "term", _rnd("p_a", 6).alias("p_a"), _rnd("p_b", 6).alias("p_b"),
+        _rnd("delta", 6).alias("delta"),
+    ).orderBy("term")
+
+
+def _synth_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic host link graph keyed on md5 buckets of doc_id: each
+    document's host (md5 % 40) links to two md5-derived target hosts;
+    hosts in buckets >= 35 emit no out-edges, so they enter the graph as
+    pure sinks (dangling nodes — the PageRank mass-conservation path is
+    exercised, not just the join). Identical expression in the oracle
+    CTE ``b``/``e``."""
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("__k"))
+
+    def bucket(col):
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast(
+            "long") % 40
+
+    b = d.select(
+        bucket(F.col("__k")).alias("sb"),
+        bucket(F.concat(F.col("__k"), F.lit(":o1"))).alias("t1"),
+        bucket(F.concat(F.col("__k"), F.lit(":o2"))).alias("t2"))
+
+    def host(c):
+        return F.concat(F.lit("h"), F.col(c).cast("string"))
+
+    e1 = b.where((F.col("sb") < 35) & (F.col("sb") != F.col("t1"))).select(
+        host("sb").alias("src"), host("t1").alias("dst"))
+    e2 = b.where((F.col("sb") < 35) & (F.col("sb") != F.col("t2"))).select(
+        host("sb").alias("src"), host("t2").alias("dst"))
+    return e1.unionByName(e2)
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank, 3 power-iteration steps with uniform teleport
+    and dangling-mass redistribution (operators/graph.py pagerank) over
+    the synthetic md5-bucket host graph. Per iteration: one rank⨝edges
+    equi-join + one groupBy-dst sum (both keyed the same every round —
+    cluster runs reuse one partitioning), dangling mass a broadcast
+    single-row agg. DuckDB twin unrolls the identical 3 iterations."""
+    from pyradiomics_spark.operators.graph import pagerank
+
+    out = pagerank(_synth_host_edges(spark, sf_dir), n_iter=3,
+                   damping=0.85)
+    return out.select("node", _rnd("rank", 6).alias("rank")).orderBy(
+        "node")
+
+
+def q_degree_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host in/out-degree census (operators/graph.py degree_census) over
+    the synthetic host graph: two map-side-combined groupBys full-outer
+    joined on the |hosts|-row aggregates."""
+    from pyradiomics_spark.operators.graph import degree_census
+
+    out = degree_census(_synth_host_edges(spark, sf_dir))
+    return out.select(
+        "node", F.col("out_degree").cast("long").alias("out_degree"),
+        F.col("in_degree").cast("long").alias("in_degree"),
+    ).orderBy("node")
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile winsorization of doc length (functions/textstats.py
     winsorize): clamp at the exact (p5, p95) corpus quantiles — one
@@ -2586,6 +2663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "tag_keywords": q_tag_keywords,
         "winsorize": q_winsorize,
+        "snapshot_drift": q_snapshot_drift,
         "group_standardize": q_group_standardize,
         "feature_corr": q_feature_corr,
         # --- last driver-verified in r1/r2 on older code ---
@@ -3918,6 +3996,49 @@ def oracle_sql() -> dict[str, str]:
                      AS dsir_log_weight
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
             ORDER BY d.doc_id
+        """,
+        "snapshot_drift": """
+            WITH ta AS (
+              SELECT term, count(*) AS c FROM (
+                SELECT unnest(string_split(text, ' ')) AS term
+                FROM documents WHERE doc_id < 250)
+              WHERE term <> '' GROUP BY term
+            ), tb AS (
+              SELECT term, count(*) AS c FROM (
+                SELECT unnest(string_split(text, ' ')) AS term
+                FROM documents WHERE doc_id >= 250)
+              WHERE term <> '' GROUP BY term
+            ), jn AS (
+              SELECT coalesce(ta.term, tb.term) AS term,
+                     coalesce(ta.c, 0) AS ca, coalesce(tb.c, 0) AS cb
+              FROM ta FULL OUTER JOIN tb ON ta.term = tb.term
+            ), tot AS (
+              SELECT sum(ca)::DOUBLE AS sa, sum(cb)::DOUBLE AS sb FROM jn
+            ), scored AS (
+              SELECT term, ca / sa AS p_a, cb / sb AS p_b,
+                     cb / sb - ca / sa AS delta,
+                     (CASE WHEN ca > 0 THEN (ca / sa) * log2(
+                        (ca / sa) / ((ca / sa + cb / sb) / 2.0))
+                      ELSE 0.0 END
+                      + CASE WHEN cb > 0 THEN (cb / sb) * log2(
+                        (cb / sb) / ((ca / sa + cb / sb) / 2.0))
+                      ELSE 0.0 END) / 2.0 AS kl
+              FROM jn CROSS JOIN tot
+            ), jsd AS (
+              SELECT '__jsd__' AS term, NULL::DOUBLE AS p_a,
+                     NULL::DOUBLE AS p_b, sum(kl) AS delta FROM scored
+            ), movers AS (
+              SELECT term, p_a, p_b, delta FROM scored
+              ORDER BY abs(delta) DESC, term LIMIT 10
+            ), unioned AS (
+              SELECT * FROM jsd UNION ALL SELECT * FROM movers
+            )
+            SELECT term,
+                   floor(p_a * 1e6 + 0.50000095367431640625) / 1e6 AS p_a,
+                   floor(p_b * 1e6 + 0.50000095367431640625) / 1e6 AS p_b,
+                   floor(delta * 1e6 + 0.50000095367431640625) / 1e6
+                     AS delta
+            FROM unioned ORDER BY term
         """,
         "winsorize": """
             WITH b AS (

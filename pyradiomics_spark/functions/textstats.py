@@ -794,3 +794,54 @@ def feature_corr(
         f"'{a}', '{b}', `__c_{a}__{b}`" for a, b in pairs)
     return row.selectExpr(
         f"stack({len(pairs)}, {stack}) AS (col_a, col_b, corr)")
+
+
+def snapshot_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    top_movers: int = 10,
+) -> DataFrame:
+    """Vocabulary drift between two corpus snapshots (crawl N vs crawl
+    N+1): per-term probability shift plus the corpus-level
+    Jensen-Shannon divergence — the monitoring signal that a source
+    changed template, language mix, or spam profile between crawls.
+    Output rows: ``('__jsd__', NULL, NULL, jsd)`` and the
+    ``top_movers`` terms by |Δp| as ``(term, p_a, p_b, delta)``.
+
+    JSD uses log2 (bounded [0,1]); unseen terms contribute via the
+    mixture M = (P+Q)/2 with no smoothing needed (0·log0 ≡ 0 — exact,
+    not an epsilon hack).
+
+    Scale shape: one census groupBy per snapshot (map-side combined),
+    a full-outer term join (shuffles |vocab| rows, not corpus rows), a
+    single-row total agg, and a k-bounded TakeOrdered for the movers."""
+    def census(df):
+        toks = F.explode(F.split(F.col(text_col), " ")).alias("term")
+        return (df.select(toks).where(F.col("term") != "")
+                .groupBy("term").agg(F.count("*").alias("c")))
+    ca, cb = census(df_a), census(df_b)
+    j = (ca.withColumnRenamed("c", "ca")
+         .join(cb.withColumnRenamed("c", "cb"), "term", "full_outer")
+         .fillna(0, ["ca", "cb"]))
+    tot = j.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+    j = j.crossJoin(F.broadcast(tot))
+    p = F.col("ca") / F.col("ta")
+    q = F.col("cb") / F.col("tb")
+    m = (p + q) / F.lit(2.0)
+    term_kl = (
+        F.when(p > 0, p * F.log2(p / m)).otherwise(0.0)
+        + F.when(q > 0, q * F.log2(q / m)).otherwise(0.0)
+    ) / F.lit(2.0)
+    scored = j.select(
+        "term", p.alias("p_a"), q.alias("p_b"),
+        (q - p).alias("delta"), term_kl.alias("__kl"))
+    jsd = scored.agg(F.sum("__kl").alias("jsd")).select(
+        F.lit("__jsd__").alias("term"),
+        F.lit(None).cast("double").alias("p_a"),
+        F.lit(None).cast("double").alias("p_b"),
+        F.col("jsd").alias("delta"))
+    movers = (scored.orderBy(F.abs(F.col("delta")).desc(), F.col("term"))
+              .limit(top_movers)
+              .select("term", "p_a", "p_b", "delta"))
+    return jsd.unionByName(movers)

@@ -1,0 +1,73 @@
+"""PageRank / degree census vs a hand-rolled numpy power iteration."""
+
+import numpy as np
+import pytest
+
+from pyradiomics_spark.operators.graph import degree_census, pagerank
+
+
+def _np_pagerank(edges, n_iter, d=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outd = np.zeros(n)
+    for u, _ in edges:
+        outd[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dang = r[outd == 0].sum()
+        new = np.full(n, (1.0 - d) / n + d * dang / n)
+        for u, v in edges:
+            new[idx[v]] += d * r[idx[u]] / outd[idx[u]]
+        r = new
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+EDGES = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+         ("d", "c"), ("c", "e")]  # e is dangling
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    return spark.createDataFrame(EDGES, ["src", "dst"])
+
+
+def test_pagerank_matches_numpy(spark, edges_df):
+    got = {r.node: r["rank"] for r in pagerank(edges_df, n_iter=5).collect()}
+    want = _np_pagerank(EDGES, n_iter=5)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+    # mass conservation: dangling redistribution keeps Σr = 1 exactly
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_pagerank_parallel_edges_count_twice(spark):
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")],
+        ["src", "dst"])
+    got = {r.node: r["rank"] for r in pagerank(df, n_iter=3).collect()}
+    want = _np_pagerank(
+        [("a", "b"), ("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")], 3)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+    assert got["b"] > got["c"]  # 2/3 of a's mass vs 1/3
+
+
+def test_pagerank_no_checkpoint_same_result(spark, edges_df):
+    a = {r.node: r["rank"]
+         for r in pagerank(edges_df, n_iter=2, checkpoint=False).collect()}
+    b = {r.node: r["rank"] for r in pagerank(edges_df, n_iter=2).collect()}
+    assert a == b
+
+
+def test_pagerank_rejects_zero_iters(edges_df):
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank(edges_df, n_iter=0)
+
+
+def test_degree_census(spark, edges_df):
+    got = {r.node: (r.out_degree, r.in_degree)
+           for r in degree_census(edges_df).collect()}
+    assert got == {"a": (2, 1), "b": (1, 1), "c": (2, 3),
+                   "d": (1, 0), "e": (0, 1)}

@@ -310,3 +310,35 @@ def test_feature_corr_matches_numpy(spark):
     assert abs(got[("x", "z")]) < 0.2
     with pytest.raises(ValueError, match="at least 2"):
         feature_corr(df, ["x"])
+
+
+def test_snapshot_drift_jsd_and_movers(spark):
+    import math
+
+    from pyradiomics_spark.functions.textstats import snapshot_drift
+
+    a = spark.createDataFrame(
+        [(0, "x x y"), (1, "x z")], ["doc_id", "text"])
+    b = spark.createDataFrame(
+        [(0, "x y y"), (1, "y w")], ["doc_id", "text"])
+    rows = snapshot_drift(a, b, top_movers=4).collect()
+    got = {r.term: r for r in rows}
+    # hand-computed: P = x:3/5, y:1/5, z:1/5; Q = x:1/5, y:3/5, w:1/5
+    P = {"x": 3 / 5, "y": 1 / 5, "z": 1 / 5}
+    Q = {"x": 1 / 5, "y": 3 / 5, "w": 1 / 5}
+    jsd = 0.0
+    for t in set(P) | set(Q):
+        p, q = P.get(t, 0.0), Q.get(t, 0.0)
+        m = (p + q) / 2
+        if p:
+            jsd += 0.5 * p * math.log2(p / m)
+        if q:
+            jsd += 0.5 * q * math.log2(q / m)
+    assert got["__jsd__"].delta == pytest.approx(jsd, rel=1e-12)
+    assert 0.0 < got["__jsd__"].delta < 1.0
+    # movers carry signed deltas; x fell, y rose
+    assert got["x"].delta == pytest.approx(-2 / 5)
+    assert got["y"].delta == pytest.approx(2 / 5)
+    # identical snapshots → JSD 0
+    same = snapshot_drift(a, a).collect()
+    assert {r.term: r for r in same}["__jsd__"].delta == pytest.approx(0.0)
