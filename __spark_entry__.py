@@ -2664,6 +2664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_keywords": q_tag_keywords,
         "winsorize": q_winsorize,
         "snapshot_drift": q_snapshot_drift,
+        "pagerank": q_pagerank,
+        "degree_census": q_degree_census,
         "group_standardize": q_group_standardize,
         "feature_corr": q_feature_corr,
         # --- last driver-verified in r1/r2 on older code ---
@@ -4039,6 +4041,95 @@ def oracle_sql() -> dict[str, str]:
                    floor(delta * 1e6 + 0.50000095367431640625) / 1e6
                      AS delta
             FROM unioned ORDER BY term
+        """,
+        "pagerank": """
+            WITH b AS (
+              SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                       ::BIGINT % 40 AS sb,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':o1'), 1, 8))
+                       ::BIGINT % 40 AS t1,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':o2'), 1, 8))
+                       ::BIGINT % 40 AS t2
+              FROM documents
+            ), e AS (
+              SELECT 'h' || sb::VARCHAR AS src, 'h' || t1::VARCHAR AS dst
+              FROM b WHERE sb < 35 AND sb <> t1
+              UNION ALL
+              SELECT 'h' || sb::VARCHAR, 'h' || t2::VARCHAR
+              FROM b WHERE sb < 35 AND sb <> t2
+            ), nodes AS (
+              SELECT src AS node FROM e UNION SELECT dst FROM e
+            ), outd AS (
+              SELECT src AS node, count(*)::DOUBLE AS od FROM e GROUP BY src
+            ), base AS (
+              SELECT n.node, o.od FROM nodes n
+              LEFT JOIN outd o ON n.node = o.node
+            ), r0 AS (
+              SELECT node, od,
+                     1.0 / (SELECT count(*) FROM base) AS r FROM base
+            ), s0 AS (
+              SELECT sum(CASE WHEN od IS NULL THEN r ELSE 0 END) AS dang,
+                     count(*)::DOUBLE AS n FROM r0
+            ), c0 AS (
+              SELECT e.dst AS node, sum(r.r / r.od) AS cin
+              FROM e JOIN r0 r ON e.src = r.node GROUP BY e.dst
+            ), r1 AS (
+              SELECT b.node, b.od,
+                     0.15 / s.n + 0.85 * (coalesce(c.cin, 0) + s.dang / s.n)
+                       AS r
+              FROM base b LEFT JOIN c0 c ON b.node = c.node CROSS JOIN s0 s
+            ), s1 AS (
+              SELECT sum(CASE WHEN od IS NULL THEN r ELSE 0 END) AS dang,
+                     count(*)::DOUBLE AS n FROM r1
+            ), c1 AS (
+              SELECT e.dst AS node, sum(r.r / r.od) AS cin
+              FROM e JOIN r1 r ON e.src = r.node GROUP BY e.dst
+            ), r2 AS (
+              SELECT b.node, b.od,
+                     0.15 / s.n + 0.85 * (coalesce(c.cin, 0) + s.dang / s.n)
+                       AS r
+              FROM base b LEFT JOIN c1 c ON b.node = c.node CROSS JOIN s1 s
+            ), s2 AS (
+              SELECT sum(CASE WHEN od IS NULL THEN r ELSE 0 END) AS dang,
+                     count(*)::DOUBLE AS n FROM r2
+            ), c2 AS (
+              SELECT e.dst AS node, sum(r.r / r.od) AS cin
+              FROM e JOIN r2 r ON e.src = r.node GROUP BY e.dst
+            ), r3 AS (
+              SELECT b.node,
+                     0.15 / s.n + 0.85 * (coalesce(c.cin, 0) + s.dang / s.n)
+                       AS r
+              FROM base b LEFT JOIN c2 c ON b.node = c.node CROSS JOIN s2 s
+            )
+            SELECT node,
+                   floor(r * 1e6 + 0.50000095367431640625) / 1e6 AS rank
+            FROM r3 ORDER BY node
+        """,
+        "degree_census": """
+            WITH b AS (
+              SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                       ::BIGINT % 40 AS sb,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':o1'), 1, 8))
+                       ::BIGINT % 40 AS t1,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':o2'), 1, 8))
+                       ::BIGINT % 40 AS t2
+              FROM documents
+            ), e AS (
+              SELECT 'h' || sb::VARCHAR AS src, 'h' || t1::VARCHAR AS dst
+              FROM b WHERE sb < 35 AND sb <> t1
+              UNION ALL
+              SELECT 'h' || sb::VARCHAR, 'h' || t2::VARCHAR
+              FROM b WHERE sb < 35 AND sb <> t2
+            ), outd AS (
+              SELECT src AS node, count(*) AS out_degree FROM e GROUP BY src
+            ), ind AS (
+              SELECT dst AS node, count(*) AS in_degree FROM e GROUP BY dst
+            )
+            SELECT coalesce(o.node, i.node) AS node,
+                   coalesce(o.out_degree, 0) AS out_degree,
+                   coalesce(i.in_degree, 0) AS in_degree
+            FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
+            ORDER BY node
         """,
         "winsorize": """
             WITH b AS (
