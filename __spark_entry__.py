@@ -1628,6 +1628,26 @@ def q_degree_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range-containment join (operators/intervals.py
+    interval_join): every event joined to the synthetic 2-hour
+    attribution windows anchored at events with event_id % 97 == 0.
+    The naive Spark plan for start<=ts<end is a BroadcastNestedLoopJoin;
+    here both sides hash-shuffle once on an hour-grain time bin and the
+    containment predicate runs as the join residual. DuckDB twin is the
+    raw inequality join (its IEJoin is the exact-semantics oracle)."""
+    from pyradiomics_spark.operators.intervals import interval_join
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts")
+    anchors = ev.where(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("iv_id"),
+        F.col("ts").alias("iv_lo"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("iv_hi"))
+    out = interval_join(ev, anchors, "ts", "iv_lo", "iv_hi",
+                        bucket_width=3600.0)
+    return out.select("event_id", "iv_id").orderBy("event_id", "iv_id")
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile winsorization of doc length (functions/textstats.py
     winsorize): clamp at the exact (p5, p95) corpus quantiles — one
@@ -2666,6 +2686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_drift": q_snapshot_drift,
         "pagerank": q_pagerank,
         "degree_census": q_degree_census,
+        "interval_join": q_interval_join,
         "group_standardize": q_group_standardize,
         "feature_corr": q_feature_corr,
         # --- last driver-verified in r1/r2 on older code ---
@@ -4041,6 +4062,16 @@ def oracle_sql() -> dict[str, str]:
                    floor(delta * 1e6 + 0.50000095367431640625) / 1e6
                      AS delta
             FROM unioned ORDER BY term
+        """,
+        "interval_join": """
+            WITH a AS (
+              SELECT event_id AS iv_id, ts AS lo,
+                     ts + INTERVAL 2 HOUR AS hi
+              FROM events WHERE event_id % 97 = 0
+            )
+            SELECT f.event_id, a.iv_id
+            FROM events f JOIN a ON a.lo <= f.ts AND f.ts < a.hi
+            ORDER BY f.event_id, a.iv_id
         """,
         "pagerank": """
             WITH b AS (

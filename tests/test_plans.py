@@ -168,3 +168,21 @@ def test_gumbel_topk_never_global_sorts(spark):
     plan = _plan(gumbel_topk_sample(docs, "doc_id", "lw", k=10))
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """The binned range join must plan as a hash-partitioned equi-join
+    with the containment predicate as residual — the whole point vs the
+    naive BroadcastNestedLoopJoin that a raw start<=ts<end join plans."""
+    from pyspark.sql import functions as F
+
+    from pyradiomics_spark.operators.intervals import interval_join
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "ts")
+    iv = ev.where(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("iv_id"), F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("hi"))
+    plan = _plan(interval_join(ev, iv, "ts", "lo", "hi", 3600.0))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
