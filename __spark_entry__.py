@@ -594,6 +594,47 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING gate row: sliding (hopping) window aggregate — 2-hour
+    windows every 1 hour, so each event feeds exactly two windows — run
+    through the REAL streaming engine (file source, availableNow,
+    complete-mode memory sink). Oracle replays the slide-aligned window
+    assignment as time_bucket(1h) - k·1h for k in {0,1}."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyradiomics_spark.streaming.sessions import stream_sliding
+
+    ev = _read(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="pyrs_stream_gate_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "events.parquet"))
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = stream_sliding(
+        stream, "user_id", "ts", width="2 hours", slide="1 hour",
+        watermark="1 hour", agg_cols={"sum_value_raw": F.sum("value")})
+    name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True)
+         .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.col("window_start").cast("timestamp_ntz")
+            .alias("window_start"),
+            "n_events",
+            _rnd("sum_value_raw", 6).alias("sum_value"),
+        )
+        .orderBy("user_id", "window_start")
+    )
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second STREAMING gate row: native session_window gap sessions run
     through the real streaming engine (file source, availableNow,
@@ -2687,6 +2728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "degree_census": q_degree_census,
         "interval_join": q_interval_join,
+        "stream_sliding": q_stream_sliding,
         "group_standardize": q_group_standardize,
         "feature_corr": q_feature_corr,
         # --- last driver-verified in r1/r2 on older code ---
@@ -4062,6 +4104,18 @@ def oracle_sql() -> dict[str, str]:
                    floor(delta * 1e6 + 0.50000095367431640625) / 1e6
                      AS delta
             FROM unioned ORDER BY term
+        """,
+        "stream_sliding": """
+            WITH k AS (SELECT unnest(generate_series(0, 1)) AS k)
+            SELECT user_id,
+                   time_bucket(INTERVAL '1 hour', ts)
+                     - k.k * INTERVAL '1 hour' AS window_start,
+                   count(*) AS n_events,
+                   floor((sum(value)) * 1e6 + 0.50000095367431640625)
+                     / 1e6 AS sum_value
+            FROM events CROSS JOIN k
+            GROUP BY user_id, window_start
+            ORDER BY user_id, window_start
         """,
         "interval_join": """
             WITH a AS (

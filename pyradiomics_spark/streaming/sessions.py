@@ -78,6 +78,39 @@ def stream_tumbling(
     )
 
 
+def stream_sliding(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    width: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "1 hour",
+    agg_cols: dict | None = None,
+) -> DataFrame:
+    """Sliding (hopping) window aggregate: every event lands in
+    width/slide overlapping windows whose starts are slide-aligned to the
+    epoch — the monitoring shape for "rolling 2-hour rate, updated
+    hourly". State per key is bounded by width/slide live windows under
+    the watermark; the replication factor is the window overlap, not the
+    corpus (Spark's native window(ts, width, slide) generates the
+    assignments JVM-side, no explode materialized in Python)."""
+    src = watermarked(df, ts_col, watermark)
+    aggs = [F.count("*").alias("n_events")]
+    for name, col in (agg_cols or {}).items():
+        aggs.append(col.alias(name))
+    agg_names = ["n_events"] + list((agg_cols or {}).keys())
+    return (
+        src.groupBy(F.col(entity_col),
+                    F.window(F.col(ts_col), width, slide))
+        .agg(*aggs)
+        .select(
+            entity_col,
+            F.col("window.start").alias("window_start"),
+            *[F.col(n) for n in agg_names],
+        )
+    )
+
+
 def stream_extract(df: DataFrame, keys, text_col: str = "text", settings=None) -> DataFrame:
     """Feature extraction on a stream: stateless mapInPandas lifts directly."""
     from pyradiomics_spark.operators.features import extract_features

@@ -9,7 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from pyradiomics_spark.streaming.sessions import (
-    stream_sessionize, stream_tumbling)
+    stream_sessionize, stream_sliding, stream_tumbling)
 from pyradiomics_spark.multimodal.binaryops import (
     image_features, frame_sample_plan, decode_image)
 
@@ -61,6 +61,32 @@ def test_stream_tumbling(spark, event_dir):
         spark, stream_tumbling(stream, "ent", "ts", width="1 hour"), "tumb_out")
     a = out[out.ent == "a"].sort_values("window_start")
     assert a["n_events"].tolist() == [2, 2]
+
+
+def test_stream_sliding_matches_batch(spark, event_dir):
+    schema = "ent string, ts timestamp, v double"
+    stream = spark.readStream.schema(schema).parquet(f"{event_dir}/data")
+    out = _run_stream(
+        spark,
+        stream_sliding(stream, "ent", "ts", width="2 hours",
+                       slide="1 hour", agg_cols={"sv": F.sum("v")}),
+        "slide_out").sort_values(["ent", "window_start"]).reset_index(
+            drop=True)
+    # every event lands in exactly width/slide = 2 windows
+    assert out["n_events"].sum() == 2 * 6
+    # a's 00:00+00:10 pair: windows starting 23:00 and 00:00 both hold 2
+    a = out[out.ent == "a"]
+    starts = a["window_start"].dt.strftime("%H:%M").tolist()
+    assert starts == ["23:00", "00:00", "01:00", "02:00"]
+    assert a["n_events"].tolist() == [2, 2, 2, 2]
+    assert a["sv"].tolist() == [3.0, 3.0, 7.0, 7.0]
+
+    batch = spark.read.parquet(f"{event_dir}/data")
+    bout = stream_sliding(batch, "ent", "ts", width="2 hours",
+                          slide="1 hour",
+                          agg_cols={"sv": F.sum("v")}).toPandas()
+    bout = bout.sort_values(["ent", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, bout)
 
 
 def test_image_features_deterministic(spark):
