@@ -1689,6 +1689,24 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "iv_id").orderBy("event_id", "iv_id")
 
 
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long → wide pivot (operators/features.py pivot_wide, the melt
+    inverse): per-source document counts fanned out over the explicit
+    lang domain — ONE map-side-combined hash aggregate because the
+    domain is declared, never Spark's hidden distinct+collect pre-pass.
+    Oracle is conditional aggregation (count FILTER) per lang."""
+    from pyradiomics_spark.operators.features import pivot_wide
+
+    langs = ("de", "en", "es", "fr", "zh")
+    docs = _read(spark, sf_dir, "documents")
+    out = pivot_wide(docs, ("source",), "lang", "n_chars", values=langs,
+                     agg="count", fill_value=0, prefix="n_")
+    return out.select(
+        "source",
+        *[F.col(f"n_{lg}").cast("long").alias(f"n_{lg}") for lg in langs],
+    ).orderBy("source")
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile winsorization of doc length (functions/textstats.py
     winsorize): clamp at the exact (p5, p95) corpus quantiles — one
@@ -2729,6 +2747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_census": q_degree_census,
         "interval_join": q_interval_join,
         "stream_sliding": q_stream_sliding,
+        "pivot_wide": q_pivot_wide,
         "group_standardize": q_group_standardize,
         "feature_corr": q_feature_corr,
         # --- last driver-verified in r1/r2 on older code ---
@@ -4104,6 +4123,15 @@ def oracle_sql() -> dict[str, str]:
                    floor(delta * 1e6 + 0.50000095367431640625) / 1e6
                      AS delta
             FROM unioned ORDER BY term
+        """,
+        "pivot_wide": """
+            SELECT source,
+                   count(n_chars) FILTER (WHERE lang = 'de') AS n_de,
+                   count(n_chars) FILTER (WHERE lang = 'en') AS n_en,
+                   count(n_chars) FILTER (WHERE lang = 'es') AS n_es,
+                   count(n_chars) FILTER (WHERE lang = 'fr') AS n_fr,
+                   count(n_chars) FILTER (WHERE lang = 'zh') AS n_zh
+            FROM documents GROUP BY source ORDER BY source
         """,
         "stream_sliding": """
             WITH k AS (SELECT unnest(generate_series(0, 1)) AS k)

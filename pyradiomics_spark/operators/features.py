@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from pyradiomics_spark.config import ExtractionSettings
 from pyradiomics_spark.functions.intensity import (
@@ -450,6 +451,49 @@ def extract_features(
     if use_arrow:
         return src.mapInArrow(run_arrow, schema=schema)
     return src.mapInPandas(run, schema=schema)
+
+
+def pivot_wide(
+    df: DataFrame,
+    keys: tuple,
+    pivot_col: str,
+    value_col: str,
+    values: tuple,
+    agg: str = "sum",
+    fill_value=None,
+    prefix: str = "",
+) -> DataFrame:
+    """Long → wide (the inverse of ``melt_features``): one output column
+    per entry of ``values``, aggregating ``value_col`` with ``agg``
+    (sum/count/avg/min/max) per ``keys`` group — the feature-table
+    assembly step after long-form extraction.
+
+    ``values`` is REQUIRED: an explicit domain compiles to conditional
+    aggregation — ONE map-side-combined hash aggregate whose partial rows
+    carry the |values|-wide vector. That beats both alternatives:
+    ``DataFrame.pivot`` without values runs a hidden distinct+collect
+    pre-job over the pivot column (driver OOM on an unbounded domain),
+    and even WITH values Spark plans pivot as two chained aggregates —
+    (keys, pivot) then pivotfirst(keys) — i.e. two shuffles where this
+    needs one. Unseen combinations yield null (or ``fill_value``);
+    pivot-column values outside ``values`` are dropped, so the domain
+    must come from config, not hope."""
+    aggs = {"sum": F.sum, "count": F.count, "avg": F.avg,
+            "min": F.min, "max": F.max}
+    if agg not in aggs:
+        raise ValueError(f"agg must be one of {sorted(aggs)}, got {agg!r}")
+    if not values:
+        raise ValueError("values must be a non-empty explicit domain")
+    cols = [
+        aggs[agg](
+            F.when(F.col(pivot_col) == F.lit(v), F.col(value_col))
+        ).alias(f"{prefix}{v}")
+        for v in values
+    ]
+    out = df.groupBy(*[F.col(k) for k in keys]).agg(*cols)
+    if fill_value is not None:
+        out = out.fillna(fill_value, [f"{prefix}{v}" for v in values])
+    return out
 
 
 def melt_features(wide: DataFrame, keys: tuple = ("url", "warc_ts")) -> DataFrame:

@@ -124,3 +124,36 @@ def test_matrices_arrow_matches_pandas(spark, monkeypatch):
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pivot_wide_counts_and_fill(spark):
+    from pyspark.sql import functions as F
+
+    from pyradiomics_spark.operators.features import pivot_wide
+
+    df = spark.createDataFrame(
+        [("s1", "en", 10), ("s1", "en", 20), ("s1", "de", 5),
+         ("s2", "en", 7)],
+        ["source", "lang", "n"])
+    out = pivot_wide(df, ("source",), "lang", "n",
+                     values=("de", "en", "zh"), agg="sum",
+                     fill_value=0, prefix="sum_")
+    # conditional-agg form => ONE exchange (native pivot plans two, and
+    # valueless pivot adds a hidden distinct+collect pre-job); grab the
+    # plan before collect() so AQE doesn't print initial+final twice
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    got = {r.source: (r.sum_de, r.sum_en, r.sum_zh) for r in out.collect()}
+    assert got == {"s1": (5, 30, 0), "s2": (0, 7, 0)}
+    # out-of-domain pivot values are dropped, not smuggled in
+    assert set(out.columns) == {"source", "sum_de", "sum_en", "sum_zh"}
+
+    avg = pivot_wide(df, ("source",), "lang", "n", values=("en",),
+                     agg="avg")
+    assert {r.source: r.en for r in avg.collect()} == {"s1": 15.0, "s2": 7.0}
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="agg"):
+        pivot_wide(df, ("source",), "lang", "n", values=("en",), agg="p99")
+    with _pt.raises(ValueError, match="values"):
+        pivot_wide(df, ("source",), "lang", "n", values=())
