@@ -1689,6 +1689,22 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "iv_id").orderBy("event_id", "iv_id")
 
 
+def q_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-1-smoothed corpus bigram LM score per doc
+    (functions/textstats.py bigram_logloss) — the transition-level
+    quality signal past unigram perplexity. Bigram pairing is
+    arrays_zip over two array slices (scan-fused, zero shuffle); corpus
+    counts are ratio-of-integer exact, so the DuckDB twin (zipped
+    parallel unnest slices) reproduces to the 6-dp gate."""
+    from pyradiomics_spark.functions.textstats import bigram_logloss
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = bigram_logloss(docs, "doc_id")
+    return out.select(
+        "doc_id", _rnd("bigram_logloss", 6).alias("bigram_logloss"),
+    ).orderBy("doc_id")
+
+
 def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long → wide pivot (operators/features.py pivot_wide, the melt
     inverse): per-source document counts fanned out over the explicit
@@ -2748,6 +2764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "stream_sliding": q_stream_sliding,
         "pivot_wide": q_pivot_wide,
+        "bigram_logloss": q_bigram_logloss,
         "group_standardize": q_group_standardize,
         "feature_corr": q_feature_corr,
         # --- last driver-verified in r1/r2 on older code ---
@@ -4123,6 +4140,38 @@ def oracle_sql() -> dict[str, str]:
                    floor(delta * 1e6 + 0.50000095367431640625) / 1e6
                      AS delta
             FROM unioned ORDER BY term
+        """,
+        "bigram_logloss": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), bg AS (
+              SELECT doc_id,
+                     unnest(toks[1:len(toks) - 1]) AS w1,
+                     unnest(toks[2:len(toks)]) AS w2
+              FROM d
+            ), uc AS (
+              SELECT w1, count(*) AS cw FROM (
+                SELECT unnest(toks) AS w1 FROM d) GROUP BY w1
+            ), v AS (
+              SELECT count(*)::DOUBLE AS v FROM uc
+            ), bc AS (
+              SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2
+            ), p AS (
+              SELECT bc.w1, bc.w2, (bc.cb + 1.0) / (uc.cw + v.v) AS p
+              FROM bc JOIN uc USING (w1) CROSS JOIN v
+            ), per AS (
+              SELECT bg.doc_id, avg(-log2(p.p)) AS ll
+              FROM bg JOIN p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+              GROUP BY bg.doc_id
+            )
+            SELECT d0.doc_id,
+                   floor(per.ll * 1e6 + 0.50000095367431640625) / 1e6
+                     AS bigram_logloss
+            FROM documents d0 LEFT JOIN per ON d0.doc_id = per.doc_id
+            ORDER BY d0.doc_id
         """,
         "pivot_wide": """
             SELECT source,

@@ -796,6 +796,57 @@ def feature_corr(
         f"stack({len(pairs)}, {stack}) AS (col_a, col_b, corr)")
 
 
+def bigram_logloss(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    add_k: float = 1.0,
+    out_col: str = "bigram_logloss",
+) -> DataFrame:
+    """Per-doc mean negative log2 conditional bigram probability under an
+    add-k-smoothed corpus bigram LM — one fidelity step past
+    ``unigram_logloss`` toward CCNet's LM-perplexity quality signal:
+    word-salad spam has plausible unigrams but implausible transitions.
+
+        P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + k) / (c(w_{i-1}) + k·V)
+
+    with corpus counts c and unigram vocabulary size V; the doc score
+    averages -log2 P over positions 2..n (null for docs with < 2
+    tokens). Smoothing keeps unseen transitions finite and, with the
+    default k=1, the probabilities are ratios of exact integers — the
+    cross-engine-stable form.
+
+    Scale shape: bigram pairing is arrays_zip over two slices of the
+    token array — scan-fused, ZERO shuffle to form pairs (never a
+    per-doc window or positional self-join). Corpus model = one groupBy
+    per n-gram order (map-side combined, |distinct bigrams| ≪ tokens) +
+    a broadcast 1-row vocab total; docs then probe the probability table
+    on (w1, w2) — hot transitions skew only the AQE-splittable probe
+    side — and one per-doc mean agg. No Python."""
+    toks = F.array_compact(F.transform(
+        F.split(F.lower(F.col(text_col)), " "),
+        lambda x: F.when(x != "", x)))
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(F.arrays_zip(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        )).alias("__bg"),
+    ).select(
+        id_col,
+        F.col("__bg.0").alias("w1"), F.col("__bg.1").alias("w2"))
+    uni = (df.select(F.explode(toks).alias("w1"))
+           .groupBy("w1").agg(F.count("*").alias("cw")))
+    vocab = F.broadcast(uni.agg(F.count("*").alias("__v")))
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    probs = (big.join(uni, "w1").crossJoin(vocab).select(
+        "w1", "w2",
+        ((F.col("cb") + F.lit(add_k))
+         / (F.col("cw") + F.lit(add_k) * F.col("__v"))).alias("p")))
+    per_doc = (pairs.join(probs, ["w1", "w2"])
+               .groupBy(id_col)
+               .agg(F.avg(-F.log2("p")).alias(out_col)))
+    return df.join(per_doc, id_col, "left")
+
+
 def snapshot_drift(
     df_a: DataFrame,
     df_b: DataFrame,

@@ -342,3 +342,29 @@ def test_snapshot_drift_jsd_and_movers(spark):
     # identical snapshots → JSD 0
     same = snapshot_drift(a, a).collect()
     assert {r.term: r for r in same}["__jsd__"].delta == pytest.approx(0.0)
+
+
+def test_bigram_logloss_matches_reference(spark):
+    import math
+    from collections import Counter
+
+    from pyradiomics_spark.functions.textstats import bigram_logloss
+
+    docs = [(0, "a b a b c"), (1, "a  a"), (2, "x"), (3, "")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.doc_id: r.bigram_logloss
+           for r in bigram_logloss(df, "doc_id").collect()}
+
+    toks = {i: [t for t in s.lower().split(" ") if t] for i, s in docs}
+    uni = Counter(t for v in toks.values() for t in v)
+    big = Counter((v[i], v[i + 1])
+                  for v in toks.values() for i in range(len(v) - 1))
+    vocab = len(uni)
+    for i, ts in toks.items():
+        ps = [-math.log2((big[(ts[j], ts[j + 1])] + 1)
+                         / (uni[ts[j]] + vocab))
+              for j in range(len(ts) - 1)]
+        if not ps:
+            assert got[i] is None  # <2 tokens: no transitions to score
+        else:
+            assert got[i] == pytest.approx(sum(ps) / len(ps), rel=1e-12)
