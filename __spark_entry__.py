@@ -1705,6 +1705,21 @@ def q_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 adjacent-token collocations by PMI (functions/textstats.py
+    pmi_pairs), min pair count 5 — zero-shuffle arrays_zip pairing,
+    census joins, k-bounded TakeOrdered ranked on the correctly-rounded
+    likelihood ratio (engine-exact) rather than its log."""
+    from pyradiomics_spark.functions.textstats import pmi_pairs
+
+    docs = _read(spark, sf_dir, "documents").select("text")
+    out = pmi_pairs(docs, min_count=5, top_k=25)
+    return out.select(
+        "w1", "w2", F.col("n").cast("long").alias("n"),
+        _rnd("pmi", 6).alias("pmi"),
+    ).orderBy("w1", "w2")
+
+
 def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long → wide pivot (operators/features.py pivot_wide, the melt
     inverse): per-source document counts fanned out over the explicit
@@ -2765,6 +2780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding": q_stream_sliding,
         "pivot_wide": q_pivot_wide,
         "bigram_logloss": q_bigram_logloss,
+        "pmi_pairs": q_pmi_pairs,
         "group_standardize": q_group_standardize,
         "feature_corr": q_feature_corr,
         # --- last driver-verified in r1/r2 on older code ---
@@ -4140,6 +4156,39 @@ def oracle_sql() -> dict[str, str]:
                    floor(delta * 1e6 + 0.50000095367431640625) / 1e6
                      AS delta
             FROM unioned ORDER BY term
+        """,
+        "pmi_pairs": """
+            WITH d AS (
+              SELECT list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), bg AS (
+              SELECT unnest(toks[1:len(toks) - 1]) AS w1,
+                     unnest(toks[2:len(toks)]) AS w2
+              FROM d
+            ), uc AS (
+              SELECT w, count(*) AS cw FROM (
+                SELECT unnest(toks) AS w FROM d) GROUP BY w
+            ), bc AS (
+              SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2
+            ), t AS (
+              SELECT sum(n) AS t FROM bc
+            ), s AS (
+              SELECT bc.w1, bc.w2, bc.n,
+                     (bc.n::DOUBLE * t.t)
+                       / (u1.cw::DOUBLE * u2.cw) AS r
+              FROM bc JOIN uc u1 ON bc.w1 = u1.w
+                      JOIN uc u2 ON bc.w2 = u2.w
+                      CROSS JOIN t
+              WHERE bc.n >= 5
+            ), k AS (
+              SELECT w1, w2, n, r FROM s
+              ORDER BY r DESC, w1, w2 LIMIT 25
+            )
+            SELECT w1, w2, n,
+                   floor(log2(r) * 1e6 + 0.50000095367431640625) / 1e6
+                     AS pmi
+            FROM k ORDER BY w1, w2
         """,
         "bigram_logloss": """
             WITH d AS (

@@ -847,6 +847,60 @@ def bigram_logloss(
     return df.join(per_doc, id_col, "left")
 
 
+def pmi_pairs(
+    df: DataFrame, text_col: str = "text",
+    min_count: int = 5, top_k: int = 50,
+) -> DataFrame:
+    """Top-``top_k`` adjacent-token collocations by pointwise mutual
+    information — PMI(w1,w2) = log2( c(w1 w2)·T / (c(w1)·c(w2)) ) with T
+    the corpus bigram total — the classic multiword-expression detector
+    (Church & Hanks 1990) used to audit tokenizer merge candidates and
+    template boilerplate. ``min_count`` suppresses the low-frequency PMI
+    explosion (hapax pairs score arbitrarily high). Ties break on
+    (w1, w2) so the k-bounded ranking is engine-stable; all inputs are
+    ratios of exact integers.
+
+    Output: (w1, w2, n, pmi), ``top_k`` rows by descending PMI.
+
+    Scale shape: the same zero-shuffle arrays_zip pairing as
+    ``bigram_logloss``, one census groupBy per order, a |bigrams|⨝|vocab|
+    equi-join twice (never corpus rows), broadcast 1-row total, and a
+    k-bounded TakeOrderedAndProject — no global sort materializes."""
+    toks = F.array_compact(F.transform(
+        F.split(F.lower(F.col(text_col)), " "),
+        lambda x: F.when(x != "", x)))
+    pairs = df.select(
+        F.explode(F.arrays_zip(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        )).alias("__bg"),
+    ).select(F.col("__bg.0").alias("w1"), F.col("__bg.1").alias("w2"))
+    uni = (df.select(F.explode(toks).alias("w")).groupBy("w")
+           .agg(F.count("*").alias("cw")))
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    tot = F.broadcast(big.agg(F.sum("n").alias("__t")))
+    scored = (
+        big.where(F.col("n") >= int(min_count))
+        .join(uni.select(F.col("w").alias("w1"),
+                         F.col("cw").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"),
+                         F.col("cw").alias("c2")), "w2")
+        .crossJoin(tot)
+        .select(
+            "w1", "w2", "n",
+            # ranking key: the raw likelihood ratio, NOT its log — the
+            # ratio is one correctly-rounded double op tree (identical
+            # bits in any IEEE engine) while log2 implementations may
+            # disagree by 1 ulp and flip a boundary rank
+            ((F.col("n").cast("double") * F.col("__t"))
+             / (F.col("c1").cast("double") * F.col("c2")))
+            .alias("__r")))
+    return (scored
+            .orderBy(F.col("__r").desc(), "w1", "w2")
+            .limit(int(top_k))
+            .select("w1", "w2", "n", F.log2("__r").alias("pmi")))
+
+
 def snapshot_drift(
     df_a: DataFrame,
     df_b: DataFrame,

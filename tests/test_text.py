@@ -368,3 +368,25 @@ def test_bigram_logloss_matches_reference(spark):
             assert got[i] is None  # <2 tokens: no transitions to score
         else:
             assert got[i] == pytest.approx(sum(ps) / len(ps), rel=1e-12)
+
+
+def test_pmi_pairs_hand_computed(spark):
+    import math
+
+    from pyradiomics_spark.functions.textstats import pmi_pairs
+
+    # corpus: "new york" always adjacent; "the the" frequent but
+    # independent-ish
+    rows = [("new york is big",), ("new york is old",),
+            ("the the the x",), ("the y new york",)]
+    df = spark.createDataFrame(rows, ["text"])
+    out = pmi_pairs(df, min_count=2, top_k=3).collect()
+    got = {(r.w1, r.w2): (r.n, r.pmi) for r in out}
+    assert ("new", "york") in got
+    # exact: c(new york)=3, c(new)=3, c(york)=3, T=12 bigrams
+    want = math.log2(3 * 12 / (3 * 3))
+    assert got[("new", "york")][0] == 3
+    assert got[("new", "york")][1] == pytest.approx(want, rel=1e-12)
+    # min_count filters hapax pairs out entirely
+    assert all(n >= 2 for n, _ in got.values())
+    assert len(out) == 3
