@@ -1720,6 +1720,21 @@ def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("w1", "w2")
 
 
+def q_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest event keys with corpus share
+    (operators/salting.py hot_keys) — the which-keys-to-salt profile:
+    census groupBy + broadcast total + k-bounded TakeOrdered with
+    integer-count tie-break on the key."""
+    from pyradiomics_spark.operators.salting import hot_keys
+
+    ev = _read(spark, sf_dir, "events")
+    out = hot_keys(ev, "user_id", top_k=10)
+    return out.select(
+        "user_id", F.col("n").cast("long").alias("n"),
+        _rnd("share", 6).alias("share"),
+    ).orderBy("user_id")
+
+
 def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long → wide pivot (operators/features.py pivot_wide, the melt
     inverse): per-source document counts fanned out over the explicit
@@ -2781,6 +2796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_wide": q_pivot_wide,
         "bigram_logloss": q_bigram_logloss,
         "pmi_pairs": q_pmi_pairs,
+        "hot_keys": q_hot_keys,
         "group_standardize": q_group_standardize,
         "feature_corr": q_feature_corr,
         # --- last driver-verified in r1/r2 on older code ---
@@ -4156,6 +4172,19 @@ def oracle_sql() -> dict[str, str]:
                    floor(delta * 1e6 + 0.50000095367431640625) / 1e6
                      AS delta
             FROM unioned ORDER BY term
+        """,
+        "hot_keys": """
+            WITH c AS (
+              SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+            ), t AS (SELECT sum(n) AS t FROM c),
+            k AS (
+              SELECT user_id, n, n / t.t AS share FROM c CROSS JOIN t
+              ORDER BY n DESC, user_id LIMIT 10
+            )
+            SELECT user_id, n,
+                   floor(share * 1e6 + 0.50000095367431640625) / 1e6
+                     AS share
+            FROM k ORDER BY user_id
         """,
         "pmi_pairs": """
             WITH d AS (

@@ -40,6 +40,26 @@ def skew_stats(df: DataFrame, on) -> DataFrame:
     )
 
 
+def hot_keys(df: DataFrame, on, top_k: int = 20) -> DataFrame:
+    """The ``top_k`` heaviest keys with row count and corpus share —
+    the per-key companion to ``skew_stats``: skew_stats says WHETHER the
+    key space is skewed, hot_keys says WHICH keys to salt / cap / route
+    to the broadcast side. Output (key cols..., n, share), ties on n
+    broken by key so the cut is engine-stable.
+
+    Scale shape: one map-side-combined census groupBy (|keys| rows out),
+    a broadcast 1-row total, and a k-bounded TakeOrderedAndProject —
+    never a global sort, never a driver collect of the key space."""
+    keys = _keys(on)
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n"))
+    total = F.broadcast(counts.agg(F.sum("n").alias("__t")))
+    return (counts.crossJoin(total)
+            .select(*keys, "n",
+                    (F.col("n") / F.col("__t")).alias("share"))
+            .orderBy(F.col("n").desc(), *keys)
+            .limit(int(top_k)))
+
+
 def with_salt(df: DataFrame, on, buckets: int, extra_col: str | None = None) -> DataFrame:
     """Deterministic salt in [0, buckets): hash of key cols + a spreading
     column (e.g. the timestamp) so one key's rows fan out over buckets."""

@@ -246,3 +246,20 @@ def test_decayed_features_entity_isolation_and_ties(spark):
     assert all(r.decayed_sum == pytest.approx(200.0) for r in b)
     a = out.where("user = 'a'").orderBy("ts").collect()
     assert a[0].decayed_sum == pytest.approx(5.0)  # no cross-entity leak
+
+
+def test_hot_keys_ranking_and_share(spark):
+    from pyradiomics_spark.operators.salting import hot_keys
+
+    rows = [("h", i) for i in range(6)] + [("m", i) for i in range(3)] \
+        + [("a", 0), ("b", 0), ("c", 0)]
+    df = spark.createDataFrame(rows, ["k", "x"])
+    out = hot_keys(df, "k", top_k=3).collect()
+    assert [(r.k, r.n) for r in out] == [("h", 6), ("m", 3), ("a", 1)]
+    assert out[0].share == 6 / 12
+    # top_k bounds the output even with more distinct keys
+    assert len(hot_keys(df, "k", top_k=2).collect()) == 2
+    # plan: k-bounded TakeOrdered, no global sort
+    plan = hot_keys(df, "k", top_k=3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
