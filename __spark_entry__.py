@@ -1735,6 +1735,22 @@ def q_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64→8 projection (operators/decomp.py
+    jl_project): deterministic md5-parity ±1/√8 sign matrix, expr arm
+    (whole-stage codegen zip_with dot products). Long-form output
+    (vec_id, j, v); the DuckDB twin rebuilds the identical sign matrix
+    from the same md5 derivation."""
+    from pyradiomics_spark.operators.decomp import jl_project
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = jl_project(emb, "embedding", out_dim=8, dim=64)
+    return (out.select("vec_id", F.posexplode("jl").alias("j", "v"))
+            .select("vec_id", F.col("j").cast("long").alias("j"),
+                    _rnd("v", 6).alias("v"))
+            .orderBy("vec_id", "j"))
+
+
 def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long → wide pivot (operators/features.py pivot_wide, the melt
     inverse): per-source document counts fanned out over the explicit
@@ -2797,6 +2813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logloss": q_bigram_logloss,
         "pmi_pairs": q_pmi_pairs,
         "hot_keys": q_hot_keys,
+        "jl_project": q_jl_project,
         "group_standardize": q_group_standardize,
         "feature_corr": q_feature_corr,
         # --- last driver-verified in r1/r2 on older code ---
@@ -4172,6 +4189,28 @@ def oracle_sql() -> dict[str, str]:
                    floor(delta * 1e6 + 0.50000095367431640625) / 1e6
                      AS delta
             FROM unioned ORDER BY term
+        """,
+        "jl_project": """
+            WITH iax AS (
+              SELECT unnest(generate_series(0, 63)) AS i
+            ), jax AS (
+              SELECT unnest(generate_series(0, 7)) AS j
+            ), s AS (
+              SELECT jax.j, iax.i,
+                     CASE WHEN ('0x' || substr(md5(
+                            'pyradiomics-jl:' || jax.j || ':' || iax.i),
+                            1, 8))::BIGINT % 2 = 0
+                          THEN 1.0 ELSE -1.0 END AS sgn
+              FROM jax CROSS JOIN iax
+            ), t AS (
+              SELECT e.vec_id, s.j,
+                     sum(e.embedding[s.i + 1] * s.sgn) / sqrt(8.0) AS v
+              FROM embeddings e CROSS JOIN s
+              GROUP BY e.vec_id, s.j
+            )
+            SELECT vec_id, j,
+                   floor(v * 1e6 + 0.50000095367431640625) / 1e6 AS v
+            FROM t ORDER BY vec_id, j
         """,
         "hot_keys": """
             WITH c AS (

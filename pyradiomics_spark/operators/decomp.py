@@ -27,6 +27,88 @@ _SUM_ROW = -1   # (i=-1, j, value) = Σ x_j   (column sums)
 _CNT_ROW = -2   # (i=-2, j=-2, value) = n    (valid-row count)
 
 
+def _jl_signs(out_dim: int, dim: int, seed: str = "pyradiomics-jl"
+              ) -> np.ndarray:
+    """±1 sign matrix for the database-friendly JL transform (Achlioptas
+    2003): cell (j, i) = parity of the first 8 md5 hex digits of
+    ``seed:j:i`` — the same engine-replayable derivation family as
+    similarity._planes / sketches._cell, so an SQL oracle can rebuild the
+    identical matrix."""
+    import hashlib
+
+    s = np.empty((out_dim, dim))
+    for j in range(out_dim):
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()
+            s[j, i] = 1.0 if int(h[:8], 16) % 2 == 0 else -1.0
+    return s
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str,
+    out_dim: int,
+    dim: int,
+    seed: str = "pyradiomics-jl",
+    out_col: str = "jl",
+    method: str = "auto",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim`` dims via a
+    deterministic ±1/√out_dim sign matrix — the fit-free complement to
+    ``pca_fit``/``pca_project``: distance-preserving (1±ε) compression
+    with NO training pass, no driver state, and bit-reproducible columns
+    on any executor count — the right first move before LSH/IVF when the
+    corpus is too young to have a trained quantizer.
+
+    Appends ``out_col`` (array<double>, null for null/partially-null
+    embeddings). ``expr`` evaluates the out_dim dot products as builtin
+    zip_with/aggregate expressions (whole-stage codegen) while
+    out_dim·dim stays under EXPR_MAX_TERMS; ``arrow`` broadcasts the
+    sign matrix and runs one BLAS gemm per Arrow batch (plan size O(1)
+    in out_dim·dim). ``auto`` dispatches like assign_cells."""
+    from pyradiomics_spark.operators.similarity import (
+        EXPR_MAX_TERMS, _nullify_partial, _stack_vecs)
+
+    if out_dim < 1 or dim < 1:
+        raise ValueError("out_dim and dim must be >= 1")
+    signs = _jl_signs(out_dim, dim, seed)
+    root = float(np.sqrt(out_dim))
+    df = _nullify_partial(df, vec_col)
+    if method == "auto":
+        method = "expr" if out_dim * dim <= EXPR_MAX_TERMS else "arrow"
+    if method == "arrow":
+        bc = df.sparkSession.sparkContext.broadcast(
+            np.ascontiguousarray(signs.T / root))
+        out_schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in df.schema.fields) + f", {out_col} array<double>"
+
+        def run(batches):
+            st = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X, valid = _stack_vecs(pdf[vec_col], dim)
+                Y = X @ st
+                it = iter(list(Y))
+                pdf = pdf.copy()
+                pdf[out_col] = [
+                    next(it).tolist() if m else None for m in valid]
+                yield pdf
+
+        return df.mapInPandas(run, schema=out_schema)
+    dots = []
+    for j in range(out_dim):
+        lit_signs = F.array(*[F.lit(float(x)) for x in signs[j]])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), lit_signs, lambda x, s: x * s),
+            F.lit(0.0), lambda acc, v: acc + v)
+        dots.append(dot / F.lit(root))
+    return df.withColumn(
+        out_col,
+        F.when(F.col(vec_col).isNotNull(), F.array(*dots)))
+
+
 def gram_moments(
     df: DataFrame,
     vec_col: str,

@@ -108,3 +108,38 @@ def test_uncentered_arm_and_validation(spark, vdf, vecs):
         pca_fit(vdf, "embedding", DIM, k=0)
     with pytest.raises(ValueError, match="need >= 2"):
         pca_fit(vdf.limit(1), "embedding", DIM, k=1)
+
+
+def test_jl_project_matches_numpy_and_arms_agree(spark):
+    import numpy as np
+
+    from pyradiomics_spark.operators.decomp import _jl_signs, jl_project
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((20, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    S = _jl_signs(4, 16)
+    want = (vecs.astype(np.float64) @ S.T) / np.sqrt(4.0)
+
+    for method in ("expr", "arrow"):
+        got = {r.vec_id: r.jl for r in jl_project(
+            df, "embedding", out_dim=4, dim=16, method=method).collect()}
+        assert got[99] is None
+        for i in range(20):
+            np.testing.assert_allclose(got[i], want[i], rtol=1e-9)
+
+    # pairwise-distance preservation in aggregate (JL contract, loose)
+    d_in = np.linalg.norm(vecs[:, None] - vecs[None, :], axis=2)
+    proj = want
+    d_out = np.linalg.norm(proj[:, None] - proj[None, :], axis=2)
+    mask = d_in > 0
+    ratio = d_out[mask] / d_in[mask]
+    assert 0.2 < ratio.mean() < 2.0
+
+    # auto dispatch: tiny k*dim -> expr (plan has no mapInPandas scan)
+    plan = jl_project(df, "embedding", out_dim=4, dim=16)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
