@@ -1751,6 +1751,53 @@ def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("vec_id", "j"))
 
 
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE pair census round 0 (functions/bpe.py pair_census): top-50
+    adjacent-symbol pairs over the char+</w> vocabulary, weighted by
+    word count — the corpus-sized pass is the word census; pairing is
+    zero-shuffle arrays_zip. Integer counts, engine-exact cut."""
+    from pyradiomics_spark.functions.bpe import (
+        pair_census, top_pairs, with_symbols, word_census)
+
+    docs = _read(spark, sf_dir, "documents").select("text")
+    out = top_pairs(pair_census(with_symbols(word_census(docs))), k=50)
+    return out.select(
+        "s1", "s2", F.col("n").cast("long").alias("n"),
+    ).orderBy("s1", "s2")
+
+
+def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge round (functions/bpe.py apply_merge): the argmax
+    pair (1-row driver traffic, kmeans_step-style) fused into every
+    vocab word by the builtin greedy left fold. DuckDB twin computes
+    its own argmax and replays the fold via list_reduce."""
+    from pyradiomics_spark.functions.bpe import (
+        apply_merge, pair_census, top_pairs, with_symbols, word_census)
+
+    docs = _read(spark, sf_dir, "documents").select("text")
+    vocab = with_symbols(word_census(docs))
+    b = top_pairs(pair_census(vocab)).collect()[0]
+    out = apply_merge(vocab, b.s1, b.s2)
+    return out.select(
+        "word", F.col("n").cast("long").alias("n"),
+        F.concat_ws(" ", "syms").alias("merged"),
+    ).orderBy("word")
+
+
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five full BPE merge rounds (functions/bpe.py bpe_learn) — the
+    iterative driver-argmax loop; genuinely non-SQL-expressible, so
+    this row takes the driver's rows-only check (pytest replays the
+    Sennrich reference exactly, tests/test_bpe.py)."""
+    from pyradiomics_spark.functions.bpe import bpe_learn
+
+    docs = _read(spark, sf_dir, "documents").select("text")
+    merges, _ = bpe_learn(docs, n_merges=5)
+    return spark.createDataFrame(
+        [(i, s1, s2, int(n)) for i, (s1, s2, n) in enumerate(merges)],
+        "step long, s1 string, s2 string, n long").orderBy("step")
+
+
 def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long → wide pivot (operators/features.py pivot_wide, the melt
     inverse): per-source document counts fanned out over the explicit
@@ -2814,6 +2861,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_pairs": q_pmi_pairs,
         "hot_keys": q_hot_keys,
         "jl_project": q_jl_project,
+        "bpe_pairs": q_bpe_pairs,
+        "bpe_merge": q_bpe_merge,
+        "bpe_learn": q_bpe_learn,
         "group_standardize": q_group_standardize,
         "feature_corr": q_feature_corr,
         # --- last driver-verified in r1/r2 on older code ---
@@ -4189,6 +4239,57 @@ def oracle_sql() -> dict[str, str]:
                    floor(delta * 1e6 + 0.50000095367431640625) / 1e6
                      AS delta
             FROM unioned ORDER BY term
+        """,
+        "bpe_pairs": """
+            WITH w AS (
+              SELECT word, count(*) AS n FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS word
+                FROM documents)
+              WHERE word <> '' GROUP BY word
+            ), s AS (
+              SELECT word, n,
+                     list_append(string_split(word, ''), '</w>') AS syms
+              FROM w
+            ), p AS (
+              SELECT unnest(syms[1:len(syms) - 1]) AS s1,
+                     unnest(syms[2:len(syms)]) AS s2, n
+              FROM s
+            ), c AS (
+              SELECT s1, s2, sum(n)::BIGINT AS n FROM p GROUP BY s1, s2
+            ), k AS (
+              SELECT * FROM c ORDER BY n DESC, s1, s2 LIMIT 50
+            )
+            SELECT s1, s2, n FROM k ORDER BY s1, s2
+        """,
+        "bpe_merge": """
+            WITH w AS (
+              SELECT word, count(*) AS n FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS word
+                FROM documents)
+              WHERE word <> '' GROUP BY word
+            ), s AS (
+              SELECT word, n,
+                     list_append(string_split(word, ''), '</w>') AS syms
+              FROM w
+            ), p AS (
+              SELECT unnest(syms[1:len(syms) - 1]) AS s1,
+                     unnest(syms[2:len(syms)]) AS s2, n
+              FROM s
+            ), c AS (
+              SELECT s1, s2, sum(n)::BIGINT AS n FROM p GROUP BY s1, s2
+            ), tp AS (
+              SELECT s1, s2 FROM c ORDER BY n DESC, s1, s2 LIMIT 1
+            ), m AS (
+              SELECT s.word, s.n,
+                     list_reduce(s.syms, (acc, x) -> CASE
+                       WHEN regexp_extract(acc, '[^ ]*$') = tp.s1
+                            AND x = tp.s2
+                       THEN regexp_replace(acc, '[^ ]*$',
+                                           tp.s1 || tp.s2)
+                       ELSE acc || ' ' || x END) AS merged
+              FROM s CROSS JOIN tp
+            )
+            SELECT word, n::BIGINT AS n, merged FROM m ORDER BY word
         """,
         "jl_project": """
             WITH iax AS (
