@@ -125,6 +125,12 @@ def main() -> None:
         "dedup_normalize", "dsir_sample", "corpus_profile",
         "incremental_dedup", "chunk_documents", "tag_keywords",
         "winsorize", "group_standardize", "feature_corr",
+        # round 5 final additions: link-graph analytics, range/sliding
+        # temporal joins, pivot assembly, transition-level LM quality,
+        # collocations, skew profiling, JL compression, BPE training
+        "snapshot_drift", "pagerank", "degree_census", "interval_join",
+        "stream_sliding", "pivot_wide", "bigram_logloss", "pmi_pairs",
+        "hot_keys", "jl_project", "bpe_pairs", "bpe_merge",
     ]
     for name in headline:
         if name not in qs:
