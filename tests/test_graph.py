@@ -71,3 +71,24 @@ def test_degree_census(spark, edges_df):
            for r in degree_census(edges_df).collect()}
     assert got == {"a": (2, 1), "b": (1, 1), "c": (2, 3),
                    "d": (1, 0), "e": (0, 1)}
+
+
+def test_pagerank_fuzz_random_graph(spark):
+    """Seeded random digraph (multi-edges, dangling sinks, self-loop-free)
+    must track the numpy power iteration to 1e-12 and conserve mass."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n_nodes = 30
+    edges = []
+    for _ in range(120):
+        u, v = rng.integers(0, n_nodes, size=2)
+        if u != v and u < 24:  # nodes 24..29 stay dangling
+            edges.append((f"n{u}", f"n{v}"))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r["rank"] for r in pagerank(df, n_iter=6).collect()}
+    want = _np_pagerank(edges, n_iter=6)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)

@@ -91,3 +91,27 @@ def test_timestamp_typed_columns(spark):
         "timestamp'2024-01-01 01:00:00' AS hi")
     got = interval_join(f, iv, "ts", "lo", "hi", 600.0).collect()
     assert [(r.fact_id, r.iv_id) for r in got] == [(1, 7)]
+
+
+def test_fuzz_against_brute_force(spark):
+    """Seeded random fuzz: 300 facts x 60 intervals (empty, point-width,
+    long, overlapping, negative-epoch) across awkward bucket widths must
+    match the O(n*m) reference exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    ts = rng.uniform(-500, 1500, size=300)
+    facts = [(i, float(t)) for i, t in enumerate(ts)]
+    lo = rng.uniform(-600, 1400, size=60)
+    length = rng.choice([0.0, 0.5, 3.0, 40.0, 400.0], size=60)
+    ivs = [(j, float(a), float(a + w)) for j, (a, w) in
+           enumerate(zip(lo, length))]
+    want = _brute(facts, ivs)
+
+    f = spark.createDataFrame(facts, ["fact_id", "ts"])
+    iv = spark.createDataFrame(ivs, ["iv_id", "lo", "hi"])
+    for width in (1.0, 13.7, 100.0, 5000.0):
+        got = sorted(
+            (r.fact_id, r.iv_id)
+            for r in interval_join(f, iv, "ts", "lo", "hi", width).collect())
+        assert got == want, f"width={width}"
