@@ -1798,6 +1798,27 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step long, s1 string, s2 string, n long").orderBy("step")
 
 
+def q_hll_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-token estimate through the fully
+    distributed grouped HLL (operators/sketches.py hll_by_group): the
+    harmonic finalize runs as expressions inside the per-group
+    aggregate — no driver collect, ≤2^p rows per group ever shuffle.
+    The 2^-rho terms are exact 1/(1<<rho) doubles, so the DuckDB twin
+    replays the estimate to the 6-dp gate."""
+    from pyradiomics_spark.operators.sketches import hll_by_group
+
+    docs = _read(spark, sf_dir, "documents").select("lang", "text")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    out = hll_by_group(toks, "lang", "term", p=10)
+    return out.select(
+        "lang", _rnd("est", 6).alias("est"),
+        F.col("nonzero_buckets").cast("long").alias("nonzero_buckets"),
+    ).orderBy("lang")
+
+
 def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long → wide pivot (operators/features.py pivot_wide, the melt
     inverse): per-source document counts fanned out over the explicit
@@ -2864,6 +2885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "bpe_merge": q_bpe_merge,
         "bpe_learn": q_bpe_learn,
+        "hll_by_lang": q_hll_by_lang,
         "group_standardize": q_group_standardize,
         "feature_corr": q_feature_corr,
         # --- last driver-verified in r1/r2 on older code ---
@@ -4239,6 +4261,47 @@ def oracle_sql() -> dict[str, str]:
                    floor(delta * 1e6 + 0.50000095367431640625) / 1e6
                      AS delta
             FROM unioned ORDER BY term
+        """,
+        "hll_by_lang": """
+            WITH t AS (
+              SELECT lang, term FROM (
+                SELECT lang,
+                       unnest(string_split(lower(text), ' ')) AS term
+                FROM documents)
+              WHERE term <> ''
+            ), h AS (
+              SELECT lang,
+                     ('0x' || substr(md5(term || ':0'), 1, 15))
+                       ::BIGINT AS h
+              FROM t
+            ), r AS (
+              SELECT lang, (h >> 50) AS bucket,
+                     CASE WHEN (h & ((1::BIGINT << 50) - 1)) = 0 THEN 51
+                          ELSE 51 - length(bin(
+                                 h & ((1::BIGINT << 50) - 1)))
+                     END AS rho
+              FROM h
+            ), regs AS (
+              SELECT lang, bucket, max(rho) AS rho
+              FROM r GROUP BY lang, bucket
+            ), e AS (
+              SELECT lang, count(*) AS nz,
+                     1024.0 - count(*)
+                       + sum(1.0 / (1::BIGINT << rho)) AS inv
+              FROM regs GROUP BY lang
+            ), fin AS (
+              SELECT lang, nz,
+                     0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024
+                       / inv AS raw
+              FROM e
+            )
+            SELECT lang,
+                   floor((CASE WHEN raw <= 2560.0 AND (1024.0 - nz) > 0
+                          THEN 1024.0 * ln(1024.0 / (1024.0 - nz))
+                          ELSE raw END)
+                         * 1e6 + 0.50000095367431640625) / 1e6 AS est,
+                   nz AS nonzero_buckets
+            FROM fin ORDER BY lang
         """,
         "bpe_pairs": """
             WITH w AS (

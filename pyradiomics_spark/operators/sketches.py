@@ -153,6 +153,57 @@ def hll_estimate(registers: DataFrame, p: int = 10):
     return est, nonzero
 
 
+def hll_by_group(
+    df: DataFrame,
+    group_cols,
+    col,
+    p: int = 10,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group HLL distinct estimate, FULLY distributed — the grouped
+    companion to ``hll_registers``/``hll_estimate`` (whose finalize is a
+    driver call): register build is one groupBy (group, bucket) max,
+    the harmonic estimate + linear-counting correction evaluate as
+    expressions in a second per-group aggregate — ≤ 2^p rows per group
+    ever shuffle, no collect, no Python. Output (group..., est,
+    nonzero_buckets).
+
+    The 2^-rho terms are computed as ``1.0 / (1 << rho)`` — exact
+    powers of two in any IEEE engine — never ``pow(2.0, -rho)``, so the
+    oracle replays the estimate to rounding-gate precision."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    groups = [group_cols] if isinstance(group_cols, str) else list(
+        group_cols)
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(
+        F.substring(F.md5(F.concat(c.cast("string"), F.lit(f":{seed}"))),
+                    1, 15), 16, 10).cast("long")
+    suffix_bits = 60 - p
+    bucket = F.shiftright(h, suffix_bits)
+    w = h.bitwiseAND(F.lit(2 ** suffix_bits - 1))
+    rho = F.when(w == 0, F.lit(suffix_bits + 1)).otherwise(
+        F.lit(suffix_bits + 1) - F.length(F.bin(w)))
+    regs = (
+        df.where(c.isNotNull())
+        .select(*groups, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*groups, "bucket")
+        .agg(F.max("rho").alias("rho")))
+    m = 2 ** p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    inv = (F.lit(float(m)) - F.count("*")
+           + F.sum(F.lit(1.0)
+                   / F.expr("shiftleft(CAST(1 AS BIGINT), rho)")))
+    raw = F.lit(alpha * m * m) / inv
+    zeros = F.lit(float(m)) - F.count("*")
+    est = F.when((raw <= 2.5 * m) & (zeros > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+                 ).otherwise(raw)
+    return regs.groupBy(*groups).agg(
+        est.alias("est"),
+        F.count("*").alias("nonzero_buckets"))
+
+
 def bloom_build(
     df: DataFrame,
     col,

@@ -177,3 +177,26 @@ def test_bloom_merge_and_duplicate_items(spark):
     assert got["x"] is True and got["nope"] is False
     with pytest.raises(ValueError, match="n_bits"):
         bloom_build(a, "u", n_bits=1)
+
+
+def test_hll_by_group_matches_driver_estimate(spark):
+    """The fully-distributed per-group estimate must equal the pinned
+    driver-side hll_estimate finalize on each group's slice, and sit
+    within HLL's expected error of the exact count."""
+    from pyradiomics_spark.operators.sketches import (
+        hll_by_group, hll_estimate, hll_registers)
+
+    rows = [("a", f"v{i}") for i in range(2000)] \
+        + [("b", f"v{i % 37}") for i in range(500)] \
+        + [("c", None)]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    got = {r.g: (r.est, r.nonzero_buckets)
+           for r in hll_by_group(df, "g", "x", p=10).collect()}
+    assert set(got) == {"a", "b"}  # null-only group contributes nothing
+
+    for g, exact in (("a", 2000), ("b", 37)):
+        est_drv, nz_drv = hll_estimate(
+            hll_registers(df.where(f"g = '{g}'"), "x", p=10), p=10)
+        assert got[g][1] == nz_drv
+        assert got[g][0] == pytest.approx(est_drv, rel=1e-9)
+        assert abs(got[g][0] - exact) / exact < 0.15
