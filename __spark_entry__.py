@@ -1119,6 +1119,22 @@ def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS multi-granularity aggregate (the general form of
+    the rollup/cube family, SURVEY §2.4 note): per-event-type, per
+    user-bucket, and grand-total marginals in ONE pass — Spark expands
+    the sets in a single Expand+Aggregate (one shuffle), not one job
+    per marginal."""
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "ub", (F.col("user_id") % 10).cast("long"))
+    out = ev.groupingSets([["event_type"], ["ub"], []],
+                          "event_type", "ub").agg(
+        F.count("*").alias("n"),
+        _rnd(F.sum("value"), 4).alias("sum_value"))
+    return out.orderBy(F.col("event_type").asc_nulls_first(),
+                       F.col("ub").asc_nulls_first())
+
+
 def q_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """unionByName of per-source aggregates (header-union analog,
     SURVEY §2.7)."""
@@ -2886,6 +2902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge": q_bpe_merge,
         "bpe_learn": q_bpe_learn,
         "hll_by_lang": q_hll_by_lang,
+        "grouping_sets": q_grouping_sets,
         "group_standardize": q_group_standardize,
         "feature_corr": q_feature_corr,
         # --- last driver-verified in r1/r2 on older code ---
@@ -4261,6 +4278,14 @@ def oracle_sql() -> dict[str, str]:
                    floor(delta * 1e6 + 0.50000095367431640625) / 1e6
                      AS delta
             FROM unioned ORDER BY term
+        """,
+        "grouping_sets": """
+            SELECT event_type, user_id % 10 AS ub, count(*) AS n,
+                   floor((sum(value)) * 1e4 + 0.50000095367431640625)
+                     / 1e4 AS sum_value
+            FROM events
+            GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+            ORDER BY event_type NULLS FIRST, ub NULLS FIRST
         """,
         "hll_by_lang": """
             WITH t AS (
