@@ -635,6 +635,42 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING gate row: the binned range-containment join run
+    stream-static — event stream (file source, availableNow) joined to
+    the static 2-hour attribution windows. The operator lifts unchanged
+    because its plan is stateless (bin projection + equi-join +
+    residual); stream-static equi-joins need no watermark state. Oracle:
+    the same inequality-join SQL as the batch `interval_join` row."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyradiomics_spark.operators.intervals import interval_join
+
+    ev = _read(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="pyrs_stream_gate_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "events.parquet"))
+    stream = (spark.readStream.schema(ev.schema).parquet(src)
+              .select("event_id", "ts"))
+    anchors = ev.where(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("iv_id"),
+        F.col("ts").alias("iv_lo"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("iv_hi"))
+    out = interval_join(stream, anchors, "ts", "iv_lo", "iv_hi",
+                        bucket_width=3600.0)
+    name = f"stream_ivj_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
+    q.awaitTermination()
+    return (spark.table(name).select("event_id", "iv_id")
+            .orderBy("event_id", "iv_id"))
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second STREAMING gate row: native session_window gap sessions run
     through the real streaming engine (file source, availableNow,
@@ -2903,6 +2939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn": q_bpe_learn,
         "hll_by_lang": q_hll_by_lang,
         "grouping_sets": q_grouping_sets,
+        "stream_interval_join": q_stream_interval_join,
         "group_standardize": q_group_standardize,
         "feature_corr": q_feature_corr,
         # --- last driver-verified in r1/r2 on older code ---
@@ -4501,6 +4538,16 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY user_id, window_start
         """,
         "interval_join": """
+            WITH a AS (
+              SELECT event_id AS iv_id, ts AS lo,
+                     ts + INTERVAL 2 HOUR AS hi
+              FROM events WHERE event_id % 97 = 0
+            )
+            SELECT f.event_id, a.iv_id
+            FROM events f JOIN a ON a.lo <= f.ts AND f.ts < a.hi
+            ORDER BY f.event_id, a.iv_id
+        """,
+"stream_interval_join": """
             WITH a AS (
               SELECT event_id AS iv_id, ts AS lo,
                      ts + INTERVAL 2 HOUR AS hi

@@ -89,6 +89,33 @@ def test_stream_sliding_matches_batch(spark, event_dir):
     pd.testing.assert_frame_equal(out, bout)
 
 
+def test_stream_interval_join_matches_batch(spark, event_dir):
+    """Stream-static binned range join: stateless plan lifts unchanged;
+    stream output must equal the batch operator on the same input."""
+    from pyradiomics_spark.operators.intervals import interval_join
+
+    schema = "ent string, ts timestamp, v double"
+    batch = spark.read.parquet(f"{event_dir}/data")
+    iv = spark.sql(
+        "SELECT 1 AS iv_id, timestamp'2024-01-01 00:00:00' AS lo, "
+        "timestamp'2024-01-01 01:00:00' AS hi "
+        "UNION ALL SELECT 2, timestamp'2024-01-01 02:00:00', "
+        "timestamp'2024-01-01 06:00:00'")
+    stream = spark.readStream.schema(schema).parquet(f"{event_dir}/data")
+    out = interval_join(stream, iv, "ts", "lo", "hi", 1800.0)
+    assert out.isStreaming
+    import uuid
+    name = f"ivj_{uuid.uuid4().hex[:6]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r.ent, str(r.ts), r.iv_id)
+                 for r in spark.sql(f"select * from {name}").collect())
+    want = sorted((r.ent, str(r.ts), r.iv_id) for r in interval_join(
+        batch, iv, "ts", "lo", "hi", 1800.0).collect())
+    assert got == want and len(got) == 6
+
+
 def test_image_features_deterministic(spark):
     pdf = pd.DataFrame({
         "img_id": [1, 2, 3],
