@@ -1155,6 +1155,42 @@ def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel (operators/events.py funnel):
+    per-stage conditional-min aggregates chained on ONE user-key
+    partitioning — order-sensitive (stage k counts only strictly after
+    stage k-1), never a per-user ordered window. DuckDB twin chains the
+    same gated mins."""
+    from pyradiomics_spark.operators.events import funnel
+
+    ev = _read(spark, sf_dir, "events")
+    out = funnel(ev, "user_id", "ts", "event_type",
+                 ("view", "click", "purchase"))
+    return out.select(
+        "user_id",
+        _rnd("ts_stage_1", 6).alias("ts_stage_1"),
+        _rnd("ts_stage_2", 6).alias("ts_stage_2"),
+        _rnd("ts_stage_3", 6).alias("ts_stage_3"),
+        F.col("max_stage").cast("long").alias("max_stage"),
+    ).orderBy("user_id")
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (operators/events.py
+    cohort_retention): arithmetic epoch buckets (engine/timezone
+    identical), exact distinct via a pre-distinct on (cohort, offset,
+    user) — two map-side-combined aggregates, no countDistinct skew."""
+    from pyradiomics_spark.operators.events import cohort_retention
+
+    ev = _read(spark, sf_dir, "events")
+    out = cohort_retention(ev, "user_id", "ts", bucket_days=7)
+    return out.select(
+        F.col("cohort").cast("long").alias("cohort"),
+        F.col("bucket_offset").cast("long").alias("bucket_offset"),
+        F.col("n_users").cast("long").alias("n_users"),
+    ).orderBy("cohort", "bucket_offset")
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS multi-granularity aggregate (the general form of
     the rollup/cube family, SURVEY §2.4 note): per-event-type, per
@@ -2940,6 +2976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_by_lang": q_hll_by_lang,
         "grouping_sets": q_grouping_sets,
         "stream_interval_join": q_stream_interval_join,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
         "group_standardize": q_group_standardize,
         "feature_corr": q_feature_corr,
         # --- last driver-verified in r1/r2 on older code ---
@@ -4315,6 +4353,59 @@ def oracle_sql() -> dict[str, str]:
                    floor(delta * 1e6 + 0.50000095367431640625) / 1e6
                      AS delta
             FROM unioned ORDER BY term
+        """,
+        "funnel": """
+            WITH e AS (
+              SELECT user_id, epoch(ts) AS t, event_type AS et
+              FROM events
+            ), users AS (
+              SELECT DISTINCT user_id FROM e
+            ), s1 AS (
+              SELECT user_id, min(t) AS t1 FROM e
+              WHERE et = 'view' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, min(e.t) AS t2
+              FROM e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.et = 'click' AND e.t > s1.t1
+              GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, min(e.t) AS t3
+              FROM e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.et = 'purchase' AND e.t > s2.t2
+              GROUP BY e.user_id
+            )
+            SELECT u.user_id,
+                   floor(t1 * 1e6 + 0.50000095367431640625) / 1e6
+                     AS ts_stage_1,
+                   floor(t2 * 1e6 + 0.50000095367431640625) / 1e6
+                     AS ts_stage_2,
+                   floor(t3 * 1e6 + 0.50000095367431640625) / 1e6
+                     AS ts_stage_3,
+                   CASE WHEN t3 IS NOT NULL THEN 3
+                        WHEN t2 IS NOT NULL THEN 2
+                        WHEN t1 IS NOT NULL THEN 1
+                        ELSE 0 END AS max_stage
+            FROM users u
+            LEFT JOIN s1 ON u.user_id = s1.user_id
+            LEFT JOIN s2 ON u.user_id = s2.user_id
+            LEFT JOIN s3 ON u.user_id = s3.user_id
+            ORDER BY u.user_id
+        """,
+        "cohort_retention": """
+            WITH e AS (
+              SELECT user_id,
+                     floor(epoch(ts) / 604800.0)::BIGINT AS b
+              FROM events
+            ), first AS (
+              SELECT user_id, min(b) AS cohort FROM e GROUP BY user_id
+            ), acts AS (
+              SELECT DISTINCT e.user_id, f.cohort,
+                              e.b - f.cohort AS bucket_offset
+              FROM e JOIN first f ON e.user_id = f.user_id
+            )
+            SELECT cohort, bucket_offset, count(*) AS n_users
+            FROM acts GROUP BY cohort, bucket_offset
+            ORDER BY cohort, bucket_offset
         """,
         "grouping_sets": """
             SELECT event_type, user_id % 10 AS ub, count(*) AS n,
