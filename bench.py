@@ -131,6 +131,8 @@ def main() -> None:
         "snapshot_drift", "pagerank", "degree_census", "interval_join",
         "stream_sliding", "pivot_wide", "bigram_logloss", "pmi_pairs",
         "hot_keys", "jl_project", "bpe_pairs", "bpe_merge",
+        "hll_by_lang", "grouping_sets", "stream_interval_join",
+        "funnel", "cohort_retention",
     ]
     for name in headline:
         if name not in qs:
