@@ -1744,6 +1744,23 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node")
 
 
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-personalized PageRank (TrustRank, Gyöngyi et al. 2004) over
+    the synthetic host graph: teleport AND dangling mass land on the
+    five trusted seed hosts, so rank decays with link distance from the
+    seeds and unreachable hosts get exactly 0. Same per-round plan
+    shape as `pagerank`; the DuckDB twin unrolls the identical 3
+    seed-biased iterations."""
+    from pyradiomics_spark.operators.graph import pagerank
+
+    seeds = spark.createDataFrame(
+        [(f"h{i}", 1.0) for i in range(5)], ["node", "w"])
+    out = pagerank(_synth_host_edges(spark, sf_dir), n_iter=3,
+                   damping=0.85, teleport=seeds)
+    return out.select("node", _rnd("rank", 6).alias("rank")).orderBy(
+        "node")
+
+
 def q_degree_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host in/out-degree census (operators/graph.py degree_census) over
     the synthetic host graph: two map-side-combined groupBys full-outer
@@ -2978,6 +2995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": q_stream_interval_join,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
+        "trustrank": q_trustrank,
         "group_standardize": q_group_standardize,
         "feature_corr": q_feature_corr,
         # --- last driver-verified in r1/r2 on older code ---
@@ -4705,6 +4723,70 @@ def oracle_sql() -> dict[str, str]:
               SELECT b.node,
                      0.15 / s.n + 0.85 * (coalesce(c.cin, 0) + s.dang / s.n)
                        AS r
+              FROM base b LEFT JOIN c2 c ON b.node = c.node CROSS JOIN s2 s
+            )
+            SELECT node,
+                   floor(r * 1e6 + 0.50000095367431640625) / 1e6 AS rank
+            FROM r3 ORDER BY node
+        """,
+        "trustrank": """
+            WITH b AS (
+              SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                       ::BIGINT % 40 AS sb,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':o1'), 1, 8))
+                       ::BIGINT % 40 AS t1,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':o2'), 1, 8))
+                       ::BIGINT % 40 AS t2
+              FROM documents
+            ), e AS (
+              SELECT 'h' || sb::VARCHAR AS src, 'h' || t1::VARCHAR AS dst
+              FROM b WHERE sb < 35 AND sb <> t1
+              UNION ALL
+              SELECT 'h' || sb::VARCHAR, 'h' || t2::VARCHAR
+              FROM b WHERE sb < 35 AND sb <> t2
+            ), nodes AS (
+              SELECT src AS node FROM e UNION SELECT dst FROM e
+            ), outd AS (
+              SELECT src AS node, count(*)::DOUBLE AS od FROM e GROUP BY src
+            ), base AS (
+              SELECT n.node, o.od,
+                     CASE WHEN n.node IN ('h0', 'h1', 'h2', 'h3', 'h4')
+                          THEN 1.0 / 5.0 ELSE 0.0 END AS tv
+              FROM nodes n LEFT JOIN outd o ON n.node = o.node
+            ), r0 AS (
+              SELECT node, od, tv, tv AS r FROM base
+            ), s0 AS (
+              SELECT sum(CASE WHEN od IS NULL THEN r ELSE 0 END) AS dang
+              FROM r0
+            ), c0 AS (
+              SELECT e.dst AS node, sum(r.r / r.od) AS cin
+              FROM e JOIN r0 r ON e.src = r.node GROUP BY e.dst
+            ), r1 AS (
+              SELECT b.node, b.od, b.tv,
+                     (1.0 - 0.85) * b.tv
+                       + 0.85 * (coalesce(c.cin, 0) + s.dang * b.tv) AS r
+              FROM base b LEFT JOIN c0 c ON b.node = c.node CROSS JOIN s0 s
+            ), s1 AS (
+              SELECT sum(CASE WHEN od IS NULL THEN r ELSE 0 END) AS dang
+              FROM r1
+            ), c1 AS (
+              SELECT e.dst AS node, sum(r.r / r.od) AS cin
+              FROM e JOIN r1 r ON e.src = r.node GROUP BY e.dst
+            ), r2 AS (
+              SELECT b.node, b.od, b.tv,
+                     (1.0 - 0.85) * b.tv
+                       + 0.85 * (coalesce(c.cin, 0) + s.dang * b.tv) AS r
+              FROM base b LEFT JOIN c1 c ON b.node = c.node CROSS JOIN s1 s
+            ), s2 AS (
+              SELECT sum(CASE WHEN od IS NULL THEN r ELSE 0 END) AS dang
+              FROM r2
+            ), c2 AS (
+              SELECT e.dst AS node, sum(r.r / r.od) AS cin
+              FROM e JOIN r2 r ON e.src = r.node GROUP BY e.dst
+            ), r3 AS (
+              SELECT b.node,
+                     (1.0 - 0.85) * b.tv
+                       + 0.85 * (coalesce(c.cin, 0) + s.dang * b.tv) AS r
               FROM base b LEFT JOIN c2 c ON b.node = c.node CROSS JOIN s2 s
             )
             SELECT node,

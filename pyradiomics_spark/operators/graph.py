@@ -46,6 +46,7 @@ def pagerank(
     dst: str = "dst",
     rank_col: str = "rank",
     checkpoint: bool = True,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank) after ``n_iter`` synchronous power-iteration steps of
     PageRank with uniform teleport and dangling-mass redistribution:
@@ -64,7 +65,17 @@ def pagerank(
     addition order, so ranks are exact-reproducible at fixed partitioning
     and 1-ulp-stable otherwise — the oracle twin replays the identical
     iteration count. ``checkpoint=False`` keeps pure lineage (needed when
-    the caller wants to ``explain`` the full plan)."""
+    the caller wants to ``explain`` the full plan).
+
+    ``teleport`` personalizes the walk (TrustRank, Gyöngyi et al. 2004 —
+    the seed-biased anti-spam variant; topic-sensitive PageRank is the
+    same math): a (node, weight) DataFrame, normalized internally to sum
+    to 1; teleport AND dangling mass then land on the seed distribution
+    instead of uniformly, so rank decays with link distance from the
+    trusted seeds and unreachable spam farms get exactly 0. Nodes absent
+    from ``teleport`` get weight 0; the start vector is the normalized
+    teleport itself. With ``teleport=None`` the uniform expressions are
+    unchanged (bit-identical to the unpersonalized form)."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
@@ -73,15 +84,30 @@ def pagerank(
              .distinct())
     outd = e.groupBy(F.col("__s").alias("node")).agg(
         F.count("*").alias("__outd"))
-    # static per-node state: (node, outdeg or null); reused every round
+    # static per-node state: (node, outdeg or null [, teleport weight]);
+    # reused every round
     base = nodes.join(outd, "node", "left")
+    if teleport is not None:
+        tw = teleport.select(
+            F.col(teleport.columns[0]).alias("node"),
+            F.col(teleport.columns[1]).cast("double").alias("__w"))
+        tsum = F.broadcast(tw.agg(F.sum("__w").alias("__ws")))
+        base = (base.join(tw, "node", "left")
+                .crossJoin(tsum)
+                .select("node", "__outd",
+                        (F.coalesce(F.col("__w"), F.lit(0.0))
+                         / F.col("__ws")).alias("__tv")))
     if checkpoint:
         base = base.localCheckpoint(eager=True)
     n_total = base.agg(F.count("*").alias("__n"))
     d = float(damping)
 
-    rank = base.crossJoin(F.broadcast(n_total)).select(
-        "node", "__outd", (F.lit(1.0) / F.col("__n")).alias(rank_col))
+    if teleport is None:
+        rank = base.crossJoin(F.broadcast(n_total)).select(
+            "node", "__outd", (F.lit(1.0) / F.col("__n")).alias(rank_col))
+    else:
+        rank = base.select("node", "__outd",
+                           F.col("__tv").alias(rank_col))
     for _ in range(n_iter):
         # scalar row: dangling mass this round + N (broadcast, no collect)
         scal = rank.agg(
@@ -96,15 +122,20 @@ def pagerank(
                    "__s")
             .groupBy(F.col("__d").alias("node"))
             .agg(F.sum("__share").alias("__in")))
+        if teleport is None:
+            new_rank = (F.lit((1.0 - d)) / F.col("__n")
+                        + F.lit(d) * (F.coalesce(F.col("__in"), F.lit(0.0))
+                                      + F.col("__dang") / F.col("__n")))
+        else:
+            new_rank = (F.lit(1.0 - d) * F.col("__tv")
+                        + F.lit(d) * (F.coalesce(F.col("__in"), F.lit(0.0))
+                                      + F.col("__dang") * F.col("__tv")))
+        keep = ["node", "__outd"] + (["__tv"] if teleport is not None
+                                     else [])
         rank = (
             base.join(contrib, "node", "left")
             .crossJoin(F.broadcast(scal))
-            .select(
-                "node", "__outd",
-                (F.lit((1.0 - d)) / F.col("__n")
-                 + F.lit(d) * (F.coalesce(F.col("__in"), F.lit(0.0))
-                               + F.col("__dang") / F.col("__n")))
-                .alias(rank_col)))
+            .select(*keep, new_rank.alias(rank_col)))
         if checkpoint:
             rank = rank.localCheckpoint(eager=True)
     return rank.select("node", rank_col)

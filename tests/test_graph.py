@@ -92,3 +92,58 @@ def test_pagerank_fuzz_random_graph(spark):
     for k in want:
         assert got[k] == pytest.approx(want[k], rel=1e-12)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def _np_ppr(edges, seeds, n_iter, d=0.85):
+    import numpy as np
+
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outd = np.zeros(n)
+    for u, _ in edges:
+        outd[idx[u]] += 1
+    tv = np.zeros(n)
+    tot = sum(seeds.values())
+    for k, w in seeds.items():
+        if k in idx:
+            tv[idx[k]] = w / tot
+    r = tv.copy()
+    for _ in range(n_iter):
+        dang = r[outd == 0].sum()
+        new = (1.0 - d) * tv + d * dang * tv
+        for u, v in edges:
+            new[idx[v]] += d * r[idx[u]] / outd[idx[u]]
+        r = new
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_personalized_pagerank_trustrank(spark, edges_df):
+    seeds = {"a": 2.0, "d": 1.0}
+    tele = spark.createDataFrame(list(seeds.items()), ["node", "w"])
+    got = {r.node: r["rank"] for r in pagerank(
+        edges_df, n_iter=4, teleport=tele).collect()}
+    want = _np_ppr(EDGES, seeds, n_iter=4)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
+    # mass conserved on the seed-biased walk too
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+    # seed-distance decay: the seed 'a' outranks the sink 'e'
+    assert got["a"] > got["e"]
+
+
+def test_personalized_pagerank_unreachable_gets_zero(spark):
+    df = spark.createDataFrame(
+        [("s", "x"), ("island1", "island2")], ["src", "dst"])
+    tele = spark.createDataFrame([("s", 1.0)], ["node", "w"])
+    got = {r.node: r["rank"] for r in pagerank(
+        df, n_iter=3, teleport=tele).collect()}
+    assert got["island1"] == 0.0 and got["island2"] == 0.0
+    assert got["s"] > 0 and got["x"] > 0
+
+
+def test_uniform_path_unchanged_by_teleport_param(spark, edges_df):
+    a = {r.node: r["rank"] for r in pagerank(edges_df, n_iter=3).collect()}
+    b = _np_pagerank(EDGES, n_iter=3)
+    for k in b:
+        assert a[k] == pytest.approx(b[k], rel=1e-12)
