@@ -1191,6 +1191,28 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cohort", "bucket_offset")
 
 
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram Jaccard + asymmetric Broder containment for a
+    deterministic candidate pairing (doc i vs doc i+250)
+    (operators/dedup.py ngram_jaccard_pairs include_containment):
+    candidate semi-join BEFORE the shingle self-join, integer-count
+    ratios. Containment flags short-in-long near-plagiarism that the
+    symmetric Jaccard score misses."""
+    from pyradiomics_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = docs.where(F.col("doc_id") < 250).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 250).alias("id_b"))
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3,
+                              candidates=cand, include_containment=True)
+    return out.select(
+        "id_a", "id_b", _rnd("jaccard", 6).alias("jaccard"),
+        _rnd("containment_a", 6).alias("containment_a"),
+        _rnd("containment_b", 6).alias("containment_b"),
+    ).orderBy("id_a")
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS multi-granularity aggregate (the general form of
     the rollup/cube family, SURVEY §2.4 note): per-event-type, per
@@ -2996,6 +3018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "trustrank": q_trustrank,
+        "ngram_containment": q_ngram_containment,
         "group_standardize": q_group_standardize,
         "feature_corr": q_feature_corr,
         # --- last driver-verified in r1/r2 on older code ---
@@ -4371,6 +4394,43 @@ def oracle_sql() -> dict[str, str]:
                    floor(delta * 1e6 + 0.50000095367431640625) / 1e6
                      AS delta
             FROM unioned ORDER BY term
+        """,
+        "ngram_containment": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     w1 || ' ' || w2 || ' ' || w3 AS shingle
+              FROM (
+                SELECT doc_id,
+                       unnest(t[1:len(t) - 2]) AS w1,
+                       unnest(t[2:len(t) - 1]) AS w2,
+                       unnest(t[3:len(t)]) AS w3
+                FROM toks)
+              WHERE (w1 || ' ' || w2 || ' ' || w3) <> ''
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), cand AS (
+              SELECT doc_id AS id_a, doc_id + 250 AS id_b
+              FROM documents WHERE doc_id < 250
+            ), common AS (
+              SELECT c.id_a, c.id_b, count(*) AS common
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY c.id_a, c.id_b
+            )
+            SELECT m.id_a, m.id_b,
+                   floor((m.common / (sa.n + sb.n - m.common)) * 1e6
+                         + 0.50000095367431640625) / 1e6 AS jaccard,
+                   floor((m.common / sa.n) * 1e6
+                         + 0.50000095367431640625) / 1e6 AS containment_a,
+                   floor((m.common / sb.n) * 1e6
+                         + 0.50000095367431640625) / 1e6 AS containment_b
+            FROM common m
+            JOIN sizes sa ON sa.doc_id = m.id_a
+            JOIN sizes sb ON sb.doc_id = m.id_b
+            ORDER BY m.id_a
         """,
         "funnel": """
             WITH e AS (

@@ -174,11 +174,18 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     candidates: DataFrame | None = None,
+    include_containment: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard for pairs: |A∩B| via self-equi-join on the
     shingle, |A∪B| = |A|+|B|−|A∩B|. ``candidates`` (id_a,id_b) bounds the
     O(n²) blowup at scale (pass LSH candidates); None = all co-shingled
-    pairs (fine at test scale, every pair sharing ≥1 shingle)."""
+    pairs (fine at test scale, every pair sharing ≥1 shingle).
+
+    ``include_containment=True`` appends the ASYMMETRIC overlap scores
+    containment_a = |A∩B|/|A| and containment_b = |A∩B|/|B| (Broder's
+    containment) — the quote/partial-inclusion detector Jaccard misses:
+    a short doc fully embedded in a long one has high containment but
+    low Jaccard, so symmetric dedup keeps the near-plagiarized pair."""
     sh = _shingles(df, id_col, text_col, shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     pair_sh = sh
@@ -211,16 +218,17 @@ def ngram_jaccard_pairs(
         common = common.join(candidates, ["id_a", "id_b"], "inner")
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a", "id_b",
-            (F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))).alias(
-                "jaccard"
-            ),
-        )
-    )
+    cols = [
+        F.col("id_a"), F.col("id_b"),
+        (F.col("common")
+         / (F.col("na") + F.col("nb") - F.col("common"))).alias("jaccard"),
+    ]
+    if include_containment:
+        cols += [
+            (F.col("common") / F.col("na")).alias("containment_a"),
+            (F.col("common") / F.col("nb")).alias("containment_b"),
+        ]
+    return common.join(sa, "id_a").join(sb, "id_b").select(*cols)
 
 
 def dup_ngram_coverage(

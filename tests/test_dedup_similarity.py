@@ -889,3 +889,23 @@ def test_incremental_dedup_bucket_cap_drops_boilerplate(spark):
     # identical docs: ALL bands are hot and dropped → no near flag, but
     # the exact flag still catches it (layered defense)
     assert capped.dup_near is False and capped.dup_exact is True
+
+
+def test_ngram_containment_short_in_long(spark):
+    from pyradiomics_spark.operators.dedup import ngram_jaccard_pairs
+
+    long = "a b c d e f g h i j k l"
+    short = "c d e f g"          # fully embedded span
+    df = spark.createDataFrame(
+        [(1, long), (2, short)], ["doc_id", "text"])
+    out = ngram_jaccard_pairs(df, "doc_id", "text", shingle_n=3,
+                              include_containment=True).collect()
+    r = out[0]
+    # short doc: 3 trigrams, all inside the long doc's 10
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.containment_b == pytest.approx(1.0)      # quote detected
+    assert r.containment_a == pytest.approx(3 / 10)
+    assert r.jaccard == pytest.approx(3 / 10)          # symmetric score low
+    # default output shape unchanged (no containment columns)
+    plain = ngram_jaccard_pairs(df, "doc_id", "text", shingle_n=3)
+    assert plain.columns == ["id_a", "id_b", "jaccard"]
