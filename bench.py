@@ -132,7 +132,7 @@ def main() -> None:
         "stream_sliding", "pivot_wide", "bigram_logloss", "pmi_pairs",
         "hot_keys", "jl_project", "bpe_pairs", "bpe_merge",
         "hll_by_lang", "grouping_sets", "stream_interval_join",
-        "funnel", "cohort_retention",
+        "funnel", "cohort_retention", "trustrank", "ngram_containment",
     ]
     for name in headline:
         if name not in qs:
