@@ -1213,6 +1213,33 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a")
 
 
+def q_url_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix-match URL rule routing (functions/urls.py
+    longest_prefix_match): each synthetic URL explodes into one
+    truncation per distinct rule-prefix length and EQUI-joins the rule
+    table — never a startswith BroadcastNestedLoopJoin; the most
+    specific rule wins via one tie-free max(struct) aggregate. DuckDB
+    twin ranks starts_with matches by prefix length."""
+    from pyradiomics_spark.functions.urls import longest_prefix_match
+
+    rules = spark.createDataFrame(
+        [("HTTPS://WWW.Example.COM:443/", "canon", 1),
+         ("http://example.com/", "plain", 2),
+         ("http://news.Example.com:80/", "news", 3),
+         ("https://cdn", "cdn", 4),
+         ("http://", "default", 5),
+         ("junk", "junkrule", 6)],
+        ["prefix", "action", "rule_id"])
+    urls = _with_synth_urls(spark, sf_dir).select("doc_id", "url")
+    out = longest_prefix_match(urls, rules, "doc_id", "url")
+    return out.select(
+        "doc_id",
+        F.col("match_len").cast("long").alias("match_len"),
+        "match_prefix", "match_action",
+        F.col("match_rule_id").cast("long").alias("match_rule_id"),
+    ).orderBy("doc_id")
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS multi-granularity aggregate (the general form of
     the rollup/cube family, SURVEY §2.4 note): per-event-type, per
@@ -3019,6 +3046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "trustrank": q_trustrank,
         "ngram_containment": q_ngram_containment,
+        "url_prefix_match": q_url_prefix_match,
         "group_standardize": q_group_standardize,
         "feature_corr": q_feature_corr,
         # --- last driver-verified in r1/r2 on older code ---
@@ -3245,6 +3273,29 @@ def oracle_sql() -> dict[str, str]:
                           OVER (PARTITION BY n.url_norm) THEN 1
                      ELSE 0 END AS BIGINT) AS url_keep
             FROM norm n ORDER BY n.doc_id
+    """
+    url_prefix_match_sql = _url_ctes + """
+            SELECT w.doc_id, m.match_len, m.match_prefix,
+                   m.match_action, m.match_rule_id
+            FROM withurl w LEFT JOIN (
+              SELECT w2.doc_id,
+                     CAST(length(r.prefix) AS BIGINT) AS match_len,
+                     r.prefix AS match_prefix,
+                     r.action AS match_action,
+                     CAST(r.rule_id AS BIGINT) AS match_rule_id,
+                     row_number() OVER (
+                       PARTITION BY w2.doc_id
+                       ORDER BY length(r.prefix) DESC) AS rn
+              FROM withurl w2 JOIN (VALUES
+                ('HTTPS://WWW.Example.COM:443/', 'canon', 1),
+                ('http://example.com/', 'plain', 2),
+                ('http://news.Example.com:80/', 'news', 3),
+                ('https://cdn', 'cdn', 4),
+                ('http://', 'default', 5),
+                ('junk', 'junkrule', 6)) r(prefix, action, rule_id)
+                ON starts_with(w2.url, r.prefix)
+            ) m ON w.doc_id = m.doc_id AND m.rn = 1
+            ORDER BY w.doc_id
     """
     domain_stats_sql = _url_ctes + """
             SELECT domain,
@@ -4320,6 +4371,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semdedup": semdedup_sql,
         "url_normalize": url_normalize_sql,
+        "url_prefix_match": url_prefix_match_sql,
         "domain_stats": domain_stats_sql,
         "dsir_weights": """
             WITH tk AS (

@@ -909,3 +909,43 @@ def test_ngram_containment_short_in_long(spark):
     # default output shape unchanged (no containment columns)
     plain = ngram_jaccard_pairs(df, "doc_id", "text", shingle_n=3)
     assert plain.columns == ["id_a", "id_b", "jaccard"]
+
+
+def test_longest_prefix_match(spark):
+    from pyradiomics_spark.functions.urls import longest_prefix_match
+
+    rows = [
+        (0, "http://spam.example.com/a"),
+        (1, "http://spam.example.com/allowed/x"),
+        (2, "http://clean.org/y"),
+        (3, "http"),           # shorter than every rule
+        (4, "https://spam.example.com/a"),   # scheme differs: no match
+    ]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    rules = spark.createDataFrame(
+        [("http://spam.example.com/", "block", 1),
+         ("http://spam.example.com/allowed/", "allow", 2),  # more specific
+         ("http://", "default", 3)],
+        ["prefix", "action", "rule_id"])
+    out = {r.id: (r.match_action, r.match_rule_id, r.match_len)
+           for r in longest_prefix_match(
+               df, rules, "id", "url").collect()}
+    assert out[0] == ("block", 1, 24)
+    assert out[1] == ("allow", 2, 32)    # longest prefix wins
+    assert out[2] == ("default", 3, 7)
+    assert out[3] == (None, None, None)  # kept by left join, unmatched
+    assert out[4] == (None, None, None)
+    # inner drops unmatched
+    inner = longest_prefix_match(df, rules, "id", "url", how="inner")
+    assert sorted(r.id for r in inner.collect()) == [0, 1, 2]
+    # plan: equi-join on the truncation, never a nested-loop theta join
+    plan = longest_prefix_match(df, rules, "id", "url")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="how"):
+        longest_prefix_match(df, rules, "id", "url", how="full")
+    empty = spark.createDataFrame([("",)], ["prefix"])
+    with _pt.raises(ValueError, match="non-empty"):
+        longest_prefix_match(df, empty, "id", "url")
