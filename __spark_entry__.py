@@ -383,6 +383,49 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue share): fact scan filtered to one
+    ship month, broadcast dimension join on part, conditional-sum ratio
+    in a single aggregate."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-09-01")
+        & (F.col("l_shipdate") < "1995-10-01"))
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .agg(_rnd(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                    .otherwise(0.0))
+            / F.sum(rev), 6).alias("promo_revenue"))
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): per-order quantity agg
+    with HAVING, semi-shaped join back to orders+customer, k-bounded
+    top-100 by total price (TakeOrdered, unique o_orderkey tiebreak)."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("sum_qty"))
+           .where(F.col("sum_qty") > 250))
+    out = (orders.join(big, orders.o_orderkey == big.l_orderkey)
+           .join(F.broadcast(cust),
+                 orders.o_custkey == cust.c_custkey)
+           .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+           .limit(100))
+    return out.select(
+        "c_name", "c_custkey", "o_orderkey",
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        _rnd("o_totalprice", 4).alias("o_totalprice"),
+        _rnd("sum_qty", 4).alias("sum_qty"),
+    ).orderBy("o_orderkey")
+
+
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure scan-filter-agg — the pushdown showcase (every
     predicate reaches the parquet reader; `.explain` shows PushedFilters)."""
@@ -3047,6 +3090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": q_trustrank,
         "ngram_containment": q_ngram_containment,
         "url_prefix_match": q_url_prefix_match,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
         "group_standardize": q_group_standardize,
         "feature_corr": q_feature_corr,
         # --- last driver-verified in r1/r2 on older code ---
@@ -4446,6 +4491,38 @@ def oracle_sql() -> dict[str, str]:
                    floor(delta * 1e6 + 0.50000095367431640625) / 1e6
                      AS delta
             FROM unioned ORDER BY term
+        """,
+        "tpch_q14": """
+            SELECT floor((100.0 * sum(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1.0 - l_discount)
+                       ELSE 0.0 END)
+                     / sum(l_extendedprice * (1.0 - l_discount)))
+                   * 1e6 + 0.50000095367431640625) / 1e6
+                     AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+              AND l_shipdate < TIMESTAMP '1995-10-01'
+        """,
+        "tpch_q18": """
+            WITH big AS (
+              SELECT l_orderkey, sum(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 250
+            ), k AS (
+              SELECT c.c_name, c.c_custkey, o.o_orderkey,
+                     o.o_orderdate, o.o_totalprice, b.sum_qty
+              FROM orders o
+              JOIN big b ON o.o_orderkey = b.l_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+            )
+            SELECT c_name, c_custkey, o_orderkey,
+                   o_orderdate::VARCHAR AS o_orderdate,
+                   floor(o_totalprice * 1e4 + 0.50000095367431640625)
+                     / 1e4 AS o_totalprice,
+                   floor(sum_qty * 1e4 + 0.50000095367431640625)
+                     / 1e4 AS sum_qty
+            FROM k ORDER BY o_orderkey
         """,
         "ngram_containment": """
             WITH toks AS (

@@ -133,6 +133,7 @@ def main() -> None:
         "hot_keys", "jl_project", "bpe_pairs", "bpe_merge",
         "hll_by_lang", "grouping_sets", "stream_interval_join",
         "funnel", "cohort_retention", "trustrank", "ngram_containment",
+        "url_prefix_match", "tpch_q14", "tpch_q18",
     ]
     for name in headline:
         if name not in qs:
