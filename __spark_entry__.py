@@ -1283,6 +1283,40 @@ def q_url_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC summary bars per user (operators/windows.py
+    ohlc_bars): one map-side-combined groupBy — open/close are
+    min/max over a (ts, value) struct, a total order, so equal-
+    timestamp ties are deterministic in both engines (DuckDB twin
+    ranks by (t, v) / (t DESC, v DESC))."""
+    from pyradiomics_spark.operators.windows import ohlc_bars
+
+    ev = _read(spark, sf_dir, "events")
+    out = ohlc_bars(ev, "user_id", "ts", "value", width=86400.0)
+    return out.select(
+        "user_id", F.col("bucket").cast("long").alias("bucket"),
+        _rnd("open", 6).alias("open"), _rnd("high", 6).alias("high"),
+        _rnd("low", 6).alias("low"), _rnd("close", 6).alias("close"),
+        F.col("n").cast("long").alias("n"),
+    ).orderBy("user_id", "bucket")
+
+
+def q_resample_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular 2-day grid per user with forward-filled gaps
+    (operators/windows.py resample_grid — pandas asfreq+ffill, the
+    feature-store resample): per-entity span aggregate, guarded
+    sequence explode, leakage-safe ffill over GRID rows."""
+    from pyradiomics_spark.operators.windows import resample_grid
+
+    ev = _read(spark, sf_dir, "events")
+    out = resample_grid(ev, "user_id", "ts", "value", step=172800.0)
+    return out.select(
+        "user_id", F.col("bucket").cast("long").alias("bucket"),
+        _rnd("value", 6).alias("value"),
+        F.col("observed").cast("long").alias("observed"),
+    ).orderBy("user_id", "bucket")
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS multi-granularity aggregate (the general form of
     the rollup/cube family, SURVEY §2.4 note): per-event-type, per
@@ -3092,6 +3126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_prefix_match": q_url_prefix_match,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
+        "ohlc_bars": q_ohlc_bars,
+        "resample_grid": q_resample_grid,
         "group_standardize": q_group_standardize,
         "feature_corr": q_feature_corr,
         # --- last driver-verified in r1/r2 on older code ---
@@ -4491,6 +4527,74 @@ def oracle_sql() -> dict[str, str]:
                    floor(delta * 1e6 + 0.50000095367431640625) / 1e6
                      AS delta
             FROM unioned ORDER BY term
+        """,
+        "ohlc_bars": """
+            WITH e AS (
+              SELECT user_id, epoch(ts) AS t,
+                     floor(epoch(ts) / 86400.0)::BIGINT AS bucket,
+                     value AS v
+              FROM events
+            ), r AS (
+              SELECT user_id, bucket, v,
+                     row_number() OVER (PARTITION BY user_id, bucket
+                                        ORDER BY t, v) AS rn_o,
+                     row_number() OVER (PARTITION BY user_id, bucket
+                                        ORDER BY t DESC, v DESC) AS rn_c
+              FROM e
+            ), agg AS (
+              SELECT user_id, bucket, max(v) AS high, min(v) AS low,
+                     count(*) AS n
+              FROM e GROUP BY user_id, bucket
+            )
+            SELECT a.user_id, a.bucket,
+                   floor(o.v * 1e6 + 0.50000095367431640625) / 1e6
+                     AS open,
+                   floor(a.high * 1e6 + 0.50000095367431640625) / 1e6
+                     AS high,
+                   floor(a.low * 1e6 + 0.50000095367431640625) / 1e6
+                     AS low,
+                   floor(c.v * 1e6 + 0.50000095367431640625) / 1e6
+                     AS close,
+                   a.n
+            FROM agg a
+            JOIN r o ON o.user_id = a.user_id AND o.bucket = a.bucket
+                        AND o.rn_o = 1
+            JOIN r c ON c.user_id = a.user_id AND c.bucket = a.bucket
+                        AND c.rn_c = 1
+            ORDER BY a.user_id, a.bucket
+        """,
+        "resample_grid": """
+            WITH e AS (
+              SELECT user_id, epoch(ts) AS t,
+                     floor(epoch(ts) / 172800.0)::BIGINT AS bucket,
+                     value AS v
+              FROM events
+            ), r AS (
+              SELECT user_id, bucket, v,
+                     row_number() OVER (PARTITION BY user_id, bucket
+                                        ORDER BY t DESC, v DESC) AS rn
+              FROM e
+            ), obs AS (
+              SELECT user_id, bucket, v AS last_v FROM r WHERE rn = 1
+            ), span AS (
+              SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+              FROM obs GROUP BY user_id
+            ), grid AS (
+              SELECT user_id, unnest(generate_series(lo, hi)) AS bucket
+              FROM span
+            ), g AS (
+              SELECT g.user_id, g.bucket, o.last_v,
+                     o.last_v IS NOT NULL AS observed
+              FROM grid g LEFT JOIN obs o
+                ON g.user_id = o.user_id AND g.bucket = o.bucket
+            )
+            SELECT user_id, bucket,
+                   floor((last_value(last_v IGNORE NULLS)
+                          OVER (PARTITION BY user_id ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING))
+                         * 1e6 + 0.50000095367431640625) / 1e6 AS value,
+                   CAST(observed AS BIGINT) AS observed
+            FROM g ORDER BY user_id, bucket
         """,
         "tpch_q14": """
             SELECT floor((100.0 * sum(CASE WHEN p_type = 'PROMO'

@@ -264,3 +264,88 @@ def decayed_features(
         .withColumn(f"{prefix}count",
                     decay_now * F.sum(rebased).over(w))
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    on,
+    ts_col: str,
+    value_col: str,
+    width: float,
+) -> DataFrame:
+    """Fixed-width summary bars per entity — open/high/low/close/n over
+    ``width``-second epoch buckets, the time-series downsampling step
+    before windowed features (the numeric analog of tumbling counts).
+    Open/close are argmin/argmax by time with DETERMINISTIC tie-breaks:
+    equal-timestamp ties resolve to the smaller value for open and the
+    larger for close (min/max over a (ts, value) struct — a total order,
+    unlike arg_min/arg_max whose ties are arrival-order).
+
+    Scale shape: ONE map-side-combined groupBy (entity, bucket) — no
+    per-entity ordered window, so a hot entity costs a bigger partial
+    aggregate, never a single-task sort."""
+    keys = _keys(on)
+    t = _epoch(ts_col)
+    b = F.floor(t / F.lit(float(width))).cast("long")
+    v = F.col(value_col)
+    return (
+        df.select(*keys, b.alias("bucket"), t.alias("__t"), v.alias("__v"))
+        .groupBy(*keys, "bucket")
+        .agg(
+            F.min(F.struct(F.col("__t"), F.col("__v")))["__v"]
+            .alias("open"),
+            F.max("__v").alias("high"),
+            F.min("__v").alias("low"),
+            F.max(F.struct(F.col("__t"), F.col("__v")))["__v"]
+            .alias("close"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def resample_grid(
+    df: DataFrame,
+    on,
+    ts_col: str,
+    value_col: str,
+    step: float,
+    max_buckets: int = 100_000,
+) -> DataFrame:
+    """Regularize an irregular series: one row per entity per ``step``-
+    second epoch bucket between that entity's first and last observation,
+    carrying the bucket's LAST observation forward-filled across gaps
+    (pandas ``asfreq`` + ``ffill``, the feature-store resample). Output
+    (entity, bucket, value, observed: bool).
+
+    Scale shape: per-entity (min, max, per-bucket-last) aggregates, ONE
+    sequence-explode sized range/step per entity (guarded by
+    ``max_buckets`` — a year at 1-minute steps is 525k rows per entity;
+    fail fast instead of exploding a mis-parameterized grid), and the
+    leakage-safe ffill window over GRID rows (bounded by the grid, not
+    the raw event count)."""
+    keys = _keys(on)
+    t = _epoch(ts_col)
+    b = F.floor(t / F.lit(float(step))).cast("long")
+    v = F.col(value_col)
+    obs = (
+        df.select(*keys, b.alias("bucket"), t.alias("__t"), v.alias("__v"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max(F.struct(F.col("__t"), F.col("__v")))["__v"]
+             .alias("__last")))
+    span = obs.groupBy(*keys).agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi"))
+    n_buckets = F.col("__hi") - F.col("__lo") + 1
+    grid = span.select(
+        *keys,
+        F.explode(F.when(
+            n_buckets <= max_buckets,
+            F.sequence(F.col("__lo"), F.col("__hi"))).otherwise(
+            F.raise_error(F.concat(
+                F.lit("resample grid too large ("),
+                n_buckets.cast("string"),
+                F.lit(f" > {max_buckets} buckets); raise step or "
+                      "max_buckets"))))).alias("bucket"))
+    joined = grid.join(obs, keys + ["bucket"], "left").select(
+        *keys, "bucket", F.col("__last").alias("value"),
+        F.col("__last").isNotNull().alias("observed"))
+    return ffill(joined, keys, ["bucket"], ["value"])

@@ -263,3 +263,41 @@ def test_hot_keys_ranking_and_share(spark):
     plan = hot_keys(df, "k", top_k=3)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ohlc_bars_deterministic_ties(spark):
+    from pyradiomics_spark.operators.windows import ohlc_bars
+
+    rows = [
+        ("e", 0.0, 5.0), ("e", 1.0, 9.0), ("e", 2.0, 1.0), ("e", 3.0, 7.0),
+        # equal-timestamp tie in the next bucket: open=min val, close=max
+        ("e", 10.0, 4.0), ("e", 10.0, 6.0),
+    ]
+    df = spark.createDataFrame(rows, ["ent", "ts", "v"])
+    got = {r.bucket: (r.open, r.high, r.low, r.close, r.n)
+           for r in ohlc_bars(df, "ent", "ts", "v", width=10.0).collect()}
+    assert got[0] == (5.0, 9.0, 1.0, 7.0, 4)
+    assert got[1] == (4.0, 6.0, 4.0, 6.0, 2)
+
+
+def test_resample_grid_fills_gaps(spark):
+    import pytest as _pt
+
+    from pyradiomics_spark.operators.windows import resample_grid
+
+    rows = [("e", 5.0, 1.0), ("e", 12.0, 2.0), ("e", 41.0, 3.0),
+            ("f", 100.0, 9.0)]
+    df = spark.createDataFrame(rows, ["ent", "ts", "v"])
+    out = resample_grid(df, "ent", "ts", "v", step=10.0)
+    e = {r.bucket: (r.value, r.observed)
+         for r in out.where("ent = 'e'").collect()}
+    # buckets 0..4; gaps 2,3 carry bucket 1's value forward
+    assert e == {0: (1.0, True), 1: (2.0, True), 2: (2.0, False),
+                 3: (2.0, False), 4: (3.0, True)}
+    f = {r.bucket: (r.value, r.observed)
+         for r in out.where("ent = 'f'").collect()}
+    assert f == {10: (9.0, True)}
+
+    with _pt.raises(Exception, match="too large"):
+        resample_grid(df, "ent", "ts", "v", step=10.0,
+                      max_buckets=3).collect()
