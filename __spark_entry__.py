@@ -1317,6 +1317,40 @@ def q_resample_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "bucket")
 
 
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out smoothed target encoding of lang against doc
+    length (functions/encoders.py target_encode): one category
+    aggregate + broadcast prior + equi-join back; the row's own target
+    subtracts as an expression (no second pass). Micci-Barreca 2001."""
+    from pyradiomics_spark.functions.encoders import target_encode
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    out = target_encode(docs, "lang", "n_chars", smoothing=10.0,
+                        leave_one_out=True)
+    return out.select(
+        "doc_id", "lang", _rnd("lang_enc", 6).alias("lang_enc"),
+    ).orderBy("doc_id")
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the two halves of the corpus
+    over doc length (functions/encoders.py psi_drift): baseline-decile
+    bins (6-dp-rounded edges, engine-reproducible), census groupBy per
+    side, |bins|-row join, pseudo-count floor for empty bins."""
+    from pyradiomics_spark.functions.encoders import psi_drift
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    a = docs.where(F.col("doc_id") < 250)
+    b = docs.where(F.col("doc_id") >= 250)
+    out = psi_drift(a, b, "n_chars")
+    return out.select(
+        F.col("bin").cast("long").alias("bin"),
+        _rnd("p_a", 6).alias("p_a"), _rnd("p_b", 6).alias("p_b"),
+        _rnd("term", 6).alias("term"),
+    ).orderBy("bin")
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS multi-granularity aggregate (the general form of
     the rollup/cube family, SURVEY §2.4 note): per-event-type, per
@@ -3128,6 +3162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "ohlc_bars": q_ohlc_bars,
         "resample_grid": q_resample_grid,
+        "target_encode": q_target_encode,
+        "psi_drift": q_psi_drift,
         "group_standardize": q_group_standardize,
         "feature_corr": q_feature_corr,
         # --- last driver-verified in r1/r2 on older code ---
@@ -4527,6 +4563,90 @@ def oracle_sql() -> dict[str, str]:
                    floor(delta * 1e6 + 0.50000095367431640625) / 1e6
                      AS delta
             FROM unioned ORDER BY term
+        """,
+        "target_encode": """
+            WITH g AS (
+              SELECT sum(n_chars::DOUBLE) / count(n_chars) AS gm
+              FROM documents
+            ), s AS (
+              SELECT lang, sum(n_chars::DOUBLE) AS sy, count(n_chars) AS n
+              FROM documents GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang,
+                   floor((CASE WHEN (s.n - 1) + 10.0 > 0
+                          THEN ((s.sy - d.n_chars) + 10.0 * g.gm)
+                               / ((s.n - 1) + 10.0)
+                          ELSE g.gm END)
+                         * 1e6 + 0.50000095367431640625) / 1e6
+                     AS lang_enc
+            FROM documents d JOIN s ON d.lang = s.lang CROSS JOIN g
+            ORDER BY d.doc_id
+        """,
+        "psi_drift": """
+            WITH a0 AS (
+              SELECT n_chars::DOUBLE AS x FROM documents
+              WHERE doc_id < 250
+            ), b0 AS (
+              SELECT n_chars::DOUBLE AS x FROM documents
+              WHERE doc_id >= 250
+            ), ed AS (
+              SELECT
+                floor(quantile_cont(x, 0.1) * 1e6
+                      + 0.50000095367431640625) / 1e6 AS e0,
+                floor(quantile_cont(x, 0.2) * 1e6
+                      + 0.50000095367431640625) / 1e6 AS e1,
+                floor(quantile_cont(x, 0.3) * 1e6
+                      + 0.50000095367431640625) / 1e6 AS e2,
+                floor(quantile_cont(x, 0.4) * 1e6
+                      + 0.50000095367431640625) / 1e6 AS e3,
+                floor(quantile_cont(x, 0.5) * 1e6
+                      + 0.50000095367431640625) / 1e6 AS e4,
+                floor(quantile_cont(x, 0.6) * 1e6
+                      + 0.50000095367431640625) / 1e6 AS e5,
+                floor(quantile_cont(x, 0.7) * 1e6
+                      + 0.50000095367431640625) / 1e6 AS e6,
+                floor(quantile_cont(x, 0.8) * 1e6
+                      + 0.50000095367431640625) / 1e6 AS e7,
+                floor(quantile_cont(x, 0.9) * 1e6
+                      + 0.50000095367431640625) / 1e6 AS e8
+              FROM a0
+            ), ba AS (
+              SELECT ((x > e0)::INT + (x > e1)::INT + (x > e2)::INT
+                    + (x > e3)::INT + (x > e4)::INT + (x > e5)::INT
+                    + (x > e6)::INT + (x > e7)::INT + (x > e8)::INT)
+                       AS bin, count(*) AS c
+              FROM a0 CROSS JOIN ed GROUP BY bin
+            ), bb AS (
+              SELECT ((x > e0)::INT + (x > e1)::INT + (x > e2)::INT
+                    + (x > e3)::INT + (x > e4)::INT + (x > e5)::INT
+                    + (x > e6)::INT + (x > e7)::INT + (x > e8)::INT)
+                       AS bin, count(*) AS c
+              FROM b0 CROSS JOIN ed GROUP BY bin
+            ), j AS (
+              SELECT coalesce(ba.bin, bb.bin) AS bin,
+                     greatest(coalesce(ba.c, 0), 1) AS ca,
+                     greatest(coalesce(bb.c, 0), 1) AS cb
+              FROM ba FULL OUTER JOIN bb ON ba.bin = bb.bin
+            ), t AS (
+              SELECT sum(ca) AS ta, sum(cb) AS tb FROM j
+            ), sc AS (
+              SELECT bin, ca / t.ta AS p_a, cb / t.tb AS p_b,
+                     (cb / t.tb - ca / t.ta)
+                       * ln((cb / t.tb) / (ca / t.ta)) AS term
+              FROM j CROSS JOIN t
+            ), u AS (
+              SELECT * FROM sc
+              UNION ALL
+              SELECT -1, NULL::DOUBLE, NULL::DOUBLE, sum(term) FROM sc
+            )
+            SELECT bin,
+                   floor(p_a * 1e6 + 0.50000095367431640625) / 1e6
+                     AS p_a,
+                   floor(p_b * 1e6 + 0.50000095367431640625) / 1e6
+                     AS p_b,
+                   floor(term * 1e6 + 0.50000095367431640625) / 1e6
+                     AS term
+            FROM u ORDER BY bin
         """,
         "ohlc_bars": """
             WITH e AS (

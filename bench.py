@@ -134,7 +134,7 @@ def main() -> None:
         "hll_by_lang", "grouping_sets", "stream_interval_join",
         "funnel", "cohort_retention", "trustrank", "ngram_containment",
         "url_prefix_match", "tpch_q14", "tpch_q18",
-        "ohlc_bars", "resample_grid",
+        "ohlc_bars", "resample_grid", "target_encode", "psi_drift",
     ]
     for name in headline:
         if name not in qs:

@@ -1,0 +1,126 @@
+"""Tabular feature encoders and drift monitors — target encoding and
+population-stability-index (PSI), the feature-engineering steps between
+raw curation signals and a trained quality model.
+
+Reference scope note: pyradiomics emits features, it never encodes
+categoricals or monitors drift; this is LLM-pipeline surface like
+functions/textstats.py (the quality-classifier training loop in
+operators/training.py consumes these).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    y_col: str,
+    smoothing: float = 10.0,
+    out_col: str | None = None,
+    leave_one_out: bool = False,
+) -> DataFrame:
+    """Mean target encoding for a categorical column with additive
+    smoothing toward the global mean (Micci-Barreca 2001):
+
+        enc(c) = (sum_y(c) + m·global_mean) / (n(c) + m)
+
+    — rare categories shrink to the prior instead of memorizing noise.
+    ``leave_one_out=True`` excludes the row's OWN target from its
+    category statistics ((sum_y − y)/(n − 1) before smoothing) — the
+    leakage-safe form for encoding the training split itself;
+    singleton categories fall back to the smoothed prior.
+
+    Scale shape: one map-side-combined category aggregate (|categories|
+    rows), a broadcast 1-row global mean, and an equi-join back — a hot
+    category skews only the AQE-splittable probe side. LOO needs no
+    second pass: the row's own contribution subtracts as an expression.
+    """
+    if smoothing < 0:
+        raise ValueError("smoothing must be >= 0")
+    out_col = out_col or f"{cat_col}_enc"
+    y = F.col(y_col).cast("double")
+    stats = df.groupBy(cat_col).agg(
+        F.sum(y).alias("__sy"), F.count(y).alias("__n"))
+    gmean = F.broadcast(df.agg(
+        (F.sum(y) / F.count(y)).alias("__gm")))
+    j = df.join(stats, cat_col, "left").crossJoin(gmean)
+    m = F.lit(float(smoothing))
+    if leave_one_out:
+        sy = F.col("__sy") - y
+        n = F.col("__n") - 1
+    else:
+        sy = F.col("__sy")
+        n = F.col("__n")
+    enc = F.when(n + m > 0,
+                 (sy + m * F.col("__gm")) / (n + m)).otherwise(
+        F.col("__gm"))
+    return j.withColumn(out_col, enc).drop("__sy", "__n", "__gm")
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    probs: tuple = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Population Stability Index between a baseline corpus ``df_a`` and
+    a new snapshot ``df_b`` over one numeric column — the standard
+    is-my-feature-distribution-drifting monitor (PSI < 0.1 stable,
+    > 0.25 act):
+
+        PSI = Σ_bins (q_i − p_i) · ln(q_i / p_i)
+
+    Bin edges are the BASELINE quantiles at ``probs`` (so the baseline
+    lands ~uniform); empty bins are floored at one pseudo-count to keep
+    the log finite (the standard continuity fix, applied identically to
+    both sides). Output: one row per bin (bin, p_a, p_b, term) plus a
+    ``('__psi__', NULL, NULL, total)`` row.
+
+    Scale shape: ONE exact-percentile aggregate on the baseline
+    broadcast back as literals-in-plan (crossJoin of a 1-row frame),
+    scan-fused bin assignment on both corpora, one census groupBy per
+    side, and a |bins|-row join — never a corpus-row shuffle.
+    ``round_dp`` floor-rounds the edges (the repo's ``_rnd`` convention)
+    so bin assignment is reproducible across engines."""
+    edges_row = df_a.agg(*[
+        F.percentile(F.col(col), F.lit(float(p))).alias(f"__e{i}")
+        for i, p in enumerate(probs)])
+    if round_dp is not None:
+        shift = 0.5 + 2.0 ** -20
+        scale = float(10 ** round_dp)
+        edges_row = edges_row.select(*[
+            (F.floor(F.col(f"__e{i}") * scale + shift) / scale)
+            .alias(f"__e{i}") for i in range(len(probs))])
+    edges_b = F.broadcast(edges_row)
+
+    def binned(df):
+        b = F.lit(0)
+        for i in range(len(probs)):
+            b = b + F.when(F.col(col) > F.col(f"__e{i}"), 1).otherwise(0)
+        return (df.crossJoin(edges_b)
+                .select(b.alias("bin"))
+                .groupBy("bin").agg(F.count("*").alias("c")))
+    ca = binned(df_a).withColumnRenamed("c", "ca")
+    cb = binned(df_b).withColumnRenamed("c", "cb")
+    j = (ca.join(cb, "bin", "full_outer").fillna(0, ["ca", "cb"])
+         .select("bin",
+                 F.greatest(F.col("ca"), F.lit(1)).alias("ca"),
+                 F.greatest(F.col("cb"), F.lit(1)).alias("cb")))
+    tot = F.broadcast(j.agg(F.sum("ca").alias("ta"),
+                            F.sum("cb").alias("tb")))
+    scored = j.crossJoin(tot).select(
+        "bin",
+        (F.col("ca") / F.col("ta")).alias("p_a"),
+        (F.col("cb") / F.col("tb")).alias("p_b"),
+        ((F.col("cb") / F.col("tb") - F.col("ca") / F.col("ta"))
+         * F.log((F.col("cb") / F.col("tb"))
+                 / (F.col("ca") / F.col("ta")))).alias("term"))
+    total = scored.agg(F.sum("term").alias("term")).select(
+        F.lit(-1).alias("bin"),
+        F.lit(None).cast("double").alias("p_a"),
+        F.lit(None).cast("double").alias("p_b"), "term")
+    return scored.unionByName(total)
