@@ -1351,6 +1351,23 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bin")
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering key over (value, event-time)
+    (operators/layout.py zorder_key — the OPTIMIZE ZORDER primitive):
+    quantile buckets from one broadcast percentile aggregate
+    (6-dp-rounded edges), scan-fused bit interleave. DuckDB twin
+    replays the cuts and the integer interleave."""
+    from pyradiomics_spark.operators.layout import zorder_key
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "value",
+        F.col("ts").cast("timestamp").cast("double").alias("tsec"))
+    out = zorder_key(ev, ["value", "tsec"], bits=3)
+    return out.select(
+        "event_id", F.col("zorder").cast("long").alias("zorder"),
+    ).orderBy("event_id")
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS multi-granularity aggregate (the general form of
     the rollup/cube family, SURVEY §2.4 note): per-event-type, per
@@ -3164,6 +3181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_grid": q_resample_grid,
         "target_encode": q_target_encode,
         "psi_drift": q_psi_drift,
+        "zorder_key": q_zorder_key,
         "group_standardize": q_group_standardize,
         "feature_corr": q_feature_corr,
         # --- last driver-verified in r1/r2 on older code ---
@@ -4563,6 +4581,60 @@ def oracle_sql() -> dict[str, str]:
                    floor(delta * 1e6 + 0.50000095367431640625) / 1e6
                      AS delta
             FROM unioned ORDER BY term
+        """,
+        "zorder_key": """
+            WITH e AS (
+              SELECT event_id, value::DOUBLE AS v, epoch(ts) AS t
+              FROM events
+            ), ed AS (
+              SELECT
+                floor(quantile_cont(v, 0.125) * 1e6
+                      + 0.50000095367431640625) / 1e6 AS v1,
+                floor(quantile_cont(v, 0.250) * 1e6
+                      + 0.50000095367431640625) / 1e6 AS v2,
+                floor(quantile_cont(v, 0.375) * 1e6
+                      + 0.50000095367431640625) / 1e6 AS v3,
+                floor(quantile_cont(v, 0.500) * 1e6
+                      + 0.50000095367431640625) / 1e6 AS v4,
+                floor(quantile_cont(v, 0.625) * 1e6
+                      + 0.50000095367431640625) / 1e6 AS v5,
+                floor(quantile_cont(v, 0.750) * 1e6
+                      + 0.50000095367431640625) / 1e6 AS v6,
+                floor(quantile_cont(v, 0.875) * 1e6
+                      + 0.50000095367431640625) / 1e6 AS v7,
+                floor(quantile_cont(t, 0.125) * 1e6
+                      + 0.50000095367431640625) / 1e6 AS t1,
+                floor(quantile_cont(t, 0.250) * 1e6
+                      + 0.50000095367431640625) / 1e6 AS t2,
+                floor(quantile_cont(t, 0.375) * 1e6
+                      + 0.50000095367431640625) / 1e6 AS t3,
+                floor(quantile_cont(t, 0.500) * 1e6
+                      + 0.50000095367431640625) / 1e6 AS t4,
+                floor(quantile_cont(t, 0.625) * 1e6
+                      + 0.50000095367431640625) / 1e6 AS t5,
+                floor(quantile_cont(t, 0.750) * 1e6
+                      + 0.50000095367431640625) / 1e6 AS t6,
+                floor(quantile_cont(t, 0.875) * 1e6
+                      + 0.50000095367431640625) / 1e6 AS t7
+              FROM e
+            ), bk AS (
+              SELECT event_id,
+                     ((v > v1)::BIGINT + (v > v2)::BIGINT
+                    + (v > v3)::BIGINT + (v > v4)::BIGINT
+                    + (v > v5)::BIGINT + (v > v6)::BIGINT
+                    + (v > v7)::BIGINT) AS bv,
+                     ((t > t1)::BIGINT + (t > t2)::BIGINT
+                    + (t > t3)::BIGINT + (t > t4)::BIGINT
+                    + (t > t5)::BIGINT + (t > t6)::BIGINT
+                    + (t > t7)::BIGINT) AS bt
+              FROM e CROSS JOIN ed
+            )
+            SELECT event_id,
+                   (((bv >> 0) & 1) << 0) + (((bt >> 0) & 1) << 1)
+                 + (((bv >> 1) & 1) << 2) + (((bt >> 1) & 1) << 3)
+                 + (((bv >> 2) & 1) << 4) + (((bt >> 2) & 1) << 5)
+                     AS zorder
+            FROM bk ORDER BY event_id
         """,
         "target_encode": """
             WITH g AS (
