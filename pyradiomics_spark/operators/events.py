@@ -43,11 +43,16 @@ def funnel(
     equi-join of the |users|-row aggregate (never corpus rows)."""
     if len(stages) < 1:
         raise ValueError("need at least one stage")
-    users = df.select(F.col(user_col).alias("__u")).distinct()
     ev = df.select(
         F.col(user_col).alias("__u"),
         _epoch(F.col(ts_col)).alias("__t"),
         F.col(type_col).alias("__e"))
+    # ONE corpus shuffle up front: every later aggregate and join keys
+    # on __u, so an explicit repartition lets Catalyst satisfy all their
+    # distribution requirements from this single exchange instead of
+    # re-shuffling the event table once per stage
+    ev = ev.repartition(F.col("__u"))
+    users = ev.select("__u").distinct()
     acc = users
     prev: str | None = None
     for i, stage in enumerate(stages, start=1):

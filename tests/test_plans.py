@@ -186,3 +186,20 @@ def test_interval_join_is_equi_not_nested_loop(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
         or "BroadcastHashJoin" in plan
+
+
+def test_funnel_reuses_one_corpus_exchange(spark):
+    """funnel pre-partitions events once on the user key; every later
+    stage aggregate/join satisfies its distribution from that single
+    exchange (ReusedExchange), instead of re-shuffling the corpus per
+    stage."""
+    from pyradiomics_spark.operators.events import funnel
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(funnel(ev, "user_id", "ts", "event_type",
+                            ("view", "click", "purchase")))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("ReusedExchange") >= 4
