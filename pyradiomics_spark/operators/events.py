@@ -102,6 +102,9 @@ def cohort_retention(
     ev = df.select(
         F.col(user_col).alias("__u"),
         F.floor(_epoch(F.col(ts_col)) / F.lit(width)).alias("__b"))
+    # one corpus shuffle on the user key serves both the cohort
+    # aggregate and the join back (ReusedExchange, as in funnel)
+    ev = ev.repartition(F.col("__u"))
     first = ev.groupBy("__u").agg(F.min("__b").alias("__cohort"))
     acts = (ev.join(first, "__u")
             .select("__u", "__cohort",
