@@ -1351,6 +1351,17 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bin")
 
 
+def q_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged temporal split with a 1-day embargo around the cut
+    (operators/sampling.py time_split — López de Prado's leakage-aware
+    cut): pure scan-fused projection, no shuffle."""
+    from pyradiomics_spark.operators.sampling import time_split
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts")
+    out = time_split(ev, "ts", "2024-01-15 00:00:00", embargo=86400.0)
+    return out.select("event_id", "split").orderBy("event_id")
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton/Z-order clustering key over (value, event-time)
     (operators/layout.py zorder_key — the OPTIMIZE ZORDER primitive):
@@ -3182,6 +3193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "psi_drift": q_psi_drift,
         "zorder_key": q_zorder_key,
+        "time_split": q_time_split,
         "group_standardize": q_group_standardize,
         "feature_corr": q_feature_corr,
         # --- last driver-verified in r1/r2 on older code ---
@@ -4581,6 +4593,18 @@ def oracle_sql() -> dict[str, str]:
                    floor(delta * 1e6 + 0.50000095367431640625) / 1e6
                      AS delta
             FROM unioned ORDER BY term
+        """,
+        "time_split": """
+            SELECT event_id,
+                   CASE WHEN epoch(ts)
+                          < epoch(TIMESTAMP '2024-01-15 00:00:00')
+                        THEN 'train'
+                        WHEN epoch(ts)
+                          >= epoch(TIMESTAMP '2024-01-15 00:00:00')
+                             + 86400.0
+                        THEN 'test'
+                        ELSE 'embargo' END AS split
+            FROM events ORDER BY event_id
         """,
         "zorder_key": """
             WITH e AS (

@@ -68,6 +68,37 @@ def split_dataset(
     return df.withColumn(split_col, expr)
 
 
+def time_split(
+    df: DataFrame,
+    ts_col: str,
+    cut,
+    embargo: float = 0.0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Temporal train/test split with an embargo gap — the
+    leakage-aware cut for autocorrelated data (the north rule's
+    zero-temporal-leakage discipline applied to SPLITTING, not just
+    features): rows strictly before ``cut`` are 'train', rows at or
+    after ``cut + embargo`` seconds are 'test', and rows inside the
+    embargo window are 'embargo' (DROPPED from both sides by the
+    caller) so label horizons that extend past the cut can't leak
+    future information into training (the purged split of
+    López de Prado 2018 ch. 7, simplified to one cut).
+
+    ``cut`` is a timestamp/NTZ literal or epoch-seconds number. Pure
+    scan-fused projection — no shuffle, stable under corpus growth for
+    all rows outside the embargo."""
+    if embargo < 0:
+        raise ValueError("embargo must be >= 0")
+    t = F.col(ts_col).cast("timestamp").cast("double")
+    c = F.lit(cut).cast("timestamp").cast("double")
+    return df.withColumn(
+        split_col,
+        F.when(t < c, "train")
+        .when(t >= c + F.lit(float(embargo)), "test")
+        .otherwise("embargo"))
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

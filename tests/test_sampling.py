@@ -500,3 +500,23 @@ def test_chunk_documents_short_doc_single_chunk_and_validation(spark):
         chunk_documents(df, "doc_id", "text", 4, overlap=4)
     with pytest.raises(ValueError, match="chunk_tokens"):
         chunk_documents(df, "doc_id", "text", 0)
+
+
+def test_time_split_embargo(spark):
+    import pytest as _pt
+
+    from pyradiomics_spark.operators.sampling import time_split
+
+    rows = [(0, 10.0), (1, 99.9), (2, 100.0), (3, 150.0), (4, 200.0),
+            (5, 250.0)]
+    df = spark.createDataFrame(rows, ["id", "ts"])
+    got = {r.id: r.split
+           for r in time_split(df, "ts", 100.0, embargo=100.0).collect()}
+    assert got == {0: "train", 1: "train", 2: "embargo", 3: "embargo",
+                   4: "test", 5: "test"}
+    # zero embargo: a clean two-way cut
+    z = {r.id: r.split for r in time_split(df, "ts", 100.0).collect()}
+    assert z[1] == "train" and z[2] == "test"
+    assert "embargo" not in z.values()
+    with _pt.raises(ValueError, match="embargo"):
+        time_split(df, "ts", 100.0, embargo=-1.0)
