@@ -1351,6 +1351,21 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bin")
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: the events `props` JSON string
+    parsed with the TYPED from_json path (schema declared, scan-fused,
+    whole-stage codegen — the engine-native form, not a regex hack) and
+    aggregated per extracted value decile. DuckDB twin uses its JSON
+    extension."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k long")["k"]
+    return (ev.select((k % 10).alias("k_mod"), k.alias("__k"))
+            .groupBy("k_mod")
+            .agg(F.count("*").alias("n"),
+                 F.sum("__k").cast("long").alias("sum_k"))
+            .orderBy("k_mod"))
+
+
 def q_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purged temporal split with a 1-day embargo around the cut
     (operators/sampling.py time_split — López de Prado's leakage-aware
@@ -3194,6 +3209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "zorder_key": q_zorder_key,
         "time_split": q_time_split,
+        "json_props": q_json_props,
         "group_standardize": q_group_standardize,
         "feature_corr": q_feature_corr,
         # --- last driver-verified in r1/r2 on older code ---
@@ -4593,6 +4609,13 @@ def oracle_sql() -> dict[str, str]:
                    floor(delta * 1e6 + 0.50000095367431640625) / 1e6
                      AS delta
             FROM unioned ORDER BY term
+        """,
+        "json_props": """
+            SELECT json_extract(props, '$.k')::BIGINT % 10 AS k_mod,
+                   count(*) AS n,
+                   sum(json_extract(props, '$.k')::BIGINT)::BIGINT
+                     AS sum_k
+            FROM events GROUP BY k_mod ORDER BY k_mod
         """,
         "time_split": """
             SELECT event_id,

@@ -135,7 +135,7 @@ def main() -> None:
         "funnel", "cohort_retention", "trustrank", "ngram_containment",
         "url_prefix_match", "tpch_q14", "tpch_q18",
         "ohlc_bars", "resample_grid", "target_encode", "psi_drift",
-        "zorder_key", "time_split",
+        "zorder_key", "time_split", "json_props",
     ]
     for name in headline:
         if name not in qs:
