@@ -91,7 +91,13 @@ def pagerank(
         tw = teleport.select(
             F.col(teleport.columns[0]).alias("node"),
             F.col(teleport.columns[1]).cast("double").alias("__w"))
-        tsum = F.broadcast(tw.agg(F.sum("__w").alias("__ws")))
+        # a zero/negative/null total would silently null every rank —
+        # fail loudly at run time instead (plan-time can't see the data)
+        tsum = F.broadcast(tw.agg(
+            F.when(F.sum("__w") > 0, F.sum("__w")).otherwise(
+                F.raise_error(F.lit(
+                    "teleport weights must sum to a positive value")))
+            .alias("__ws")))
         base = (base.join(tw, "node", "left")
                 .crossJoin(tsum)
                 .select("node", "__outd",

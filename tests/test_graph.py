@@ -147,3 +147,9 @@ def test_uniform_path_unchanged_by_teleport_param(spark, edges_df):
     b = _np_pagerank(EDGES, n_iter=3)
     for k in b:
         assert a[k] == pytest.approx(b[k], rel=1e-12)
+
+
+def test_personalized_pagerank_rejects_zero_mass(spark, edges_df):
+    tele = spark.createDataFrame([("a", 0.0), ("d", 0.0)], ["node", "w"])
+    with pytest.raises(Exception, match="positive"):
+        pagerank(edges_df, n_iter=1, teleport=tele).collect()
