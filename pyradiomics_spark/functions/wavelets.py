@@ -17,8 +17,9 @@ with wrap padding + pad-to-even; :756-836 LoG):
 
 Filter banks (orthogonal): haar plus db1..db20 / sym2..sym12 (spectral
 factorization) and coif1..coif5 (coif1 published closed form; coif2..5
-Gauss-Newton solved from the defining moment conditions). coif1 is the
-reference's default wavelet (paramSchema default 'coif1').
+frozen full-precision banks derived once by Gauss-Newton from the defining
+moment conditions — see `_COIF_BANKS`). coif1 is the reference's default
+wavelet (paramSchema default 'coif1').
 High-pass via the QMF relation hi[k] = (−1)^k · lo[L−1−k].
 
 Biorthogonal: the full pywt bior/rbio family (bior1.1..6.8 and the
@@ -210,6 +211,66 @@ _COIF_SEEDS = {
 }
 
 
+# Frozen solved coifN banks (dec_lo order) — full-precision output of
+# `_solve_coiflet` (Gauss-Newton on the defining conditions, residual
+# < 3e-16 scaled at freeze time). The runtime bank is THIS table, not a
+# fresh solve: lstsq's last ~1e-9 is BLAS-build-dependent and feature
+# goldens must not drift across environments. `test_wavelets.py`
+# re-verifies both the conditions and (loosely) the solver agreement.
+_COIF_BANKS = {
+    2: [
+        -0.0007205494455203473, -0.0018232088709110343,
+        0.005611434819368893, 0.02368017194684794,
+        -0.059434418646431585, -0.07648859907828096,
+        0.41700518442324025, 0.8127236354494134,
+        0.3861100668227618, -0.06737255472372525,
+        -0.0414649367868714, 0.016387336463203516,
+    ],
+    3: [
+        -3.459977319732866e-05, -7.09833025065137e-05,
+        0.00046621695982089755, 0.0011175187708324505,
+        -0.00257451768814009, -0.009007976136750327,
+        0.015880544863709194, 0.03455502757335173,
+        -0.08230192710644886, -0.07179982161919887,
+        0.42848347637762413, 0.7937772226260577,
+        0.4051769024088933, -0.06112339000289855,
+        -0.06577191128136801, 0.023452696142030677,
+        0.007782596425654264, -0.003793512864370696,
+    ],
+    4: [
+        -1.7849909149573466e-06, -3.2596479408990915e-06,
+        3.1229861605013466e-05, 6.233885432570577e-05,
+        -0.0002599743371561305, -0.0005890202247347388,
+        0.00126656107907471, 0.003751434697875853,
+        -0.005658283801336602, -0.015211728190183717,
+        0.025082253343429943, 0.03933442260957347,
+        -0.09622042454921814, -0.06662747236899585,
+        0.43438603313330965, 0.7822389344218723,
+        0.4153084269839692, -0.05607731959851636,
+        -0.08126671024019429, 0.02668230466583677,
+        0.016068947128848474, -0.0073461679349005075,
+        -0.0016294924248692107, 0.0008923139023355122,
+    ],
+    5: [
+        -9.604010081077881e-08, -1.6237995112924943e-07,
+        2.061220393524963e-06, 3.7007277009927253e-06,
+        -2.1270221633894066e-05, -4.1219861835787855e-05,
+        0.00014035632793981054, 0.00030185794117504284,
+        -0.0006375589255407497, -0.001661627301874966,
+        0.002431575440721321, 0.006761520215521594,
+        -0.009159507334320935, -0.01975839159498375,
+        0.03267479946287934, 0.04128753047240166,
+        -0.1055631513144548, -0.06203775158424632,
+        0.4379823066870478, 0.7742936228699473,
+        0.42157126669029793, -0.05204667025456385,
+        -0.09192158802684279, 0.02816974426512697,
+        0.023408322102656146, -0.010131584842185043,
+        -0.004159312623130539, 0.0021782943761436435,
+        0.0003585777406360541, -0.00021208186182896337,
+    ],
+}
+
+
 def _coif_residuals(x: np.ndarray, N: int):
     """Residual vector + analytic Jacobian of the coiflet conditions for
     x = (h[0..6N-1], c): Σh=√2; orthonormal shifts; Σ(−1)^k k^p h = 0 for
@@ -246,12 +307,14 @@ def _coif_residuals(x: np.ndarray, N: int):
     return np.array(rows_r), np.vstack(rows_J)
 
 
-def coiflet_dec_lo(N: int) -> np.ndarray:
-    """Coiflet-N decomposition low-pass (6N taps), solved to machine
-    precision by Gauss-Newton least squares on the defining conditions,
-    seeded from the published bank (seed keeps the solve on the standard
-    branch; the conditions make the result exact regardless of seed
-    precision). coif1 uses the closed-form hardcoded bank above."""
+def _solve_coiflet(N: int) -> np.ndarray:
+    """Gauss-Newton solve of the coiflet conditions, seeded from the
+    published bank (seed keeps the solve on the standard branch). Used to
+    DERIVE the frozen `_COIF_BANKS` table and to re-verify it in tests —
+    the runtime path returns the frozen bank instead, because the lstsq
+    fixed point moves ~1e-9 across BLAS builds (the system's Jacobian is
+    mildly ill-conditioned at N=4,5), which is enough to shift feature
+    goldens across environments."""
     if N not in _COIF_SEEDS:
         raise ValueError(f"coif{N} unsupported (coif1..coif5)")
     L = 6 * N
@@ -276,6 +339,19 @@ def coiflet_dec_lo(N: int) -> np.ndarray:
             f"coif{N} solve did not converge "
             f"(max scaled residual {np.max(np.abs(r / s)):.2e})")
     return x[:L]
+
+
+def coiflet_dec_lo(N: int) -> np.ndarray:
+    """Coiflet-N decomposition low-pass (6N taps) from the FROZEN
+    `_COIF_BANKS` table (full-precision output of `_solve_coiflet`,
+    verified against the defining conditions at freeze time and again in
+    tests). Frozen rather than solved at runtime for the same reason as
+    `_BIOR_SPOT`: the solve's last ~1e-9 depends on the host BLAS, and
+    feature goldens must be environment-stable. coif1 uses the
+    closed-form hardcoded bank above."""
+    if N not in _COIF_BANKS:
+        raise ValueError(f"coif{N} unsupported (coif1..coif5)")
+    return np.array(_COIF_BANKS[N], dtype=float)
 
 
 def get_dec_lo(wavelet: str) -> np.ndarray:

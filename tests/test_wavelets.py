@@ -350,3 +350,18 @@ def test_bior_unknown_member_rejected():
         get_bank("bior2.3")
     with pytest.raises(ValueError):
         get_bank("bior7.7")
+
+
+@pytest.mark.parametrize("N", [2, 3, 4, 5])
+def test_coiflet_frozen_bank_matches_fresh_solve(N):
+    """The frozen `_COIF_BANKS` table must stay within the solver's
+    cross-BLAS reproducibility band of a fresh Gauss-Newton solve (the
+    fixed point moves ~1e-9 across BLAS builds — that drift is exactly why
+    the bank is frozen; a larger gap means the table was edited or the
+    solver broke)."""
+    from pyradiomics_spark.functions.wavelets import (
+        _solve_coiflet, coiflet_dec_lo)
+
+    frozen = coiflet_dec_lo(N)
+    solved = _solve_coiflet(N)
+    assert np.max(np.abs(frozen - solved)) < 5e-8
