@@ -3123,6 +3123,80 @@ def q_wavelet_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contract
 # --------------------------------------------------------------------------
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle participation counts (operators/graph.py
+    triangle_count) over the synthetic md5 host graph — the near-clique
+    link-spam signal (Becchetti et al. KDD'08). Degree-ordered
+    orientation bounds the wedge self-join at O(m^1.5) total (each
+    oriented out-neighborhood is O(√m)), so a crawl-scale hot host never
+    becomes a quadratic apex. DuckDB twin replays the identical
+    canonicalize→orient→wedge→close joins."""
+    from pyradiomics_spark.operators.graph import triangle_count
+
+    out = triangle_count(_synth_host_edges(spark, sf_dir))
+    return out.orderBy("node")
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history compression (operators/windows.py scd2_compress):
+    each user's event-type stream collapsed to maximal unchanged runs
+    with half-open [valid_from, valid_to) validity intervals — the
+    ingest side of the point-in-time store the as-of join serves from.
+    Everything runs on ONE window partitioning (user ordered by ts,
+    event_id): lag boundary detection, lead interval ends, row_number
+    deltas for run lengths — a single exchange+sort, no groupBy."""
+    from pyradiomics_spark.operators.windows import scd2_compress
+
+    ev = _read(spark, sf_dir, "events")
+    out = scd2_compress(ev, "user_id", "ts", "event_type",
+                        tie_col="event_id")
+    return out.select(
+        "user_id", "event_type", "valid_from", "valid_to",
+        F.col("n_events").cast("long").alias("n_events"), "is_current",
+    ).orderBy("user_id", "valid_from")
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 keywords by Okapi BM25 (functions/textstats.py
+    bm25_top_terms, Lucene idf form) — the length-normalized,
+    saturation-bounded successor to the tfidf gate row. One tf groupBy,
+    per-doc length as a window over the SAME partitioning the rank
+    window uses, df census joined on term (aggregate⨝aggregate), corpus
+    stats broadcast. Ranking cut is on bit-identical doubles (one fixed
+    IEEE op tree both engines)."""
+    from pyradiomics_spark.functions.textstats import bm25_top_terms
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = bm25_top_terms(docs, "doc_id", "text", top_n=3)
+    return out.select(
+        "doc_id", "term", F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.col("dl").cast("long").alias("dl"),
+        _rnd("bm25", 6).alias("bm25"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("doc_id", "rank")
+
+
+def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-10 discriminative terms by χ² presence-class
+    association (functions/textstats.py chi2_terms — Yang & Pedersen
+    ICML'97 feature selection). Presence via in-doc array_distinct (no
+    doc id ever shuffled), then pure aggregate-sized joins + a broadcast
+    |classes|-row census; the χ² operands are exact integers folded
+    through one fixed double op tree, so the per-class rank cut is
+    engine-exact."""
+    from pyradiomics_spark.functions.textstats import chi2_terms
+
+    docs = _read(spark, sf_dir, "documents").select("lang", "text")
+    out = chi2_terms(docs, "lang", "text", top_n=10, min_df=2)
+    return out.select(
+        F.col("cls").alias("lang"), "term",
+        F.col("n_with_term").cast("long").alias("n_with_term"),
+        _rnd("chi2", 6).alias("chi2"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("lang", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (VERDICT r4 item 1): the driver's CORRECTNESS gate
     # only checks the FIRST 50 entries, so the least-recently-driver-verified
@@ -3130,6 +3204,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r1/r2) seen by a CORRECTNESS artifact, plus queries new this round;
     # the 50 rows gated green in CORRECTNESS_r04 follow.
     return {
+        # --- new in the round-5 continuation session (never verified) ---
+        "triangle_count": q_triangle_count,
+        "scd2": q_scd2,
+        "bm25": q_bm25,
+        "chi2_terms": q_chi2_terms,
         # --- never driver-verified before round 5 ---
         "matrix_glcm": q_matrix_glcm,
         "matrix_glrlm": q_matrix_glrlm,
@@ -3784,6 +3863,167 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """
     return {
+        "triangle_count": """
+            WITH b AS (
+              SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                       ::BIGINT % 40 AS sb,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':o1'), 1, 8))
+                       ::BIGINT % 40 AS t1,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':o2'), 1, 8))
+                       ::BIGINT % 40 AS t2
+              FROM documents
+            ), e AS (
+              SELECT 'h' || sb::VARCHAR AS src, 'h' || t1::VARCHAR AS dst
+              FROM b WHERE sb < 35 AND sb <> t1
+              UNION ALL
+              SELECT 'h' || sb::VARCHAR, 'h' || t2::VARCHAR
+              FROM b WHERE sb < 35 AND sb <> t2
+            ), se AS (
+              SELECT DISTINCT least(src, dst) AS na, greatest(src, dst) AS nb
+              FROM e WHERE src <> dst
+            ), deg AS (
+              SELECT node, count(*) AS dg FROM (
+                SELECT na AS node FROM se UNION ALL SELECT nb FROM se
+              ) GROUP BY node
+            ), oe AS (
+              -- orient from (deg, node)-smaller to larger; na < nb already,
+              -- so the degree tie keeps na→nb
+              SELECT CASE WHEN da.dg <= db.dg THEN se.na ELSE se.nb END AS u,
+                     CASE WHEN da.dg <= db.dg THEN se.nb ELSE se.na END AS v
+              FROM se JOIN deg da ON se.na = da.node
+                      JOIN deg db ON se.nb = db.node
+            ), tri AS (
+              SELECT x.u AS c1, x.v AS c2, y.v AS c3
+              FROM oe x JOIN oe y ON x.u = y.u AND x.v <> y.v
+              JOIN oe z ON z.u = x.v AND z.v = y.v
+            ), per AS (
+              SELECT node, count(*) AS t FROM (
+                SELECT c1 AS node FROM tri
+                UNION ALL SELECT c2 FROM tri
+                UNION ALL SELECT c3 FROM tri
+              ) GROUP BY node
+            )
+            SELECT d.node, coalesce(per.t, 0)::BIGINT AS triangles
+            FROM deg d LEFT JOIN per ON d.node = per.node
+            ORDER BY d.node
+        """,
+        "scd2": """
+            WITH m AS (
+              SELECT user_id, ts, event_id, event_type,
+                     row_number() OVER w AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS tot,
+                     lag(event_type) OVER w AS prev
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT * FROM m
+              WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+            )
+            SELECT user_id, event_type, ts AS valid_from,
+                   lead(ts) OVER w2 AS valid_to,
+                   (coalesce(lead(rn) OVER w2, tot + 1) - rn)::BIGINT
+                     AS n_events,
+                   lead(ts) OVER w2 IS NULL AS is_current
+            FROM s
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+            ORDER BY user_id, valid_from
+        """,
+        "bm25": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(toks) AS term FROM d
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM tok GROUP BY doc_id, term
+            ), tfl AS (
+              SELECT doc_id, term, tf,
+                     sum(tf) OVER (PARTITION BY doc_id) AS dl
+              FROM tf
+            ), dfq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), st AS (
+              SELECT count(DISTINCT doc_id) AS n,
+                     sum(tf) / count(DISTINCT doc_id) AS avgdl
+              FROM tf
+            ), s AS (
+              SELECT t.doc_id, t.term, t.tf, q.df, t.dl,
+                     (ln(1.0 + (st.n - q.df + 0.5) / (q.df + 0.5))
+                      * (t.tf * 2.2))
+                     / (t.tf + (1.2 * (0.25 + ((0.75 * t.dl) / st.avgdl))))
+                       AS bm25
+              FROM tfl t JOIN dfq q USING (term) CROSS JOIN st
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY bm25 DESC, term) AS rank
+              FROM s
+            )
+            SELECT doc_id, term, tf, df, dl::BIGINT AS dl,
+                   floor(bm25 * 1e6 + 0.50000095367431640625) / 1e6 AS bm25,
+                   rank
+            FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        "chi2_terms": """
+            WITH d AS (
+              SELECT lang,
+                     list_filter(list_distinct(string_split(lower(text),
+                                                            ' ')),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), pres AS (
+              SELECT lang, unnest(toks) AS term FROM d
+            ), tc AS (
+              SELECT term, lang, count(*) AS a FROM pres GROUP BY term, lang
+            ), tt AS (
+              SELECT term, sum(a) AS t FROM tc GROUP BY term
+              HAVING sum(a) >= 2
+            ), cn AS (
+              SELECT lang, count(*) AS n_cls FROM documents GROUP BY lang
+            ), nn AS (
+              SELECT sum(n_cls) AS nt FROM cn
+            ), s AS (
+              SELECT tc.lang, tc.term, tc.a AS n_with_term,
+                     CASE WHEN (((tc.a + (tt.t - tc.a))
+                                 * ((cn.n_cls - tc.a)
+                                    + (nn.nt - tt.t - cn.n_cls + tc.a)))
+                                * ((tc.a + (cn.n_cls - tc.a))
+                                   * ((tt.t - tc.a)
+                                      + (nn.nt - tt.t - cn.n_cls + tc.a))))
+                               > 0
+                       THEN ((nn.nt::DOUBLE
+                              * (tc.a::DOUBLE
+                                   * (nn.nt - tt.t - cn.n_cls + tc.a)
+                                       ::DOUBLE
+                                 - (tt.t - tc.a)::DOUBLE
+                                   * (cn.n_cls - tc.a)::DOUBLE))
+                             * (tc.a::DOUBLE
+                                  * (nn.nt - tt.t - cn.n_cls + tc.a)::DOUBLE
+                                - (tt.t - tc.a)::DOUBLE
+                                  * (cn.n_cls - tc.a)::DOUBLE))
+                            / (((tc.a::DOUBLE + (tt.t - tc.a)::DOUBLE)
+                                * ((cn.n_cls - tc.a)::DOUBLE
+                                   + (nn.nt - tt.t - cn.n_cls + tc.a)
+                                       ::DOUBLE))
+                               * ((tc.a::DOUBLE + (cn.n_cls - tc.a)::DOUBLE)
+                                  * ((tt.t - tc.a)::DOUBLE
+                                     + (nn.nt - tt.t - cn.n_cls + tc.a)
+                                         ::DOUBLE)))
+                       ELSE 0.0 END AS chi2
+              FROM tc JOIN tt USING (term) JOIN cn USING (lang)
+              CROSS JOIN nn
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY lang ORDER BY chi2 DESC, term) AS rank
+              FROM s
+            )
+            SELECT lang, term, n_with_term,
+                   floor(chi2 * 1e6 + 0.50000095367431640625) / 1e6 AS chi2,
+                   rank
+            FROM r WHERE rank <= 10 ORDER BY lang, rank
+        """,
         "simhash": simhash_sql,
         "simhash_blocked": simhash_blocked_sql,
         "dedup_components": dedup_components_sql,

@@ -136,6 +136,9 @@ def main() -> None:
         "url_prefix_match", "tpch_q14", "tpch_q18",
         "ohlc_bars", "resample_grid", "target_encode", "psi_drift",
         "zorder_key", "time_split", "json_props",
+        # round 5 continuation: graph triangles, SCD2 history compression,
+        # BM25 keywords, chi-squared term selection
+        "triangle_count", "scd2", "bm25", "chi2_terms",
     ]
     for name in headline:
         if name not in qs:

@@ -950,3 +950,111 @@ def snapshot_drift(
               .limit(top_movers)
               .select("term", "p_a", "p_b", "delta"))
     return jsd.unionByName(movers)
+
+
+def bm25_top_terms(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    top_n: int = 5, k1: float = 1.2, b: float = 0.75, min_df: int = 1,
+) -> DataFrame:
+    """Per-doc top-N terms by Okapi BM25 weight — TF-IDF's
+    production-search successor (Robertson & Zaragoza 2009; the Lucene
+    `IDF = ln(1 + (N − df + 0.5)/(df + 0.5))` form, which keeps the
+    weight positive for df > N/2). Returns
+    (id, term, tf, df, dl, bm25, rank) with deterministic
+    (score desc, term) ties — the keyword extractor to use when scores
+    must be comparable across documents of very different lengths
+    (tf saturates at k1+1; dl/avgdl normalizes verbosity).
+
+    Scale shape: ONE groupBy for per-(doc, term) tf; per-doc length dl
+    as a window sum over the SAME doc partitioning the final rank window
+    uses (no extra shuffle, unlike a second groupBy + join); one
+    map-side-combined groupBy for df; corpus N and avgdl as a broadcast
+    1-row aggregate (no driver action); then a term-keyed join of two
+    aggregate relations — skew-safe: both sides are one row per distinct
+    (doc, term) / term, never per token."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    tf = tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy(id_col)))
+    dfreq = (tf.groupBy("term").agg(F.count("*").alias("df"))
+             .where(F.col("df") >= min_df))
+    stats = F.broadcast(tf.agg(
+        F.countDistinct(id_col).alias("__n"),
+        (F.sum("tf") / F.countDistinct(id_col)).alias("__avgdl")))
+    idf = F.log(1.0 + (F.col("__n") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+    scored = (tf.join(dfreq, "term").crossJoin(stats)
+              .withColumn("bm25",
+                          idf * (F.col("tf") * (k1 + 1.0)) / norm)
+              .drop("__n", "__avgdl"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("bm25"), "term")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_n)
+            .select(id_col, "term", "tf", "df", "dl", "bm25", "rank"))
+
+
+def chi2_terms(
+    df: DataFrame, class_col: str, text_col: str = "text",
+    top_n: int = 10, min_df: int = 2,
+) -> DataFrame:
+    """Per-class top-N terms by χ² association between document-level
+    term PRESENCE and class membership — the classic supervised
+    feature-selection statistic for text classification (Yang &
+    Pedersen, ICML'97; Manning IR §13.5.2). For each (term, class) the
+    2×2 contingency is a = docs of the class containing the term,
+    b = other-class docs containing it, c/d their complements, and
+
+        χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+
+    Returns (class, term, n_with_term, chi2, rank), rank 1..top_n per
+    class with deterministic (χ² desc, term) ties. LLM-pipeline use:
+    surfacing language/domain-discriminative vocabulary and leaking
+    template markers before training a quality classifier on the split.
+
+    Scale shape: presence is a distinct on (doc, term, class) — one
+    shuffle on corpus-vocabulary rows; everything after operates on
+    aggregates: per-(term, class) counts, per-term totals (map-side
+    combined), per-class doc counts as a BROADCAST |classes|-row join,
+    and the rank window partitions by class ordered by a score whose
+    operands are all exact integers, so the cut is engine-exact. The
+    integer products are computed in double (N·(ad−bc)² overflows i64
+    past ~10⁵ docs) with one fixed operation tree, so both engines
+    round identically."""
+    toks = df.select(
+        F.col(class_col).alias("cls"),
+        F.split(F.lower(F.col(text_col)), " ").alias("__toks"))
+    # presence rows: array_distinct dedups WITHIN the doc before the
+    # explode, so each (doc, term) contributes exactly one row and no
+    # doc id ever needs to be carried (or shuffled)
+    pres = (toks.select(
+        "cls", F.explode(F.array_distinct("__toks")).alias("term"))
+        .where(F.col("term") != ""))
+    # per-(term, class) doc counts and per-term totals
+    tc = pres.groupBy("term", "cls").agg(F.count("*").alias("a"))
+    tt = (tc.groupBy("term").agg(F.sum("a").alias("t"))
+          .where(F.col("t") >= min_df))
+    # per-class doc counts + corpus N (broadcast: |classes| rows)
+    cls_n = df.groupBy(F.col(class_col).alias("cls")).agg(
+        F.count("*").alias("n_cls"))
+    tot = F.broadcast(cls_n.agg(F.sum("n_cls").alias("__N")))
+    j = (tc.join(tt, "term").join(F.broadcast(cls_n), "cls")
+         .crossJoin(tot))
+    a = F.col("a").cast("double")
+    bb = (F.col("t") - F.col("a")).cast("double")
+    c = (F.col("n_cls") - F.col("a")).cast("double")
+    d = (F.col("__N") - F.col("t") - F.col("n_cls")
+         + F.col("a")).cast("double")
+    n_d = F.col("__N").cast("double")
+    num = n_d * (a * d - bb * c) * (a * d - bb * c)
+    den = ((a + bb) * (c + d)) * ((a + c) * (bb + d))
+    chi2 = F.when(den > 0, num / den).otherwise(0.0)
+    scored = j.select(F.col("cls"), "term",
+                      F.col("a").alias("n_with_term"),
+                      chi2.alias("chi2"))
+    w = Window.partitionBy("cls").orderBy(F.desc("chi2"), "term")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_n))

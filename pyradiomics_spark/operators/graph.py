@@ -145,3 +145,66 @@ def pagerank(
         if checkpoint:
             rank = rank.localCheckpoint(eager=True)
     return rank.select("node", rank_col)
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, triangles) — per-node triangle participation counts over the
+    UNDIRECTED simple graph induced by the edge list (direction, parallel
+    edges, and self-loops are collapsed/dropped first). Triangle density is
+    a standard link-spam signal for web corpora: farms are near-cliques,
+    organic host neighborhoods are sparse (Becchetti et al., KDD'08 use
+    exactly this count for spam-host demotion).
+
+    Scale shape — degree-ordered orientation (Schank & Wagner '05; the
+    MapReduce form is Suri & Vassilvitskii WWW'11): every undirected edge
+    is oriented from its (degree, node)-smaller endpoint to the larger, so
+    each node's oriented out-degree is O(√m) and the wedge self-join does
+    O(Σ outdeg²) = O(m^1.5) work TOTAL — never the naive Σ deg² that a
+    hot host (degree 10⁷ at crawl scale) would turn into 10¹⁴ pairs. The
+    plan is: one distinct on canonicalized edges, one degree groupBy, the
+    wedge equi-join keyed on the wedge apex, and the closing-edge
+    equi-join on (v1, v2) — all hash-partitioned equi-joins (no broadcast
+    needed at any scale; AQE may still choose one for small inputs).
+    Each triangle {a,b,c} is emitted exactly once (its orientation is a
+    DAG, so exactly one wedge (u→v1, u→v2) has the closing edge v1→v2),
+    then unioned out to all three corners for the per-node census."""
+    # undirected simple graph: canonical (a<b) pairs, loops dropped
+    e = (edges
+         .select(F.least(F.col(src), F.col(dst)).alias("a"),
+                 F.greatest(F.col(src), F.col(dst)).alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .distinct())
+    deg = (e.select(F.col("a").alias("node"))
+           .unionAll(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    # orient a→b iff (deg_a, a) < (deg_b, b); a < b already, so the tie
+    # case keeps a→b — the orientation is a total order, hence acyclic
+    ab = (e.join(deg.select(F.col("node").alias("a"),
+                            F.col("deg").alias("__da")), "a")
+          .join(deg.select(F.col("node").alias("b"),
+                           F.col("deg").alias("__db")), "b"))
+    fwd = F.col("__da") < F.col("__db")
+    tie = (F.col("__da") == F.col("__db"))  # then a < b decides
+    oe = ab.select(
+        F.when(fwd | tie, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd | tie, F.col("b")).otherwise(F.col("a")).alias("v"))
+    # wedges at apex u (the low-order endpoint), closed by an oriented
+    # v1→v2 edge; v1 != v2 generates each unordered wedge in both orders
+    # and exactly one order matches the (single) closing edge's direction
+    x = oe.select(F.col("u"), F.col("v").alias("v1"))
+    y = oe.select(F.col("u"), F.col("v").alias("v2"))
+    tri = (x.join(y, "u")
+           .where(F.col("v1") != F.col("v2"))
+           .join(oe.select(F.col("u").alias("v1"),
+                           F.col("v").alias("v2")), ["v1", "v2"]))
+    per = (tri.select(F.col("u").alias("node"))
+           .unionAll(tri.select(F.col("v1").alias("node")))
+           .unionAll(tri.select(F.col("v2").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("triangles")))
+    return (deg.select("node").join(per, "node", "left")
+            .select("node", F.coalesce(F.col("triangles"), F.lit(0))
+                    .cast("long").alias("triangles")))

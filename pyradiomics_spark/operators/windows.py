@@ -349,3 +349,58 @@ def resample_grid(
         *keys, "bucket", F.col("__last").alias("value"),
         F.col("__last").isNotNull().alias("observed"))
     return ffill(joined, keys, ["bucket"], ["value"])
+
+
+def scd2_compress(
+    df: DataFrame,
+    on,
+    ts_col: str,
+    attr_col: str,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 compression: collapse each
+    entity's observation stream into maximal runs of an unchanged
+    attribute, emitting one validity interval per run —
+
+        (keys…, attr, valid_from, valid_to, n_events, is_current)
+
+    with ``valid_to`` = the next run's ``valid_from`` (half-open
+    [from, to) intervals, NULL on the current run). This is the ingest
+    side of the point-in-time store: the as-of join (operators/asof.py)
+    serves "attribute as of t" directly from these intervals without
+    scanning the raw event history. Crawl analog: per-url language /
+    template-version history across weekly snapshots.
+
+    Scale shape: every step is a window over ONE partitioning — keys
+    ordered by (ts, tie) — so the whole operator costs a single exchange
+    + sort per entity key; run boundaries are lag()-detected, interval
+    ends lead()-filled, and run lengths come from row_number deltas (no
+    second groupBy shuffle, unlike the naive segment-id + groupBy form).
+    ``tie_col`` makes run boundaries deterministic when timestamps
+    collide (same discipline as asof deterministic_ties)."""
+    keys = _keys(on)
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev = F.lag(attr_col).over(w)
+    # null-safe change detection: a run of NULL attributes is ONE run
+    # (eqNullSafe), and the first row per key is always a run start
+    # (row_number, not prev.isNull() — a NULL prev is ambiguous when the
+    # attribute itself can be NULL)
+    marked = df.select(
+        *keys, ts_col, attr_col,
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(Window.partitionBy(*keys)).alias("__tot"),
+        (~prev.eqNullSafe(F.col(attr_col))).alias("__ne"),
+    ).withColumn("__chg", (F.col("__rn") == 1) | F.col("__ne"))
+    starts = marked.where(F.col("__chg"))
+    ws = Window.partitionBy(*keys).orderBy("__rn")
+    nxt_rn = F.lead("__rn").over(ws)
+    return starts.select(
+        *keys,
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(ws).alias("valid_to"),
+        (F.coalesce(nxt_rn, F.col("__tot") + 1) - F.col("__rn"))
+        .cast("long").alias("n_events"),
+        F.lead(ts_col).over(ws).isNull().alias("is_current"),
+    )

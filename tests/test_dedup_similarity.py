@@ -949,3 +949,114 @@ def test_longest_prefix_match(spark):
     empty = spark.createDataFrame([("",)], ["prefix"])
     with _pt.raises(ValueError, match="non-empty"):
         longest_prefix_match(df, empty, "id", "url")
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword extraction
+# ---------------------------------------------------------------------------
+
+def test_bm25_top_terms_matches_python(docs):
+    import math
+    from collections import Counter
+    from pyradiomics_spark.functions.textstats import bm25_top_terms
+
+    k1, b = 1.2, 0.75
+    rows = docs.select("doc_id", "text").collect()
+    n_docs = len(rows)
+    tf = {r.doc_id: Counter(t for t in r.text.lower().split(" ") if t)
+          for r in rows}
+    dl = {d: sum(c.values()) for d, c in tf.items()}
+    avgdl = sum(dl.values()) / n_docs
+    dfreq = Counter()
+    for terms in tf.values():
+        dfreq.update(terms.keys())
+    expected = {}
+    for d, terms in tf.items():
+        def score(t, c):
+            idf = math.log(1.0 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            return idf * c * (k1 + 1.0) / (
+                c + k1 * (1.0 - b + b * dl[d] / avgdl))
+        scored = sorted(((t, score(t, c)) for t, c in terms.items()),
+                        key=lambda kv: (-kv[1], kv[0]))[:3]
+        expected[d] = [t for t, _ in scored]
+    out = bm25_top_terms(docs, "doc_id", "text", top_n=3).collect()
+    got = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.rank)):
+        got.setdefault(r.doc_id, []).append(r.term)
+        assert r.df == dfreq[r.term] and r.tf == tf[r.doc_id][r.term]
+        assert r.dl == dl[r.doc_id]
+    assert got == expected
+
+
+def test_bm25_idf_positive_for_ubiquitous_terms(spark):
+    """Lucene's +1-inside-the-log keeps df == N terms at small positive
+    weight (the raw Robertson idf goes negative past df > N/2)."""
+    from pyradiomics_spark.functions.textstats import bm25_top_terms
+
+    df = spark.createDataFrame(
+        [(i, "common common unique%d" % i) for i in range(4)],
+        ["doc_id", "text"])
+    out = bm25_top_terms(df, "doc_id", "text", top_n=10).collect()
+    assert all(r.bm25 > 0 for r in out)
+    # per-doc ranking still prefers the rare term over the stopword
+    for d in range(4):
+        terms = [r.term for r in sorted(
+            (x for x in out if x.doc_id == d), key=lambda x: x.rank)]
+        assert terms[0] == f"unique{d}"
+
+
+# ---------------------------------------------------------------------------
+# chi-squared term-class association
+# ---------------------------------------------------------------------------
+
+def test_chi2_terms_matches_python(docs):
+    from collections import Counter
+    from pyradiomics_spark.functions.textstats import chi2_terms
+
+    labeled = docs.withColumn(
+        "cls", F.when(F.col("doc_id") <= 3, "en").otherwise("xx"))
+    rows = labeled.select("cls", "text").collect()
+    n_total = len(rows)
+    cls_n = Counter(r.cls for r in rows)
+    tc = Counter()
+    tt = Counter()
+    for r in rows:
+        for t in set(x for x in r.text.lower().split(" ") if x):
+            tc[(t, r.cls)] += 1
+            tt[t] += 1
+    expected = {}
+    for cls in cls_n:
+        scored = []
+        for t, total in tt.items():
+            if total < 2:
+                continue
+            a = float(tc.get((t, cls), 0))
+            if a == 0:
+                continue  # only (term, class) pairs with presence appear
+            b = float(total - a)
+            c = float(cls_n[cls] - a)
+            d = float(n_total - total - cls_n[cls] + a)
+            num = n_total * (a * d - b * c) * (a * d - b * c)
+            den = ((a + b) * (c + d)) * ((a + c) * (b + d))
+            scored.append((t, num / den if den > 0 else 0.0))
+        scored.sort(key=lambda kv: (-kv[1], kv[0]))
+        expected[cls] = [t for t, _ in scored[:5]]
+    out = chi2_terms(labeled, "cls", "text", top_n=5, min_df=2).collect()
+    got = {}
+    for r in sorted(out, key=lambda r: (r.cls, r.rank)):
+        got.setdefault(r.cls, []).append(r.term)
+    assert got == expected
+
+
+def test_chi2_discriminative_term_outranks_stopword(spark):
+    from pyradiomics_spark.functions.textstats import chi2_terms
+
+    rows = ([(i, "en", "the cat sat here") for i in range(10)]
+            + [(i + 10, "de", "the katze sass hier") for i in range(10)])
+    df = spark.createDataFrame(rows, ["doc_id", "cls", "text"])
+    out = chi2_terms(df, "cls", "text", top_n=2, min_df=2).collect()
+    top_en = [r.term for r in out if r.cls == "en" and r.rank == 1]
+    # 'the' appears in every doc of both classes → chi2 == 0; class-pure
+    # terms get the maximal statistic
+    assert top_en[0] in {"cat", "sat", "here"}
+    assert all(r.term != "the" or r.chi2 == 0.0 for r in out)

@@ -153,3 +153,62 @@ def test_personalized_pagerank_rejects_zero_mass(spark, edges_df):
     tele = spark.createDataFrame([("a", 0.0), ("d", 0.0)], ["node", "w"])
     with pytest.raises(Exception, match="positive"):
         pagerank(edges_df, n_iter=1, teleport=tele).collect()
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+
+from pyradiomics_spark.operators.graph import triangle_count  # noqa: E402
+
+
+def _np_triangles(edges):
+    import itertools
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    per = {n: 0 for n in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if ({(a, b), (a, c), (b, c)} <= und):
+            per[a] += 1
+            per[b] += 1
+            per[c] += 1
+    return per
+
+
+def test_triangle_count_small(spark):
+    # triangle a-b-c plus a pendant d and an isolated-ish edge e-f
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("e", "f")]
+    got = {r.node: r.triangles for r in
+           triangle_count(spark.createDataFrame(edges, ["src", "dst"])).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1, "d": 0, "e": 0, "f": 0}
+
+
+def test_triangle_count_ignores_direction_loops_and_parallels(spark):
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"),
+             ("a", "a"), ("a", "b")]
+    got = {r.node: r.triangles for r in
+           triangle_count(spark.createDataFrame(edges, ["src", "dst"])).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_count_k4(spark):
+    import itertools
+
+    edges = list(itertools.combinations("abcd", 2))
+    got = {r.node: r.triangles for r in
+           triangle_count(spark.createDataFrame(edges, ["src", "dst"])).collect()}
+    # K4: every node is in C(3,2)=3 triangles
+    assert got == {n: 3 for n in "abcd"}
+
+
+def test_triangle_count_fuzz_random_graph(spark):
+    import random
+
+    rnd = random.Random(7)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = [(rnd.choice(nodes), rnd.choice(nodes)) for _ in range(160)]
+    got = {r.node: r.triangles for r in
+           triangle_count(spark.createDataFrame(edges, ["src", "dst"])).collect()}
+    want = _np_triangles(edges)
+    assert got == want

@@ -203,3 +203,58 @@ def test_funnel_reuses_one_corpus_exchange(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert plan.count("ReusedExchange") >= 4
+
+
+def test_scd2_single_exchange(spark):
+    """SCD2 compression runs entirely on one per-entity partitioning:
+    boundary lag, interval lead, and run-length row_number deltas all
+    share the exchange — no groupBy reshuffle."""
+    from pyradiomics_spark.operators.windows import scd2_compress
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "user_id", "ts", "event_type")
+    plan = _plan(scd2_compress(ev, "user_id", "ts", "event_type",
+                               tie_col="event_id"))
+    assert plan.count("Exchange") == 1
+
+
+def test_bm25_rank_is_window_not_global_sort(spark):
+    """BM25's per-doc top-N is a doc-partitioned rank window; the only
+    global structure is the broadcast 1-row corpus stats (no global
+    rangepartitioning sort anywhere in the plan)."""
+    from pyspark.sql import functions as F
+
+    from pyradiomics_spark.functions.textstats import bm25_top_terms
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text")
+    plan = _plan(bm25_top_terms(docs, "doc_id", "text", top_n=3))
+    assert "BroadcastExchange" in plan  # corpus N/avgdl row
+    assert "rangepartitioning" not in plan.lower().replace(
+        "hashpartitioning", "x")
+
+
+def test_chi2_class_census_broadcast(spark):
+    """chi2_terms joins the per-class doc counts (|classes| rows) as a
+    broadcast — the term-keyed aggregates never shuffle against a
+    corpus-sized side."""
+    from pyradiomics_spark.functions.textstats import chi2_terms
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "lang", "text")
+    plan = _plan(chi2_terms(docs, "lang", "text", top_n=5))
+    assert plan.count("BroadcastExchange") >= 2  # class census + corpus N
+
+
+def test_triangle_orientation_bounds_wedge_join(spark):
+    """triangle_count's wedge join joins the ORIENTED edge relation to
+    itself on the apex — all equi (SortMergeJoin/ShuffledHashJoin or
+    broadcast under AQE), never a BroadcastNestedLoopJoin/cartesian."""
+    from pyradiomics_spark.operators.graph import triangle_count
+
+    e = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 1) % 20}") for i in range(60)],
+        ["src", "dst"])
+    plan = _plan(triangle_count(e))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

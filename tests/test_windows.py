@@ -301,3 +301,87 @@ def test_resample_grid_fills_gaps(spark):
     with _pt.raises(Exception, match="too large"):
         resample_grid(df, "ent", "ts", "v", step=10.0,
                       max_buckets=3).collect()
+
+
+# ---------------------------------------------------------------------------
+# scd2_compress
+# ---------------------------------------------------------------------------
+
+def test_scd2_compress_basic(spark):
+    from datetime import datetime as DT
+
+    from pyradiomics_spark.operators.windows import scd2_compress
+
+    rows = [
+        (1, DT(2024, 1, 1), "en", 10),
+        (1, DT(2024, 1, 2), "en", 11),
+        (1, DT(2024, 1, 3), "fr", 12),
+        (1, DT(2024, 1, 4), "en", 13),
+        (2, DT(2024, 1, 1), "de", 14),
+    ]
+    df = spark.createDataFrame(rows, ["uid", "ts", "lang", "eid"])
+    out = scd2_compress(df, "uid", "ts", "lang", tie_col="eid")
+    got = sorted(
+        (r.uid, r.lang, r.valid_from, r.valid_to, r.n_events, r.is_current)
+        for r in out.collect())
+    assert got == [
+        (1, "en", DT(2024, 1, 1), DT(2024, 1, 3), 2, False),
+        (1, "en", DT(2024, 1, 4), None, 1, True),
+        (1, "fr", DT(2024, 1, 3), DT(2024, 1, 4), 1, False),
+        (2, "de", DT(2024, 1, 1), None, 1, True),
+    ]
+
+
+def test_scd2_compress_null_runs_and_ties(spark):
+    from datetime import datetime as DT
+
+    from pyradiomics_spark.operators.windows import scd2_compress
+
+    # consecutive NULLs are ONE run; equal timestamps break on tie_col
+    rows = [
+        (1, DT(2024, 1, 1), None, 1),
+        (1, DT(2024, 1, 1), None, 2),
+        (1, DT(2024, 1, 2), "x", 3),
+    ]
+    df = spark.createDataFrame(rows, "uid int, ts timestamp, a string, eid int")
+    out = scd2_compress(df, "uid", "ts", "a", tie_col="eid").collect()
+    assert len(out) == 2
+    nul = [r for r in out if r.a is None][0]
+    assert nul.n_events == 2 and nul.valid_to == DT(2024, 1, 2)
+
+
+def test_scd2_intervals_reconstruct_history(spark):
+    """Round-trip: serving 'attr as of t' from the intervals equals the
+    last raw observation at or before t, for every observed t."""
+    import random
+    from datetime import datetime as DT, timedelta
+
+    from pyradiomics_spark.operators.windows import scd2_compress
+
+    rnd = random.Random(3)
+    rows = []
+    eid = 0
+    for uid in range(5):
+        t = DT(2024, 1, 1)
+        for _ in range(40):
+            t += timedelta(minutes=rnd.randint(1, 90))
+            rows.append((uid, t, rnd.choice("abc"), eid))
+            eid += 1
+    df = spark.createDataFrame(rows, ["uid", "ts", "a", "eid"])
+    iv = {(r.uid): [] for r in df.select("uid").distinct().collect()}
+    for r in scd2_compress(df, "uid", "ts", "a", tie_col="eid").collect():
+        iv[r.uid].append(r)
+    # brute-force expected value per (uid, ts)
+    by_uid = {}
+    for uid, t, a, e in rows:
+        by_uid.setdefault(uid, []).append((t, e, a))
+    for uid, obs in by_uid.items():
+        obs.sort()
+        n_total = 0
+        for r in iv[uid]:
+            n_total += r.n_events
+            # every observation inside [valid_from, valid_to) has attr a
+            for t, _, a in obs:
+                if t >= r.valid_from and (r.valid_to is None or t < r.valid_to):
+                    assert a == r.a
+        assert n_total == len(obs)
