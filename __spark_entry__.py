@@ -3197,6 +3197,69 @@ def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "rank")
 
 
+def q_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution pairs at Levenshtein distance ≤ 1 over customer
+    names (operators/fuzzy.py edit_join — FastSS deletion neighborhoods,
+    Bocek 2007): candidates are an equi-join on builtin single-deletion
+    variants (exact, no false negatives), verified with the builtin
+    levenshtein — all JVM-side, never an all-pairs comparison. The
+    DuckDB twin brute-forces the same names with its native levenshtein
+    (quadratic is fine at oracle scale; the engine path never is).
+    Customer names differ in single digits, the classic near-duplicate
+    record-linkage shape; the documents vocabulary has no distance-1
+    pairs, so this gate runs where the semantics are actually
+    exercised."""
+    from pyradiomics_spark.operators.fuzzy import edit_join
+
+    cust = _read(spark, sf_dir, "customer").select("c_name")
+    out = edit_join(cust, "c_name")
+    return out.select(
+        "w1", "w2", F.col("dist").cast("long").alias("dist"),
+    ).orderBy("w1", "w2")
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition table over per-user event streams
+    (operators/events.py event_transitions): one lag window per user
+    (tie-broken on event_id), a map-side-combined census on
+    (prev, next), and row normalization over the |types|²-row
+    aggregate."""
+    from pyradiomics_spark.operators.events import event_transitions
+
+    ev = _read(spark, sf_dir, "events")
+    out = event_transitions(ev, "user_id", "ts", "event_type",
+                            tie_col="event_id")
+    return out.select(
+        "prev_type", "next_type", F.col("n").cast("long").alias("n"),
+        _rnd("prob", 6).alias("prob"),
+    ).orderBy("prev_type", "next_type")
+
+
+def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Welch two-sample t-test between a deterministic
+    md5 A/B split of users (operators/events.py ab_welch_ttest): ONE
+    groupBy computing six conditional sums, then scalar arithmetic on
+    the |types|-row aggregate — mean/var/t/dof all share one fixed IEEE
+    op tree with the DuckDB twin."""
+    from pyradiomics_spark.operators.events import ab_welch_ttest
+
+    ev = _read(spark, sf_dir, "events")
+    arm = F.conv(F.substring(F.md5(
+        F.concat(F.col("user_id").cast("string"), F.lit(":ab"))),
+        1, 8), 16, 10).cast("long") % 2
+    out = ab_welch_ttest(ev.withColumn("__arm", arm),
+                         "event_type", "__arm", "value")
+    return out.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        _rnd("mean_a", 6).alias("mean_a"),
+        _rnd("mean_b", 6).alias("mean_b"),
+        _rnd("t_stat", 6).alias("t_stat"),
+        _rnd("dof", 6).alias("dof"),
+    ).orderBy("event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (VERDICT r4 item 1): the driver's CORRECTNESS gate
     # only checks the FIRST 50 entries, so the least-recently-driver-verified
@@ -3209,6 +3272,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2": q_scd2,
         "bm25": q_bm25,
         "chi2_terms": q_chi2_terms,
+        "edit_join": q_edit_join,
+        "event_transitions": q_event_transitions,
+        "ab_ttest": q_ab_ttest,
         # --- never driver-verified before round 5 ---
         "matrix_glcm": q_matrix_glcm,
         "matrix_glrlm": q_matrix_glrlm,
@@ -3927,6 +3993,80 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
             ORDER BY user_id, valid_from
+        """,
+        "edit_join": """
+            WITH vocab AS (
+              SELECT DISTINCT c_name AS tok FROM customer
+              WHERE c_name IS NOT NULL AND c_name <> ''
+            )
+            SELECT a.tok AS w1, b.tok AS w2,
+                   levenshtein(a.tok, b.tok)::BIGINT AS dist
+            FROM vocab a JOIN vocab b
+              ON a.tok < b.tok
+             AND abs(length(a.tok) - length(b.tok)) <= 1
+            WHERE levenshtein(a.tok, b.tok) <= 1
+            ORDER BY w1, w2
+        """,
+        "event_transitions": """
+            WITH p AS (
+              SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_type,
+                     event_type AS next_type
+              FROM events
+            ), c AS (
+              SELECT prev_type, next_type, count(*) AS n
+              FROM p WHERE prev_type IS NOT NULL
+              GROUP BY prev_type, next_type
+            )
+            SELECT prev_type, next_type, n,
+                   floor((n / sum(n) OVER (PARTITION BY prev_type)) * 1e6
+                         + 0.50000095367431640625) / 1e6 AS prob
+            FROM c ORDER BY prev_type, next_type
+        """,
+        "ab_ttest": """
+            WITH e AS (
+              SELECT event_type, value,
+                     ('0x' || substr(md5(user_id::VARCHAR || ':ab'), 1, 8))
+                       ::BIGINT % 2 AS arm
+              FROM events
+            ), g AS (
+              SELECT event_type,
+                     count(CASE WHEN arm = 0 THEN value END) AS n_a,
+                     count(CASE WHEN arm = 1 THEN value END) AS n_b,
+                     sum(CASE WHEN arm = 0 THEN value END) AS sa,
+                     sum(CASE WHEN arm = 1 THEN value END) AS sb,
+                     sum(CASE WHEN arm = 0 THEN value * value END) AS qa,
+                     sum(CASE WHEN arm = 1 THEN value * value END) AS qb
+              FROM e GROUP BY event_type
+            ), s AS (
+              SELECT event_type, n_a, n_b,
+                     sa / n_a AS mean_a, sb / n_b AS mean_b,
+                     (qa - n_a * ((sa / n_a) * (sa / n_a))) / (n_a - 1)
+                       / n_a AS sea,
+                     (qb - n_b * ((sb / n_b) * (sb / n_b))) / (n_b - 1)
+                       / n_b AS seb
+              FROM g
+            ), t AS (
+              SELECT event_type, n_a, n_b, mean_a, mean_b,
+                     CASE WHEN n_a >= 2 AND n_b >= 2 AND sea + seb > 0
+                       THEN (mean_a - mean_b) / sqrt(sea + seb) END
+                       AS t_stat,
+                     CASE WHEN n_a >= 2 AND n_b >= 2 AND sea + seb > 0
+                       THEN ((sea + seb) * (sea + seb))
+                            / ((sea * sea) / (n_a - 1)
+                               + (seb * seb) / (n_b - 1)) END AS dof
+              FROM s
+            )
+            SELECT event_type, n_a, n_b,
+                   floor(mean_a * 1e6 + 0.50000095367431640625) / 1e6
+                     AS mean_a,
+                   floor(mean_b * 1e6 + 0.50000095367431640625) / 1e6
+                     AS mean_b,
+                   floor(t_stat * 1e6 + 0.50000095367431640625) / 1e6
+                     AS t_stat,
+                   floor(dof * 1e6 + 0.50000095367431640625) / 1e6 AS dof
+            FROM t ORDER BY event_type
         """,
         "bm25": """
             WITH d AS (

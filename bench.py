@@ -139,6 +139,9 @@ def main() -> None:
         # round 5 continuation: graph triangles, SCD2 history compression,
         # BM25 keywords, chi-squared term selection
         "triangle_count", "scd2", "bm25", "chi2_terms",
+        # round 5 continuation: fuzzy record linkage, Markov transitions,
+        # A/B Welch t-test
+        "edit_join", "event_transitions", "ab_ttest",
     ]
     for name in headline:
         if name not in qs:

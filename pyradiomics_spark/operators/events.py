@@ -115,3 +115,84 @@ def cohort_retention(
             .select(F.col("__cohort").alias("cohort"),
                     F.col("__off").alias("bucket_offset"),
                     "n_users"))
+
+
+def event_transitions(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition table over each entity's ordered
+    event stream: (prev_type, next_type, n, prob) where ``prob`` is the
+    row-normalized transition probability P(next | prev). The classic
+    clickstream / crawl-action model — next-page prediction features,
+    anomalous-bot detection (improbable chains), and dead-end analysis.
+
+    Scale shape: ONE lag window per entity (ordered by ts with an
+    optional deterministic tie column) produces the adjacent pairs; the
+    census is a map-side-combined groupBy on (prev, next); the row
+    normalizer is a window over the |types|²-row AGGREGATE (never corpus
+    rows). Entities partition the only corpus-sized shuffle."""
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    pairs = (df
+             .withColumn("__prev", F.lag(type_col).over(w))
+             .where(F.col("__prev").isNotNull())
+             .select(F.col("__prev").alias("prev_type"),
+                     F.col(type_col).alias("next_type")))
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n"))
+    wn = Window.partitionBy("prev_type")
+    return counts.withColumn(
+        "prob", F.col("n") / F.sum("n").over(wn))
+
+
+def ab_welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    arm_col,
+    value_col: str,
+) -> DataFrame:
+    """Welch two-sample t-test per group between arms 0 and 1 of
+    ``arm_col`` (a boolean/int column — e.g. a deterministic hash-split
+    of the entity id): per group, (n_a, n_b, mean_a, mean_b, t_stat,
+    dof) with the Welch–Satterthwaite degrees of freedom. The standard
+    A/B readout over an events table — and, in a data-pipeline setting,
+    the drift test between two corpus slices' metric distributions.
+
+    Scale shape: ONE map-side-combined groupBy computing six conditional
+    sums (n/Σx/Σx² per arm); mean/variance/t are post-aggregation scalar
+    arithmetic on the |groups|-row result. Sample variance uses the
+    explicit (Σx² − n·mean²)/(n−1) form with one fixed operation tree so
+    an oracle replays it exactly; NULL when an arm has < 2 samples."""
+    arm = (F.col(arm_col) if isinstance(arm_col, str) else arm_col)
+    a = F.when(arm.cast("int") == 0, F.col(value_col))
+    b = F.when(arm.cast("int") == 1, F.col(value_col))
+    agg = df.groupBy(group_col).agg(
+        F.count(a).alias("n_a"), F.count(b).alias("n_b"),
+        F.sum(a).alias("__sa"), F.sum(b).alias("__sb"),
+        F.sum(a * a).alias("__qa"), F.sum(b * b).alias("__qb"))
+    mean_a = F.col("__sa") / F.col("n_a")
+    mean_b = F.col("__sb") / F.col("n_b")
+    var_a = (F.col("__qa") - F.col("n_a") * (mean_a * mean_a)) \
+        / (F.col("n_a") - 1)
+    var_b = (F.col("__qb") - F.col("n_b") * (mean_b * mean_b)) \
+        / (F.col("n_b") - 1)
+    sea = var_a / F.col("n_a")
+    seb = var_b / F.col("n_b")
+    se2 = sea + seb
+    t = (mean_a - mean_b) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (sea * sea) / (F.col("n_a") - 1) + (seb * seb) / (F.col("n_b") - 1))
+    # se2 == 0 (both arms constant) hits divide-by-zero, where engines
+    # disagree (Spark non-ANSI → NULL, DuckDB float → inf) — gate it out
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0)
+    return agg.select(
+        group_col, "n_a", "n_b",
+        mean_a.alias("mean_a"), mean_b.alias("mean_b"),
+        F.when(ok, t).alias("t_stat"),
+        F.when(ok, dof).alias("dof"))

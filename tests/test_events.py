@@ -56,3 +56,108 @@ def test_cohort_retention_matrix(spark):
         cohort_retention(df, "user", "ts", bucket_days=0)
     with pytest.raises(ValueError, match="stage"):
         funnel(df.withColumnRenamed("ts", "t"), "user", "t", "user", ())
+
+
+# ---------------------------------------------------------------------------
+# event_transitions
+# ---------------------------------------------------------------------------
+
+def test_event_transitions_matches_python(spark):
+    from collections import Counter, defaultdict
+    from datetime import datetime as DT, timedelta
+    import random
+
+    from pyradiomics_spark.operators.events import event_transitions
+
+    rnd = random.Random(5)
+    rows = []
+    eid = 0
+    for uid in range(8):
+        t = DT(2024, 1, 1)
+        for _ in range(30):
+            t += timedelta(minutes=rnd.randint(1, 30))
+            rows.append((eid, uid, t, rnd.choice("abc")))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "uid", "ts", "etype"])
+    got = {(r.prev_type, r.next_type): (r.n, r.prob)
+           for r in event_transitions(df, "uid", "ts", "etype",
+                                      tie_col="event_id").collect()}
+    cnt = Counter()
+    by_uid = defaultdict(list)
+    for _, uid, t, e in rows:
+        by_uid[uid].append((t, e))
+    for uid, seq in by_uid.items():
+        seq.sort()
+        for (_, p), (_, n) in zip(seq, seq[1:]):
+            cnt[(p, n)] += 1
+    tot = Counter()
+    for (p, _), c in cnt.items():
+        tot[p] += c
+    want = {k: (c, c / tot[k[0]]) for k, c in cnt.items()}
+    assert set(got) == set(want)
+    for k, (n, p) in want.items():
+        assert got[k][0] == n
+        assert got[k][1] == pytest.approx(p, rel=1e-12)
+
+
+def test_event_transitions_probs_row_normalized(spark):
+    from datetime import datetime as DT
+
+    from pyradiomics_spark.operators.events import event_transitions
+
+    rows = [(i, 1, DT(2024, 1, 1, i), e)
+            for i, e in enumerate("aabab")]
+    df = spark.createDataFrame(rows, ["event_id", "uid", "ts", "etype"])
+    out = event_transitions(df, "uid", "ts", "etype").collect()
+    by_prev = {}
+    for r in out:
+        by_prev.setdefault(r.prev_type, 0.0)
+        by_prev[r.prev_type] += r.prob
+    for s in by_prev.values():
+        assert s == pytest.approx(1.0, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# ab_welch_ttest
+# ---------------------------------------------------------------------------
+
+def test_ab_welch_ttest_matches_numpy(spark):
+    import numpy as np
+
+    from pyradiomics_spark.operators.events import ab_welch_ttest
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for g in ("view", "click"):
+        for arm in (0, 1):
+            for v in rng.normal(10 + arm * 0.5, 2.0, size=40):
+                rows.append((g, arm, float(v)))
+    df = spark.createDataFrame(rows, ["grp", "arm", "value"])
+    got = {r.grp: r for r in
+           ab_welch_ttest(df, "grp", "arm", "value").collect()}
+    for g in ("view", "click"):
+        xs = np.array([v for gg, a, v in rows if gg == g and a == 0])
+        ys = np.array([v for gg, a, v in rows if gg == g and a == 1])
+        va, vb = xs.var(ddof=1), ys.var(ddof=1)
+        se2 = va / xs.size + vb / ys.size
+        t = (xs.mean() - ys.mean()) / np.sqrt(se2)
+        dof = se2**2 / ((va / xs.size)**2 / (xs.size - 1)
+                        + (vb / ys.size)**2 / (ys.size - 1))
+        r = got[g]
+        assert (r.n_a, r.n_b) == (40, 40)
+        assert r.mean_a == pytest.approx(xs.mean(), rel=1e-12)
+        assert r.t_stat == pytest.approx(t, rel=1e-9)
+        assert r.dof == pytest.approx(dof, rel=1e-9)
+
+
+def test_ab_welch_ttest_degenerate_arms_null(spark):
+    from pyradiomics_spark.operators.events import ab_welch_ttest
+
+    rows = [("g", 0, 1.0), ("g", 1, 2.0), ("g", 1, 3.0),  # n_a < 2
+            ("h", 0, 5.0), ("h", 0, 5.0), ("h", 1, 5.0), ("h", 1, 5.0)]
+    df = spark.createDataFrame(rows, ["grp", "arm", "value"])
+    got = {r.grp: r for r in
+           ab_welch_ttest(df, "grp", "arm", "value").collect()}
+    assert got["g"].t_stat is None and got["g"].dof is None
+    # both arms constant → se2 == 0 → gated NULL, not inf/NaN
+    assert got["h"].t_stat is None

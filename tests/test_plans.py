@@ -258,3 +258,29 @@ def test_triangle_orientation_bounds_wedge_join(spark):
     plan = _plan(triangle_count(e))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_edit_join_is_equi_never_allpairs(spark):
+    """edit_join's candidate stage is an equi-join on deletion variants —
+    the plan must never degrade to BroadcastNestedLoopJoin/cartesian
+    (which is what a naive `levenshtein(a,b) <= 1` theta-join gives)."""
+    from pyradiomics_spark.operators.fuzzy import edit_join
+
+    c = spark.read.parquet(f"{SF}/customer.parquet").select("c_name")
+    plan = _plan(edit_join(c, "c_name"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ab_ttest_single_aggregate_shuffle(spark):
+    """ab_welch_ttest is one map-side-combined groupBy; every statistic
+    is post-aggregation scalar arithmetic (one Exchange total)."""
+    from pyspark.sql import functions as F
+
+    from pyradiomics_spark.operators.events import ab_welch_ttest
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", "event_type", "value").withColumn(
+            "arm", (F.col("user_id") % 2).cast("int"))
+    plan = _plan(ab_welch_ttest(ev, "event_type", "arm", "value"))
+    assert plan.count("Exchange") == 1
