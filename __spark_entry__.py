@@ -3260,6 +3260,71 @@ def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level boilerplate removal (operators/dedup.py
+    host_boilerplate_strip — the CCNet/RefinedWeb per-site template
+    stage): 8-token segments present in > 3% of a source's documents
+    (and ≥ 2 of them) are stripped from every document of that source.
+    Presence census is a distinct + map-side groupBy on
+    (host, md5(segment)); the boilerplate key set anti-joins back as a
+    keyed equi-join (never broadcast — template-heavy hosts own
+    millions of keys at crawl scale)."""
+    from pyradiomics_spark.operators.dedup import host_boilerplate_strip
+
+    docs = _read(spark, sf_dir, "documents")
+    out = host_boilerplate_strip(docs, "source", "doc_id", "text",
+                                 seg_tokens=8, max_ratio=0.03,
+                                 min_docs=2)
+    return out.select(
+        "doc_id", "text_stripped",
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.col("n_boiler_segments").cast("long").alias("n_boiler_segments"),
+    ).orderBy("doc_id")
+
+
+def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs Jaccard ≥ 0.5 self-join over 3-token shingle sets
+    (operators/dedup.py jaccard_join — AllPairs/PPJoin prefix filtering,
+    Bayardo WWW'07): candidates equi-join on rarest-first PREFIX
+    shingles with the t·|x| ≤ |y| length filter, verified with builtin
+    array_intersect. The deterministic complement to the MinHash gate
+    rows — no false positives or negatives. DuckDB twin brute-forces
+    the same shingle sets (quadratic is fine at oracle scale)."""
+    from pyradiomics_spark.operators.dedup import jaccard_join
+
+    docs = _read(spark, sf_dir, "documents")
+    out = jaccard_join(docs, "doc_id", "text", threshold=0.5,
+                       shingle_tokens=3)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        _rnd("jaccard", 6).alias("jaccard"),
+    ).orderBy("id_a", "id_b")
+
+
+def q_minmax_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping manifest stats (operators/layout.py minmax_index):
+    per event-type bucket, (min, max, rows, nulls) for three columns in
+    long form — the Iceberg/Delta per-file metric table that makes
+    zorder_repartition pay off at read time. ONE scan, ONE map-side-
+    combined aggregate; the long form explodes a struct array on the
+    |buckets|-row result (a per-column union would re-scan the corpus
+    k times — plan-tested). Gate columns are integer-valued (epoch
+    seconds / ids) because the manifest renders values as strings and
+    double/timestamp string FORMATTING is engine-specific; the operator
+    itself is type-agnostic (unit tests cover doubles)."""
+    from pyradiomics_spark.operators.layout import minmax_index
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "ts_s", F.col("ts").cast("timestamp").cast("long"))
+    out = minmax_index(ev, "event_type", ["ts_s", "user_id", "event_id"])
+    return out.select(
+        F.col("bucket"), "column", "min_v", "max_v",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+    ).orderBy("bucket", "column")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (VERDICT r4 item 1): the driver's CORRECTNESS gate
     # only checks the FIRST 50 entries, so the least-recently-driver-verified
@@ -3275,6 +3340,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_join": q_edit_join,
         "event_transitions": q_event_transitions,
         "ab_ttest": q_ab_ttest,
+        "boilerplate_strip": q_boilerplate_strip,
+        "jaccard_join": q_jaccard_join,
+        "minmax_index": q_minmax_index,
         # --- never driver-verified before round 5 ---
         "matrix_glcm": q_matrix_glcm,
         "matrix_glrlm": q_matrix_glrlm,
@@ -3993,6 +4061,113 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
             ORDER BY user_id, valid_from
+        """,
+        "boilerplate_strip": """
+            WITH toks AS (
+              SELECT doc_id, source,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents
+            ), occ AS (
+              SELECT doc_id, source,
+                     unnest(generate_series(
+                       1, CAST(ceil(len(t) / 8.0) AS BIGINT))) - 1 AS seg_pos,
+                     unnest(list_transform(
+                       generate_series(1, CAST(ceil(len(t) / 8.0) AS BIGINT)),
+                       i -> array_to_string(t[(i-1)*8+1:(i-1)*8+8], ' ')))
+                       AS seg
+              FROM toks
+            ), hd AS (
+              SELECT source, count(DISTINCT doc_id) AS hn
+              FROM documents GROUP BY source
+            ), dfq AS (
+              SELECT source, md5(seg) AS k,
+                     count(DISTINCT doc_id) AS nd
+              FROM occ GROUP BY source, md5(seg)
+            ), boiler AS (
+              SELECT dfq.source, dfq.k
+              FROM dfq JOIN hd USING (source)
+              WHERE nd >= 2 AND nd::DOUBLE / hn > 0.03
+            ), kept AS (
+              SELECT o.doc_id,
+                     string_agg(o.seg, ' ' ORDER BY o.seg_pos) AS txt,
+                     count(*) AS n_kept
+              FROM occ o LEFT JOIN boiler b
+                ON o.source = b.source AND md5(o.seg) = b.k
+              WHERE b.k IS NULL
+              GROUP BY o.doc_id
+            ), nseg AS (
+              SELECT doc_id,
+                     CASE WHEN t IS NULL THEN 0
+                          ELSE CAST(ceil(len(t) / 8.0) AS BIGINT)
+                     END AS n_segments
+              FROM toks
+            )
+            SELECT d.doc_id,
+                   coalesce(k.txt, '') AS text_stripped,
+                   n.n_segments AS n_segments,
+                   n.n_segments - coalesce(k.n_kept, 0)
+                     AS n_boiler_segments
+            FROM documents d
+            JOIN nseg n USING (doc_id)
+            LEFT JOIN kept k USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "jaccard_join": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, len(toks) - 2),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+              FROM t WHERE len(toks) >= 3
+            ), p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.sh, b.sh)) AS i,
+                     len(a.sh) + len(b.sh)
+                       - len(list_intersect(a.sh, b.sh)) AS u
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   floor((i / u) * 1e6 + 0.50000095367431640625) / 1e6
+                     AS jaccard
+            FROM p WHERE i / u >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        "minmax_index": """
+            WITH e AS (
+              -- epoch seconds via integer µs division: Spark's
+              -- timestamp→long cast truncates, DuckDB's double→BIGINT
+              -- cast rounds — // floors like Spark for positive epochs
+              SELECT event_type AS bucket, event_id, user_id,
+                     epoch_us(ts) // 1000000 AS ts_s
+              FROM events
+            ), w AS (
+              SELECT bucket, count(*) AS n_rows,
+                     min(ts_s) AS min_ts, max(ts_s) AS max_ts,
+                     sum(CASE WHEN ts_s IS NULL THEN 1 ELSE 0 END) AS nul_ts,
+                     min(user_id) AS min_u, max(user_id) AS max_u,
+                     sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                       AS nul_u,
+                     min(event_id) AS min_e, max(event_id) AS max_e,
+                     sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                       AS nul_e
+              FROM e GROUP BY bucket
+            )
+            SELECT bucket, "column", min_v, max_v, n_rows, n_nulls FROM (
+              SELECT bucket, 'ts_s' AS "column", min_ts::VARCHAR AS min_v,
+                     max_ts::VARCHAR AS max_v, n_rows,
+                     nul_ts::BIGINT AS n_nulls FROM w
+              UNION ALL
+              SELECT bucket, 'user_id', min_u::VARCHAR, max_u::VARCHAR,
+                     n_rows, nul_u::BIGINT FROM w
+              UNION ALL
+              SELECT bucket, 'event_id', min_e::VARCHAR, max_e::VARCHAR,
+                     n_rows, nul_e::BIGINT FROM w
+            ) ORDER BY bucket, "column"
         """,
         "edit_join": """
             WITH vocab AS (

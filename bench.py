@@ -142,6 +142,9 @@ def main() -> None:
         # round 5 continuation: fuzzy record linkage, Markov transitions,
         # A/B Welch t-test
         "edit_join", "event_transitions", "ab_ttest",
+        # round 5 continuation: per-host boilerplate, exact set-similarity
+        # join, file-skipping manifest stats
+        "boilerplate_strip", "jaccard_join", "minmax_index",
     ]
     for name in headline:
         if name not in qs:

@@ -745,3 +745,164 @@ def incremental_dedup(
     return (out.join(near_ids, id_col, "left")
             .withColumn("dup_near", F.col("__near").isNotNull())
             .drop("__near"))
+
+
+def host_boilerplate_strip(
+    df: DataFrame,
+    host_col: str,
+    id_col: str,
+    text_col: str,
+    seg_tokens: int = 8,
+    max_ratio: float = 0.5,
+    min_docs: int = 2,
+    out_col: str = "text_stripped",
+) -> DataFrame:
+    """Host-level boilerplate removal — the CCNet/RefinedWeb curation
+    stage that `segment_dedup`'s corpus-wide census cannot express:
+    a span is boilerplate RELATIVE TO ITS HOST (nav bars, cookie
+    banners, footers repeat across one site's pages, not the corpus),
+    so the census here is per (host, segment): any ``seg_tokens``-token
+    segment present in more than ``max_ratio`` of the host's documents
+    (and at least ``min_docs`` of them) is removed from EVERY document
+    of that host. Returns the input plus ``out_col`` (reassembled
+    text), ``n_segments`` and ``n_boiler_segments``.
+
+    Scale shape: document-frequency presence is a distinct on
+    (host, id, md5(segment)) followed by a map-side-combined groupBy on
+    (host, seg_key); the per-host doc census is |hosts| rows and joins
+    broadcast; the boilerplate key set joins back onto occurrences as a
+    (host, seg_key)-keyed LEFT ANTI equi-join — never broadcast, since
+    a template-heavy host can own millions of boilerplate keys at crawl
+    scale. Reassembly is the same single per-doc groupBy as
+    segment_dedup. No windows, no Python."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    n_seg = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    segs_arr = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda g: F.array_join(
+                F.slice(toks, g * seg_tokens + 1, seg_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    occ = df.select(
+        F.col(host_col).alias("__host"), F.col(id_col),
+        F.posexplode(segs_arr).alias("seg_pos", "seg"),
+    ).withColumn("__k", F.md5("seg"))
+    host_docs = F.broadcast(
+        df.groupBy(F.col(host_col).alias("__host")).agg(
+            F.countDistinct(id_col).alias("__host_n")))
+    dfreq = (occ.select("__host", id_col, "__k").distinct()
+             .groupBy("__host", "__k").agg(F.count("*").alias("__nd")))
+    boiler = (dfreq.join(host_docs, "__host")
+              .where((F.col("__nd") >= min_docs)
+                     & (F.col("__nd") / F.col("__host_n") > max_ratio))
+              .select("__host", "__k"))
+    kept = (
+        occ.join(boiler, ["__host", "__k"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg_pos", "seg"))),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias(out_col),
+            F.count("*").alias("__n_kept"),
+        )
+    )
+    return (
+        df.withColumn("n_segments", F.coalesce(n_seg, F.lit(0)))
+        .join(kept, id_col, "left")
+        .select(
+            *df.columns,
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            "n_segments",
+            (F.col("n_segments") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("int").alias("n_boiler_segments"),
+        )
+    )
+
+
+def jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_tokens: int = 3,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard-similarity self-join at ``threshold`` over
+    token-``shingle_tokens``-gram shingle SETS — the deterministic
+    complement to the MinHash/LSH pipeline (which is probabilistic and
+    tuned by band count): (id_a, id_b, jaccard) for every pair with
+    J(a, b) ≥ threshold, id_a < id_b, no false positives OR negatives.
+
+    Algorithm — AllPairs/PPJoin prefix filtering (Bayardo et al. WWW'07;
+    Xiao et al. WWW'08): order every set by GLOBAL shingle frequency
+    (rarest first, ties on the shingle); two sets with J ≥ t must share
+    at least one shingle inside each other's first
+    |x| − ⌈t·|x|⌉ + 1 elements, so candidate generation equi-joins on
+    PREFIX shingles only — rare ones, by construction, which is what
+    bounds bucket sizes (the hottest shingles never enter a prefix
+    unless a set is nearly all-boilerplate). A length filter
+    (t·|x| ≤ |y|) prunes inside the join; verification computes the
+    exact intersection with builtin array_intersect on the two sorted
+    arrays.
+
+    Scale shape: one census groupBy (global shingle df), one per-doc
+    re-sort (aggregate-sized), the prefix equi-join, then a distinct on
+    candidate pairs and two |pairs|-row joins to fetch the arrays. All
+    equi-joins; no windows over hot keys; no Python. Verification cost
+    is |candidates|·avg|set| — prefix filtering exists precisely to
+    keep |candidates| near the output size."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                    lambda x: x != "")
+    n = shingle_tokens
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sets = (df.select(F.col(id_col).alias("__id"),
+                      F.array_distinct(sh).alias("__sh"))
+            .where(F.size("__sh") > 0))
+    occ = sets.select("__id", F.explode("__sh").alias("__s"))
+    census = occ.groupBy("__s").agg(F.count("*").alias("__df"))
+    # rarest-first ordering: re-collect each set sorted by (df, shingle)
+    ordered = (occ.join(census, "__s")
+               .groupBy("__id")
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct("__df", "__s"))),
+                   lambda x: x["__s"]).alias("__arr")))
+    size = F.size("__arr")
+    plen = (size - F.ceil(F.lit(float(threshold)) * size) + 1).cast("int")
+    pref = ordered.select(
+        "__id", size.alias("__n"),
+        F.explode(F.slice("__arr", 1, plen)).alias("__s"))
+    a, b = pref.alias("a"), pref.alias("b")
+    t = float(threshold)
+    cand = (a.join(b, (F.col("a.__s") == F.col("b.__s"))
+                   & (F.col("a.__id") < F.col("b.__id"))
+                   # length filter: t·|x| ≤ |y| ≤ |x|/t
+                   & (F.col("b.__n") * t <= F.col("a.__n"))
+                   & (F.col("a.__n") * t <= F.col("b.__n")))
+            .select(F.col("a.__id").alias("id_a"),
+                    F.col("b.__id").alias("id_b"))
+            .distinct())
+    arrs_a = ordered.select(F.col("__id").alias("id_a"),
+                            F.col("__arr").alias("__aa"))
+    arrs_b = ordered.select(F.col("__id").alias("id_b"),
+                            F.col("__arr").alias("__ab"))
+    inter = F.size(F.array_intersect("__aa", "__ab"))
+    union = F.size("__aa") + F.size("__ab") - inter
+    return (cand.join(arrs_a, "id_a").join(arrs_b, "id_b")
+            .withColumn("jaccard", inter / union)
+            .where(F.col("jaccard") >= t)
+            .select("id_a", "id_b", "jaccard"))

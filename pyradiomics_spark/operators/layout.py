@@ -84,3 +84,47 @@ def zorder_repartition(
         .defaultParallelism
     return (keyed.repartitionByRange(parts, F.col("zorder"))
             .sortWithinPartitions("zorder"))
+
+
+def minmax_index(
+    df: DataFrame,
+    bucket_col,
+    stat_cols: list[str],
+) -> DataFrame:
+    """Per-bucket column statistics — (bucket, column, min_v, max_v,
+    n_rows, n_nulls) in long form, values rendered as strings so one
+    table indexes heterogeneous column types. This is the file-skipping
+    manifest an Iceberg/Delta writer keeps per data file: a reader
+    prunes every bucket whose [min, max] for a predicate column misses
+    the filter range, the mechanism that makes `zorder_repartition`
+    pay off (clustered buckets ⇒ tight ranges ⇒ deep pruning).
+
+    Scale shape: ONE map-side-combined groupBy on the bucket id
+    computing 2·k min/max + k null-count aggregates over ONE scan; the
+    long form is an explode of a struct array built ON the |buckets|-row
+    aggregate (a union of per-column projections would let Catalyst
+    push column pruning through and split the job into k full scans —
+    tested against in test_layout)."""
+    b = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    aggs = [F.count("*").alias("n_rows")]
+    for c in stat_cols:
+        aggs += [
+            F.min(c).alias(f"__min_{c}"),
+            F.max(c).alias(f"__max_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nul_{c}"),
+        ]
+    wide = df.groupBy(b.alias("bucket")).agg(*aggs)
+    entries = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__min_{c}").cast("string").alias("min_v"),
+            F.col(f"__max_{c}").cast("string").alias("max_v"),
+            F.col(f"__nul_{c}").alias("n_nulls"))
+        for c in stat_cols
+    ])
+    return (wide
+            .select("bucket", "n_rows", F.explode(entries).alias("e"))
+            .select("bucket", F.col("e.column").alias("column"),
+                    F.col("e.min_v").alias("min_v"),
+                    F.col("e.max_v").alias("max_v"),
+                    "n_rows", F.col("e.n_nulls").alias("n_nulls")))

@@ -1060,3 +1060,131 @@ def test_chi2_discriminative_term_outranks_stopword(spark):
     # terms get the maximal statistic
     assert top_en[0] in {"cat", "sat", "here"}
     assert all(r.term != "the" or r.chi2 == 0.0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# host_boilerplate_strip
+# ---------------------------------------------------------------------------
+
+def test_host_boilerplate_strip_removes_site_template(spark):
+    from pyradiomics_spark.operators.dedup import host_boilerplate_strip
+
+    banner = "accept all cookies to continue using this site now"  # 9 toks
+    rows = []
+    for i in range(4):
+        rows.append((i, "siteA", banner + f" unique content piece {i} "
+                     + " ".join(f"w{i}{j}" for j in range(7))))
+    rows.append((10, "siteB", banner + " other host keeps its text"))
+    df = spark.createDataFrame(rows, ["doc_id", "host", "text"])
+    out = {r.doc_id: r for r in host_boilerplate_strip(
+        df, "host", "doc_id", "text", seg_tokens=9, max_ratio=0.5,
+        min_docs=2).collect()}
+    for i in range(4):
+        assert not out[i].text_stripped.startswith("accept")
+        assert f"unique content piece {i}" in out[i].text_stripped
+        assert out[i].n_boiler_segments == 1
+    # siteB has a single doc: ratio 1.0 but min_docs=2 protects it
+    assert out[10].text_stripped.startswith("accept")
+    assert out[10].n_boiler_segments == 0
+
+
+def test_host_boilerplate_strip_matches_python(spark):
+    import math
+    import random
+    from collections import defaultdict
+
+    from pyradiomics_spark.operators.dedup import host_boilerplate_strip
+
+    rnd = random.Random(13)
+    vocab = [f"t{i}" for i in range(12)]
+    rows = []
+    for d in range(30):
+        host = f"h{d % 3}"
+        toks = [rnd.choice(vocab) for _ in range(rnd.randint(0, 20))]
+        rows.append((d, host, " ".join(toks)))
+    df = spark.createDataFrame(rows, ["doc_id", "host", "text"])
+    seg_n, ratio, mind = 2, 0.3, 2
+    # python reference
+    segs = {}
+    for d, h, tx in rows:
+        toks = [t for t in tx.split(" ") if t]
+        segs[d] = [" ".join(toks[i:i + seg_n])
+                   for i in range(0, len(toks), seg_n)]
+    host_docs = defaultdict(set)
+    dfreq = defaultdict(set)
+    for d, h, _ in rows:
+        host_docs[h].add(d)
+        for s in segs[d]:
+            dfreq[(h, s)].add(d)
+    boiler = {(h, s) for (h, s), ds in dfreq.items()
+              if len(ds) >= mind and len(ds) / len(host_docs[h]) > ratio}
+    want = {}
+    for d, h, _ in rows:
+        keep = [s for s in segs[d] if (h, s) not in boiler]
+        want[d] = (" ".join(keep), len(segs[d]),
+                   len(segs[d]) - len(keep))
+    got = {r.doc_id: (r.text_stripped, r.n_segments, r.n_boiler_segments)
+           for r in host_boilerplate_strip(
+               df, "host", "doc_id", "text", seg_tokens=seg_n,
+               max_ratio=ratio, min_docs=mind).collect()}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# exact jaccard_join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+def _brute_jaccard(rows, t, n):
+    import itertools
+
+    sets = {}
+    for d, tx in rows:
+        toks = [x for x in tx.lower().split(" ") if x]
+        sh = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+        if sh:
+            sets[d] = sh
+    out = []
+    for a, b in itertools.combinations(sorted(sets), 2):
+        i = len(sets[a] & sets[b])
+        u = len(sets[a] | sets[b])
+        if u and i / u >= t:
+            out.append((a, b, i / u))
+    return sorted(out)
+
+
+def test_jaccard_join_exact_no_false_negatives(spark, docs):
+    from pyradiomics_spark.operators.dedup import jaccard_join
+
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    for t in (0.5, 0.8, 0.95):
+        got = sorted((r.id_a, r.id_b, r.jaccard) for r in
+                     jaccard_join(docs, "doc_id", "text",
+                                  threshold=t).collect())
+        want = _brute_jaccard(rows, t, 3)
+        assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+        for (_, _, gj), (_, _, wj) in zip(got, want):
+            assert gj == pytest.approx(wj, abs=1e-12)
+
+
+def test_jaccard_join_fuzz_random_docs(spark):
+    import random
+
+    from pyradiomics_spark.operators.dedup import jaccard_join
+
+    rnd = random.Random(21)
+    vocab = [f"v{i}" for i in range(30)]
+    rows = []
+    for d in range(60):
+        base = [rnd.choice(vocab) for _ in range(rnd.randint(3, 25))]
+        rows.append((d, " ".join(base)))
+        if rnd.random() < 0.3:  # plant a near-dup
+            mut = list(base)
+            if mut:
+                mut[rnd.randrange(len(mut))] = rnd.choice(vocab)
+            rows.append((d + 1000, " ".join(mut)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted((r.id_a, r.id_b) for r in
+                 jaccard_join(df, "doc_id", "text", threshold=0.6,
+                              shingle_tokens=2).collect())
+    want = [(a, b) for a, b, _ in _brute_jaccard(rows, 0.6, 2)]
+    assert got == want

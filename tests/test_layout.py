@@ -70,3 +70,43 @@ def F_spid():
     from pyspark.sql import functions as F
 
     return F.spark_partition_id().alias("pid")
+
+
+def test_minmax_index_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from pyradiomics_spark.operators.layout import minmax_index
+
+    rng = np.random.default_rng(4)
+    pdf = pd.DataFrame({
+        "b": rng.integers(0, 4, 200),
+        "x": rng.normal(0, 1, 200),
+        "y": rng.integers(-50, 50, 200).astype("int64"),
+    })
+    pdf.loc[pdf.index % 7 == 0, "x"] = None
+    df = spark.createDataFrame(pdf)
+    out = minmax_index(df, "b", ["x", "y"]).toPandas()
+    assert set(out["column"]) == {"x", "y"}
+    for b, g in pdf.groupby("b"):
+        rx = out[(out.bucket == b) & (out.column == "x")].iloc[0]
+        assert float(rx.min_v) == g.x.min()
+        assert float(rx.max_v) == g.x.max()
+        assert rx.n_rows == len(g) and rx.n_nulls == g.x.isna().sum()
+        ry = out[(out.bucket == b) & (out.column == "y")].iloc[0]
+        assert int(ry.min_v) == g.y.min() and int(ry.max_v) == g.y.max()
+        assert ry.n_nulls == 0
+
+
+def test_minmax_index_single_shuffle(spark):
+    from pyradiomics_spark.operators.layout import minmax_index
+
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet")
+    plan = minmax_index(
+        ev, "event_type",
+        ["ts", "value", "user_id"])._jdf.queryExecution(
+        ).executedPlan().toString()
+    # the long form must reuse ONE aggregate, not re-scan per column
+    assert plan.count("Exchange hashpartitioning") <= 1 or \
+        plan.count("ReusedExchange") >= 2

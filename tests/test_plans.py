@@ -284,3 +284,15 @@ def test_ab_ttest_single_aggregate_shuffle(spark):
             "arm", (F.col("user_id") % 2).cast("int"))
     plan = _plan(ab_welch_ttest(ev, "event_type", "arm", "value"))
     assert plan.count("Exchange") == 1
+
+
+def test_jaccard_join_prefix_candidates_equi(spark):
+    """jaccard_join's candidate stage equi-joins on prefix shingles —
+    never a cartesian/BroadcastNestedLoopJoin (the shape a naive
+    `jaccard(a,b) >= t` theta-join degrades to)."""
+    from pyradiomics_spark.operators.dedup import jaccard_join
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(jaccard_join(docs, "doc_id", "text", threshold=0.8))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
