@@ -3260,6 +3260,105 @@ def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def _synth_sparse_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparser md5 host graph (400 hosts, avg degree ~2-3 at sf0.001)
+    for the peeling/coreness gates — the 40-host graph saturates to
+    near-complete by sf0.01, where k-core peeling is a no-op. Same
+    construction as `_synth_host_edges`, modulus 400, sinks ≥ 350."""
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("__k"))
+
+    def bucket(col):
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast(
+            "long") % 400
+
+    b = d.select(
+        bucket(F.col("__k")).alias("sb"),
+        bucket(F.concat(F.col("__k"), F.lit(":o1"))).alias("t1"),
+        bucket(F.concat(F.col("__k"), F.lit(":o2"))).alias("t2"))
+
+    def host(c):
+        return F.concat(F.lit("g"), F.col(c).cast("string"))
+
+    e1 = b.where((F.col("sb") < 350) & (F.col("sb") != F.col("t1"))).select(
+        host("sb").alias("src"), host("t1").alias("dst"))
+    e2 = b.where((F.col("sb") < 350) & (F.col("sb") != F.col("t2"))).select(
+        host("sb").alias("src"), host("t2").alias("dst"))
+    return e1.unionAll(e2)
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (operators/graph.py kcore_peel, k=3, three
+    rounds) over the sparse synthetic host graph — the spam-farm density
+    signal next to triangle_count: each round removes degree-<3 nodes
+    and their edges (one degree groupBy + two endpoint semi-joins,
+    localCheckpoint capping the iterative lineage). DuckDB twin unrolls
+    the identical three rounds."""
+    from pyradiomics_spark.operators.graph import kcore_peel
+
+    out = kcore_peel(_synth_sparse_host_edges(spark, sf_dir), k=3,
+                     n_rounds=3)
+    return out.select(
+        "node", F.col("degree").cast("long").alias("degree"),
+    ).orderBy("node")
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl row diff (operators/diff.py snapshot_diff): the
+    new snapshot is a deterministic md5 perturbation of documents (10%
+    removed, 10% content-changed, 10% spawn added twins), and the diff
+    is ONE thin full-outer join on (key, md5 fingerprint) — bodies never
+    shuffle. Output = every added/removed/changed key with both
+    fingerprints."""
+    from pyradiomics_spark.operators.diff import snapshot_diff
+
+    docs = _read(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":snap"))),
+        1, 8), 16, 10).cast("long") % 10
+    base = docs.withColumn("__b", bucket)
+    new = (base.where(F.col("__b") != 0)
+           .withColumn("text", F.when(F.col("__b") == 1,
+                                      F.concat(F.lit("v2 "),
+                                               F.col("text")))
+                       .otherwise(F.col("text"))))
+    added = (base.where(F.col("__b") == 2)
+             .withColumn("doc_id", F.col("doc_id") + 1000000)
+             .withColumn("text", F.lit("new page")))
+    new = new.unionByName(added).drop("__b")
+    out = snapshot_diff(docs, new, "doc_id", ["text", "lang"])
+    return (out.select(F.col("key").cast("long").alias("key"),
+                       "status", "old_fp", "new_fp")
+            .orderBy("key"))
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup decision list (operators/components.py
+    canonical_representatives): simhash near-dup clusters → per-cluster
+    canonical doc by (n_chars DESC, doc_id) → (doc_id, component,
+    canonical_id, keep). One corpus-row join + one window bounded by
+    cluster size. Oracle replays the recursive-CTE closure plus the
+    identical window."""
+    from pyradiomics_spark.operators.components import (
+        canonical_representatives, connected_components)
+    from pyradiomics_spark.operators.dedup import (
+        simhash_candidates, simhash_signatures_md5)
+
+    docs = _read(spark, sf_dir, "documents")
+    sig = simhash_signatures_md5(docs, "doc_id", "text", bits=16)
+    pairs = simhash_candidates(sig, "doc_id", max_hamming=2, n_blocks=6,
+                               bits=16)
+    comp = connected_components(pairs, all_ids=docs.select("doc_id"))
+    out = canonical_representatives(
+        comp, docs.select("doc_id", "n_chars"), "doc_id", "n_chars")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        "keep",
+    ).orderBy("doc_id")
+
+
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level boilerplate removal (operators/dedup.py
     host_boilerplate_strip — the CCNet/RefinedWeb per-site template
@@ -3343,6 +3442,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": q_boilerplate_strip,
         "jaccard_join": q_jaccard_join,
         "minmax_index": q_minmax_index,
+        "kcore": q_kcore,
+        "snapshot_diff": q_snapshot_diff,
+        "dedup_canonical": q_dedup_canonical,
         # --- never driver-verified before round 5 ---
         "matrix_glcm": q_matrix_glcm,
         "matrix_glrlm": q_matrix_glrlm,
@@ -3996,6 +4098,66 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY d.doc_id
             ORDER BY doc_id
         """
+    # same closure, then the per-cluster quality-argmax decision list
+    dedup_canonical_sql = (
+        dedup_components_sql.rsplit("SELECT d.doc_id,", 1)[0]
+        + """, comp AS (
+              SELECT d.doc_id,
+                     least(d.doc_id, coalesce(min(r.b), d.doc_id))
+                       AS component
+              FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+              GROUP BY d.doc_id
+            ), ranked AS (
+              SELECT c.doc_id, c.component,
+                     first_value(c.doc_id) OVER (
+                       PARTITION BY c.component
+                       ORDER BY d.n_chars DESC, c.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING) AS canonical_id
+              FROM comp c JOIN documents d USING (doc_id)
+            )
+            SELECT doc_id, component, canonical_id,
+                   doc_id = canonical_id AS keep
+            FROM ranked ORDER BY doc_id
+        """)
+    # k-core: three unrolled peel rounds over the sparse host graph
+    _kcore_cte = ["""
+            WITH b AS (
+              SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                       ::BIGINT % 400 AS sb,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':o1'), 1, 8))
+                       ::BIGINT % 400 AS t1,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':o2'), 1, 8))
+                       ::BIGINT % 400 AS t2
+              FROM documents
+            ), ed AS (
+              SELECT 'g' || sb::VARCHAR AS src, 'g' || t1::VARCHAR AS dst
+              FROM b WHERE sb < 350 AND sb <> t1
+              UNION ALL
+              SELECT 'g' || sb::VARCHAR, 'g' || t2::VARCHAR
+              FROM b WHERE sb < 350 AND sb <> t2
+            ), e0 AS (
+              SELECT DISTINCT least(src, dst) AS na, greatest(src, dst) AS nb
+              FROM ed WHERE src <> dst
+            )"""]
+    for _r in range(3):
+        _kcore_cte.append(f""", d{_r} AS (
+              SELECT node, count(*) AS dg FROM (
+                SELECT na AS node FROM e{_r}
+                UNION ALL SELECT nb FROM e{_r}
+              ) GROUP BY node
+            ), k{_r} AS (
+              SELECT node FROM d{_r} WHERE dg >= 3
+            ), e{_r + 1} AS (
+              SELECT s.na, s.nb FROM e{_r} s
+              JOIN k{_r} x ON s.na = x.node
+              JOIN k{_r} y ON s.nb = y.node
+            )""")
+    kcore_sql = "".join(_kcore_cte) + """
+            SELECT node, count(*)::BIGINT AS degree FROM (
+              SELECT na AS node FROM e3 UNION ALL SELECT nb FROM e3
+            ) GROUP BY node ORDER BY node
+        """
     return {
         "triangle_count": """
             WITH b AS (
@@ -4061,6 +4223,48 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
             ORDER BY user_id, valid_from
+        """,
+        "kcore": kcore_sql,
+        "dedup_canonical": dedup_canonical_sql,
+        "snapshot_diff": """
+            WITH b AS (
+              SELECT doc_id, text, lang,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':snap'), 1, 8))
+                       ::BIGINT % 10 AS bk
+              FROM documents
+            ), newt AS (
+              SELECT doc_id,
+                     CASE WHEN bk = 1 THEN 'v2 ' || text ELSE text END
+                       AS text,
+                     lang
+              FROM b WHERE bk <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, 'new page', lang
+              FROM b WHERE bk = 2
+            ), ofp AS (
+              SELECT doc_id AS key,
+                     md5(concat_ws(chr(31),
+                         coalesce(text, chr(1) || 'null'),
+                         coalesce(lang, chr(1) || 'null'))) AS old_fp
+              FROM documents
+            ), nfp AS (
+              SELECT doc_id AS key,
+                     md5(concat_ws(chr(31),
+                         coalesce(text, chr(1) || 'null'),
+                         coalesce(lang, chr(1) || 'null'))) AS new_fp
+              FROM newt
+            ), j AS (
+              SELECT coalesce(o.key, n.key) AS key, o.old_fp, n.new_fp
+              FROM ofp o FULL OUTER JOIN nfp n ON o.key = n.key
+            )
+            SELECT key,
+                   CASE WHEN old_fp IS NULL THEN 'added'
+                        WHEN new_fp IS NULL THEN 'removed'
+                        WHEN old_fp <> new_fp THEN 'changed' END AS status,
+                   old_fp, new_fp
+            FROM j
+            WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp
+            ORDER BY key
         """,
         "boilerplate_strip": """
             WITH toks AS (

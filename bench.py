@@ -145,6 +145,9 @@ def main() -> None:
         # round 5 continuation: per-host boilerplate, exact set-similarity
         # join, file-skipping manifest stats
         "boilerplate_strip", "jaccard_join", "minmax_index",
+        # round 5 continuation: bounded k-core peel, crawl row diff,
+        # cluster canonical decision list
+        "kcore", "snapshot_diff", "dedup_canonical",
     ]
     for name in headline:
         if name not in qs:

@@ -153,3 +153,38 @@ def dedup_by_components(
     losers = comp.where(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+def canonical_representatives(
+    components: DataFrame,
+    quality: DataFrame,
+    id_col: str,
+    quality_col: str,
+    comp_id_col: str = "id",
+) -> DataFrame:
+    """Turn a (id, component) clustering into the dedup DECISION LIST:
+    (id, component, canonical_id, keep) where each component's canonical
+    representative is its highest-``quality_col`` member (ties broken on
+    the lower id — fully deterministic), and ``keep`` marks it. This is
+    the materialized output a curation pipeline actually writes after
+    near-dup clustering: losers map to their keeper for provenance, and
+    the keep flag drives the retained corpus.
+
+    Scale shape: one |corpus|-row equi-join of the component map onto
+    the quality column, then ONE window over the component partitioning
+    — bounded by cluster size, which the upstream candidate caps bound
+    in turn (a crawl-scale boilerplate cluster is exactly what
+    *_candidates' bucket_cap exists to prevent). No driver action."""
+    q = quality.select(F.col(id_col), F.col(quality_col).alias("__q"))
+    # connected_components emits (id, component); rename its id column
+    # onto the quality frame's key so the join and output share one name
+    j = components.select(
+        F.col(comp_id_col).alias(id_col), "component").join(q, id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.desc("__q"), F.col(id_col))
+    return (j.withColumn(
+        "canonical_id", F.first(id_col).over(
+            w.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)))
+        .select(id_col, "component", "canonical_id",
+                (F.col(id_col) == F.col("canonical_id")).alias("keep")))

@@ -212,3 +212,57 @@ def test_triangle_count_fuzz_random_graph(spark):
            triangle_count(spark.createDataFrame(edges, ["src", "dst"])).collect()}
     want = _np_triangles(edges)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# kcore_peel
+# ---------------------------------------------------------------------------
+
+from pyradiomics_spark.operators.graph import kcore_peel  # noqa: E402
+
+
+def _np_kcore_rounds(edges, k, rounds):
+    e = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    for _ in range(rounds):
+        deg = {}
+        for a, b in e:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        e = {(a, b) for a, b in e if a in keep and b in keep}
+    deg = {}
+    for a, b in e:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return deg
+
+
+def test_kcore_clique_survives_pendants_peel(spark):
+    import itertools
+
+    clique = list(itertools.combinations("abcd", 2))   # K4: 3-core
+    pendants = [("a", "p1"), ("p1", "p2"), ("b", "p3")]
+    df = spark.createDataFrame(clique + pendants, ["src", "dst"])
+    got = {r.node: r.degree for r in kcore_peel(df, k=3, n_rounds=3).collect()}
+    assert got == {n: 3 for n in "abcd"}
+
+
+def test_kcore_fuzz_matches_python(spark):
+    import random
+
+    rnd = random.Random(17)
+    nodes = [f"n{i}" for i in range(25)]
+    edges = [(rnd.choice(nodes), rnd.choice(nodes)) for _ in range(120)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for k, rounds in ((2, 1), (3, 2), (4, 3)):
+        got = {r.node: r.degree
+               for r in kcore_peel(df, k=k, n_rounds=rounds).collect()}
+        assert got == _np_kcore_rounds(edges, k, rounds)
+
+
+def test_kcore_rejects_bad_params(spark):
+    df = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    with pytest.raises(ValueError):
+        kcore_peel(df, k=0, n_rounds=1)
+    with pytest.raises(ValueError):
+        kcore_peel(df, k=2, n_rounds=0)
