@@ -150,7 +150,9 @@ def discretize_batch(r: Ragged, bin_width: float,
             # a (cheap, usually no-op) verification pass
             lowd = low[doc]
             t = np.floor((x - lowd) / w) + 1.0
-            for _ in range(3):
+            # exact for |x| within 2^53; the wider bound is insurance for
+            # beyond-integer-precision magnitudes (same walk as FBN)
+            for _ in range(64):
                 bad_lo = x < lowd + (t - 1.0) * w
                 bad_hi = x >= lowd + t * w
                 if not bad_lo.any() and not bad_hi.any():
@@ -188,7 +190,13 @@ def discretize_batch(r: Ragged, bin_width: float,
         # np.linspace fills i·step + start and pins edges[k] = last (+1)
         return np.where(i >= k, last[doc] + 1.0, i * step_safe[doc] + first[doc])
 
-    for _ in range(3):
+    # normally converges in <= 2 passes (the candidate is within one bin
+    # of truth), but a degenerate doc whose span is ~1 ulp of a large
+    # value COLLAPSES consecutive linspace edges onto the same double —
+    # digitize then lands the minimum several bins up, and the candidate
+    # must walk there one bin per pass: bound by k+2, not 3 (hypothesis
+    # falsified the old cap with x=[1e6, 1e6-1ulp], k=9)
+    for _ in range(k + 2):
         bad_lo = x < edge(t - 1)
         bad_hi = x >= edge(t)
         if not bad_lo.any() and not bad_hi.any():
