@@ -3359,6 +3359,44 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SCD2 compression (streaming/stateful.py stream_scd2):
+    per-user attribute runs maintained in applyInPandasWithState across
+    micro-batches — closed intervals emit once; the open run re-emits as
+    is_current until it closes (latest (entity, valid_from) wins). On
+    this single-file replay the emitted set equals the batch operator
+    exactly, so the oracle is the SAME window SQL as the `scd2` gate —
+    the streaming engine is the thing under test."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyradiomics_spark.streaming.stateful import stream_scd2
+
+    ev = _read(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="pyrs_stream_scd2_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "events.parquet"))
+    stream = (spark.readStream.schema(ev.schema).parquet(src)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = stream_scd2(stream, "user_id", "ts", "event_type", "event_id")
+    name = f"stream_scd2_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True)
+         .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
+    q.awaitTermination()
+    return (spark.table(name).select(
+        F.col("ent").cast("long").alias("user_id"),
+        F.col("attr").alias("event_type"),
+        F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
+        F.col("valid_to").cast("timestamp_ntz").alias("valid_to"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "is_current",
+    ).orderBy("user_id", "valid_from"))
+
+
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level boilerplate removal (operators/dedup.py
     host_boilerplate_strip — the CCNet/RefinedWeb per-site template
@@ -3443,6 +3481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_join": q_jaccard_join,
         "minmax_index": q_minmax_index,
         "kcore": q_kcore,
+        "stream_scd2": q_stream_scd2,
         "snapshot_diff": q_snapshot_diff,
         "dedup_canonical": q_dedup_canonical,
         # --- never driver-verified before round 5 ---
@@ -7256,3 +7295,15 @@ def oracle_sql() -> dict[str, str]:
             FROM ({tokens}) GROUP BY doc_id ORDER BY doc_id
         """,
     }
+
+
+# the streaming SCD2 gate replays the SAME events through the real
+# streaming engine; its emitted set equals the batch operator on a
+# single-file replay, so it shares the batch oracle verbatim
+_ORACLES_RAW = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    d = _ORACLES_RAW()
+    d["stream_scd2"] = d["scd2"]
+    return d

@@ -147,7 +147,7 @@ def main() -> None:
         "boilerplate_strip", "jaccard_join", "minmax_index",
         # round 5 continuation: bounded k-core peel, crawl row diff,
         # cluster canonical decision list
-        "kcore", "snapshot_diff", "dedup_canonical",
+        "kcore", "snapshot_diff", "dedup_canonical", "stream_scd2",
     ]
     for name in headline:
         if name not in qs:

@@ -68,3 +68,101 @@ def batch_entity_stats(df: DataFrame, entity_col: str = "ent", value_col: str = 
         F.avg(value_col).alias("mean"),
         F.var_pop(value_col).alias("m2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming SCD2 history compression
+# ---------------------------------------------------------------------------
+
+SCD2_STATE_SCHEMA = "attr string, attr_null boolean, start_us long, n long"
+SCD2_OUTPUT_SCHEMA = (
+    "ent long, attr string, valid_from timestamp, valid_to timestamp, "
+    "n_events long, is_current boolean"
+)
+
+
+def _scd2_update(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-entity run compression with the OPEN run carried in state.
+
+    Each batch: merge the carried run with the batch's (ts, tie)-sorted
+    events, emit every run that CLOSED (a different attribute arrived)
+    with its half-open [valid_from, valid_to), and re-emit the still-open
+    run as is_current=True — downstream keeps the LATEST row per
+    (entity, valid_from), so a run that later closes simply supersedes
+    its open emission (update-mode semantics). The walk is per-group
+    Python over Arrow batches — inherent to custom stateful operators;
+    the GROUPING is the parallelism, as with running_entity_stats."""
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["ts", "tie"], kind="mergesort")
+    if state.exists:
+        s_attr, s_null, s_start_us, s_n = state.get
+        cur = [None if s_null else s_attr,
+               pd.Timestamp(int(s_start_us) * 1000), int(s_n)]
+    else:
+        cur = None
+    closed = []
+    for ts, a in zip(batch["ts"], batch["attr"]):
+        if a is not None and not isinstance(a, str) and pd.isna(a):
+            a = None
+        if cur is not None and ts < cur[1]:
+            # ordering contract: per-entity event time must be
+            # non-decreasing ACROSS batches (per-key-ordered log, e.g. a
+            # keyed queue or watermarked upstream). A regression would
+            # silently rewrite history — fail the query loudly instead;
+            # genuinely late data belongs to the batch recompute path
+            # (sources.sinks.recompute_affected_partitions).
+            raise ValueError(
+                f"stream_scd2: out-of-order event for entity {key[0]!r}: "
+                f"{ts} < open-run start {cur[1]} — late data must go "
+                "through the batch recompute path")
+        if cur is None:
+            cur = [a, ts, 1]
+        elif (a is None and cur[0] is None) or (
+                cur[0] is not None and a == cur[0]):
+            cur[2] += 1
+        else:
+            closed.append((cur[0], cur[1], ts, cur[2], False))
+            cur = [a, ts, 1]
+    rows = list(closed)
+    if cur is not None:
+        rows.append((cur[0], cur[1], pd.NaT, cur[2], True))
+        state.update((cur[0], cur[0] is None,
+                      int(pd.Timestamp(cur[1]).value // 1000), int(cur[2])))
+    yield pd.DataFrame({
+        "ent": [key[0]] * len(rows),
+        "attr": [r[0] for r in rows],
+        "valid_from": [r[1] for r in rows],
+        "valid_to": [r[2] for r in rows],
+        "n_events": [r[3] for r in rows],
+        "is_current": [r[4] for r in rows],
+    })
+
+
+def stream_scd2(
+    stream: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    attr_col: str,
+    tie_col: str,
+) -> DataFrame:
+    """STREAMING SCD2 compression (the incremental twin of
+    operators.windows.scd2_compress): per-entity attribute runs
+    maintained across micro-batches via applyInPandasWithState — closed
+    intervals emit once, the open run re-emits each batch as
+    is_current=True (latest (entity, valid_from) wins downstream). On a
+    single-batch replay the output equals the batch operator exactly
+    (pinned in tests and the driver gate)."""
+    src = stream.selectExpr(
+        f"{entity_col} as ent", f"{ts_col} as ts",
+        f"{attr_col} as attr", f"{tie_col} as tie")
+    return src.groupBy("ent").applyInPandasWithState(
+        _scd2_update,
+        outputStructType=SCD2_OUTPUT_SCHEMA,
+        stateStructType=SCD2_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

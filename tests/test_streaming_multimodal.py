@@ -352,3 +352,50 @@ def test_image_resize_nn_geometry(spark):
                              fake=True).toPandas().iloc[0]
     assert out["width"] == 4 and out["height"] == 4
     assert out["mean_r"] == float(small[:, :, 0].mean())
+
+
+def test_stream_scd2_multibatch_equals_batch(spark, tmp_path):
+    """Streaming SCD2: two micro-batches split MID-RUN — the open run is
+    carried in state, re-emitted, and superseded when it closes; keeping
+    the latest row per (entity, valid_from) reproduces the batch operator
+    exactly."""
+    from datetime import datetime as DT
+
+    from pyradiomics_spark.operators.windows import scd2_compress
+    from pyradiomics_spark.streaming.stateful import stream_scd2
+
+    rows1 = [(1, DT(2024, 1, 1), "en", 0), (1, DT(2024, 1, 2), "en", 1),
+             (2, DT(2024, 1, 1), "de", 2)]
+    rows2 = [(1, DT(2024, 1, 3), "fr", 3), (1, DT(2024, 1, 4), "en", 4),
+             (2, DT(2024, 1, 5), "de", 5)]
+    schema = "uid long, ts timestamp, lang string, eid long"
+    src = str(tmp_path / "scd2_src")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src)
+    import time
+
+    time.sleep(2)  # the file source takes OLDEST files first (mtime);
+    # one part file per write + distinct mtimes pin batch order =
+    # event-time order, matching the operator's ordered-arrival contract
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    out = stream_scd2(stream, "uid", "ts", "lang", "eid")
+    q = (out.writeStream.format("memory").queryName("scd2_stream")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from scd2_stream").toPandas()
+    # latest emission per (ent, valid_from): closed supersedes open —
+    # prefer the row with is_current=False, then the largest n_events
+    got = (got.sort_values(["is_current", "n_events"],
+                           ascending=[False, True])
+           .groupby(["ent", "valid_from"]).last().reset_index())
+    want = scd2_compress(
+        spark.read.parquet(src), "uid", "ts", "lang", tie_col="eid"
+    ).toPandas()
+    got_set = {(r.ent, r.attr, r.valid_from, r.valid_to if pd.notna(r.valid_to) else None,
+                r.n_events, r.is_current) for r in got.itertuples()}
+    want_set = {(r.uid, r.lang, r.valid_from, r.valid_to if pd.notna(r.valid_to) else None,
+                 r.n_events, r.is_current) for r in want.itertuples()}
+    assert got_set == want_set
