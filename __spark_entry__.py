@@ -3397,6 +3397,64 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from"))
 
 
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords (functions/textstats.py textrank_keywords —
+    Mihalcea & Tarau 2004): weighted PageRank over the adjacent-token
+    co-occurrence graph (min pair count 3, three iterations). One
+    corpus-sized bigram census; per-iteration joins touch only the
+    |vocab|-row aggregate graph. DuckDB twin unrolls the identical
+    weighted iterations."""
+    from pyradiomics_spark.functions.textstats import textrank_keywords
+
+    docs = _read(spark, sf_dir, "documents").select("text")
+    out = textrank_keywords(docs, min_count=3, n_iter=3)
+    return out.select(
+        "token", _rnd("rank", 6).alias("rank")).orderBy("token")
+
+
+def q_logreg_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier inference (operators/training.py logreg_predict): the
+    quality-score pass a trained CCNet-style model runs over the corpus
+    — sigmoid(clip(b + Σ wᵢxᵢ)) as pure scan-fused expressions (model
+    rides in as literals; scoring is a projection, no join/shuffle).
+    Same features and exact-binary weights as the logreg_step gate; the
+    DuckDB twin replays the clipped sigmoid."""
+    from pyradiomics_spark.operators.training import logreg_predict
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("n_chars") / F.lit(1000.0)).alias("x1"),
+        F.log(F.lit(1.0) + F.col("n_chars")).alias("x2"))
+    out = logreg_predict(docs, ["x1", "x2"], [0.0, 0.25, -0.125])
+    return out.select(
+        "doc_id", _rnd("score", 6).alias("score")).orderBy("doc_id")
+
+
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (operators/training.py calibration_bins):
+    classifier scores bucketed into 10 equal-width bins against the
+    is-English label — (bin, n, mean_score, label_rate), ONE map-side-
+    combined groupBy on the arithmetic bucket id. Weights here are
+    chosen (exact-binary) so the corpus's score range actually spans
+    several bins; the calibration readout validates a quality
+    classifier's keep-threshold."""
+    from pyradiomics_spark.operators.training import (
+        calibration_bins, logreg_predict)
+
+    docs = _read(spark, sf_dir, "documents").select(
+        (F.col("n_chars") / F.lit(1000.0)).alias("x1"),
+        F.log(F.lit(1.0) + F.col("n_chars")).alias("x2"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"))
+    scored = logreg_predict(docs, ["x1", "x2"], [4.0, 2.0, -1.0])
+    out = calibration_bins(scored, "score", "y", n_bins=10)
+    return out.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n").cast("long").alias("n"),
+        _rnd("mean_score", 6).alias("mean_score"),
+        _rnd("label_rate", 6).alias("label_rate"),
+    ).orderBy("bin")
+
+
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level boilerplate removal (operators/dedup.py
     host_boilerplate_strip — the CCNet/RefinedWeb per-site template
@@ -3482,6 +3540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minmax_index": q_minmax_index,
         "kcore": q_kcore,
         "stream_scd2": q_stream_scd2,
+        "textrank": q_textrank,
+        "logreg_predict": q_logreg_predict,
+        "calibration": q_calibration,
         "snapshot_diff": q_snapshot_diff,
         "dedup_canonical": q_dedup_canonical,
         # --- never driver-verified before round 5 ---
@@ -4159,6 +4220,54 @@ def oracle_sql() -> dict[str, str]:
                    doc_id = canonical_id AS keep
             FROM ranked ORDER BY doc_id
         """)
+    # textrank: weighted pagerank over the bigram co-occurrence graph,
+    # three unrolled iterations (mirrors graph.pagerank weight_col path)
+    _tr = ["""
+            WITH toks AS (
+              SELECT list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), bg AS (
+              SELECT unnest(t[1:len(t) - 1]) AS w1,
+                     unnest(t[2:len(t)]) AS w2
+              FROM toks
+            ), big AS (
+              SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2
+              HAVING count(*) >= 3
+            ), und AS (
+              SELECT w1, w2, n::DOUBLE AS w FROM big WHERE w1 <> w2
+              UNION ALL
+              SELECT w2, w1, n::DOUBLE FROM big WHERE w1 <> w2
+            ), nodes AS (
+              SELECT w1 AS node FROM und UNION SELECT w2 FROM und
+            ), outd AS (
+              SELECT w1 AS node, sum(w) AS od FROM und GROUP BY w1
+            ), base AS (
+              SELECT n.node, o.od FROM nodes n
+              LEFT JOIN outd o ON n.node = o.node
+            ), r0 AS (
+              SELECT node, od,
+                     1.0 / (SELECT count(*) FROM base) AS r FROM base
+            )"""]
+    for _i in range(3):
+        _tr.append(f""", s{_i} AS (
+              SELECT sum(CASE WHEN od IS NULL THEN r ELSE 0 END) AS dang,
+                     count(*)::DOUBLE AS n FROM r{_i}
+            ), c{_i} AS (
+              SELECT e.w2 AS node, sum((r.r / r.od) * e.w) AS cin
+              FROM und e JOIN r{_i} r ON e.w1 = r.node GROUP BY e.w2
+            ), r{_i + 1} AS (
+              SELECT b.node, b.od,
+                     0.15 / s.n + 0.85 * (coalesce(c.cin, 0) + s.dang / s.n)
+                       AS r
+              FROM base b LEFT JOIN c{_i} c ON b.node = c.node
+              CROSS JOIN s{_i} s
+            )""")
+    textrank_sql = "".join(_tr) + """
+            SELECT node AS token,
+                   floor(r * 1e6 + 0.50000095367431640625) / 1e6 AS rank
+            FROM r3 ORDER BY token
+        """
     # k-core: three unrolled peel rounds over the sparse host graph
     _kcore_cte = ["""
             WITH b AS (
@@ -4265,6 +4374,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore": kcore_sql,
         "dedup_canonical": dedup_canonical_sql,
+        "textrank": textrank_sql,
+        "logreg_predict": """
+            WITH feats AS (
+              SELECT doc_id, n_chars / 1000.0 AS x1,
+                     ln(1.0 + n_chars) AS x2
+              FROM documents
+            )
+            SELECT doc_id,
+                   floor((1.0 / (1.0 + exp(-greatest(-30.0, least(30.0,
+                       0.0 + 0.25 * x1 + -0.125 * x2))))) * 1e6
+                       + 0.50000095367431640625) / 1e6 AS score
+            FROM feats ORDER BY doc_id
+        """,
+        "calibration": """
+            WITH feats AS (
+              SELECT n_chars / 1000.0 AS x1, ln(1.0 + n_chars) AS x2,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents
+            ), scored AS (
+              SELECT y,
+                     1.0 / (1.0 + exp(-greatest(-30.0, least(30.0,
+                         4.0 + 2.0 * x1 + -1.0 * x2)))) AS score
+              FROM feats
+            ), b AS (
+              SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+                     score, y
+              FROM scored
+            ), g AS (
+              SELECT bin, count(*) AS n,
+                     sum(score) / count(*) AS mean_score,
+                     sum(y::DOUBLE) / count(*) AS label_rate
+              FROM b GROUP BY bin
+            )
+            SELECT bin, n,
+                   floor(mean_score * 1e6 + 0.50000095367431640625) / 1e6
+                     AS mean_score,
+                   floor(label_rate * 1e6 + 0.50000095367431640625) / 1e6
+                     AS label_rate
+            FROM g ORDER BY bin
+        """,
         "snapshot_diff": """
             WITH b AS (
               SELECT doc_id, text, lang,

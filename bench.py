@@ -148,6 +148,9 @@ def main() -> None:
         # round 5 continuation: bounded k-core peel, crawl row diff,
         # cluster canonical decision list
         "kcore", "snapshot_diff", "dedup_canonical", "stream_scd2",
+        # round 5 continuation: graph-centrality keywords, classifier
+        # inference + calibration
+        "textrank", "logreg_predict", "calibration",
     ]
     for name in headline:
         if name not in qs:

@@ -1058,3 +1058,51 @@ def chi2_terms(
     w = Window.partitionBy("cls").orderBy(F.desc("chi2"), "term")
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= top_n))
+
+
+def textrank_keywords(
+    df: DataFrame, text_col: str = "text",
+    min_count: int = 3, n_iter: int = 3, damping: float = 0.85,
+    top_k: int | None = None,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04): weighted
+    PageRank over the token CO-OCCURRENCE graph — nodes are tokens,
+    undirected edges are adjacent-token pairs weighted by corpus count
+    (``min_count`` prunes noise edges), rank is the stationary
+    importance under the standard damped walk. The graph-centrality
+    complement to frequency-based keywording (tfidf/bm25 rows): a token
+    ranks high when it co-occurs with other high-ranking tokens, not
+    merely when it is common.
+
+    Output: (token, rank), optionally cut to ``top_k`` by
+    (rank desc, token).
+
+    Scale shape: one corpus-sized bigram census groupBy (the same
+    zero-shuffle arrays_zip pairing as pmi_pairs), then
+    ``operators.graph.pagerank(weight_col='n')`` over the |vocab|-sized
+    aggregate graph — per-iteration joins never touch corpus rows. An
+    undirected co-occurrence graph has no dangling nodes, so the mass
+    term is exactly zero and rank stays comparable across crawls."""
+    from pyradiomics_spark.operators.graph import pagerank
+
+    toks = F.array_compact(F.transform(
+        F.split(F.lower(F.col(text_col)), " "),
+        lambda x: F.when(x != "", x)))
+    pairs = df.select(
+        F.explode(F.arrays_zip(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        )).alias("__bg"),
+    ).select(F.col("__bg.0").alias("w1"), F.col("__bg.1").alias("w2"))
+    big = (pairs.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+           .where(F.col("n") >= int(min_count)))
+    und = big.unionByName(big.select(
+        F.col("w2").alias("w1"), F.col("w1").alias("w2"), "n"))
+    # self-loop bigrams ("very very") would let a token vote for itself
+    und = und.where(F.col("w1") != F.col("w2"))
+    ranks = pagerank(und, n_iter=n_iter, damping=damping,
+                     src="w1", dst="w2", weight_col="n")
+    out = ranks.select(F.col("node").alias("token"), "rank")
+    if top_k is not None:
+        out = out.orderBy(F.col("rank").desc(), "token").limit(int(top_k))
+    return out

@@ -47,6 +47,7 @@ def pagerank(
     rank_col: str = "rank",
     checkpoint: bool = True,
     teleport: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(node, rank) after ``n_iter`` synchronous power-iteration steps of
     PageRank with uniform teleport and dangling-mass redistribution:
@@ -78,12 +79,19 @@ def pagerank(
     unchanged (bit-identical to the unpersonalized form)."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
-    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    # weight_col generalizes to WEIGHTED PageRank (TextRank etc.): out-
+    # "degree" becomes the weight sum and each edge contributes
+    # share·w. With weight_col=None every expression below is literally
+    # the unweighted form — the existing gates stay bit-identical.
+    wcols = [F.col(weight_col).cast("double").alias("__w")] if weight_col \
+        else []
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"),
+                     *wcols)
     nodes = (e.select(F.col("__s").alias("node"))
              .unionByName(e.select(F.col("__d").alias("node")))
              .distinct())
     outd = e.groupBy(F.col("__s").alias("node")).agg(
-        F.count("*").alias("__outd"))
+        (F.sum("__w") if weight_col else F.count("*")).alias("__outd"))
     # static per-node state: (node, outdeg or null [, teleport weight]);
     # reused every round
     base = nodes.join(outd, "node", "left")
@@ -127,7 +135,8 @@ def pagerank(
                            .alias("__share")),
                    "__s")
             .groupBy(F.col("__d").alias("node"))
-            .agg(F.sum("__share").alias("__in")))
+            .agg(F.sum(F.col("__share") * F.col("__w") if weight_col
+                       else F.col("__share")).alias("__in")))
         if teleport is None:
             new_rank = (F.lit((1.0 - d)) / F.col("__n")
                         + F.lit(d) * (F.coalesce(F.col("__in"), F.lit(0.0))

@@ -83,3 +83,52 @@ def sigmoid(x: float) -> float:
     """Driver-side twin of the row expression (clipped like it)."""
     x = max(-_Z_CLIP, min(_Z_CLIP, x))
     return 1.0 / (1.0 + math.exp(-x))
+
+
+def logreg_predict(
+    df: DataFrame,
+    feature_cols: list[str],
+    weights,
+    out_col: str = "score",
+) -> DataFrame:
+    """Inference twin of ``logreg_grad_step``: append the model's
+    probability ``sigmoid(clip(b + Σ w_i·x_i, ±30))`` as ``out_col`` —
+    the scoring pass a trained quality classifier runs over the full
+    corpus (CCNet keeps documents by thresholding / sampling on exactly
+    this score). Scan-fused column expressions only: the model rides in
+    as literals, so scoring 10^12 rows is a projection — no join, no
+    shuffle, no Python."""
+    w = [float(v) for v in np.asarray(weights, dtype=float)]
+    if len(w) != len(feature_cols) + 1:
+        raise ValueError(
+            f"weights has {len(w)} entries, need {len(feature_cols) + 1} "
+            "(bias first)")
+    z = F.lit(w[0])
+    for wi, c in zip(w[1:], feature_cols):
+        z = z + F.lit(wi) * F.col(c)
+    z = F.greatest(F.lit(-_Z_CLIP), F.least(F.lit(_Z_CLIP), z))
+    return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram table for a probabilistic classifier:
+    (bin, n, mean_score, label_rate) over ``n_bins`` equal-width score
+    buckets — the standard calibration readout (a well-calibrated
+    quality classifier has label_rate ≈ mean_score per bin; systematic
+    gaps mean the keep-threshold is biased). ONE map-side-combined
+    groupBy on the arithmetic bucket id; scores exactly 1.0 clamp into
+    the top bin."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    b = F.least(F.floor(F.col(score_col) * n_bins).cast("long"),
+                F.lit(n_bins - 1))
+    return (df.groupBy(b.alias("bin"))
+            .agg(F.count("*").alias("n"),
+                 (F.sum(score_col) / F.count("*")).alias("mean_score"),
+                 (F.sum(F.col(label_col).cast("double")) / F.count("*"))
+                 .alias("label_rate")))

@@ -266,3 +266,78 @@ def test_kcore_rejects_bad_params(spark):
         kcore_peel(df, k=0, n_rounds=1)
     with pytest.raises(ValueError):
         kcore_peel(df, k=2, n_rounds=0)
+
+
+# ---------------------------------------------------------------------------
+# weighted pagerank + textrank
+# ---------------------------------------------------------------------------
+
+def _np_weighted_pagerank(wedges, n_iter, d=0.85):
+    nodes = sorted({u for u, _, _ in wedges} | {v for _, v, _ in wedges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    wout = np.zeros(n)
+    for u, _, w in wedges:
+        wout[idx[u]] += w
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dang = r[wout == 0].sum()
+        new = np.full(n, (1.0 - d) / n + d * dang / n)
+        for u, v, w in wedges:
+            new[idx[v]] += d * r[idx[u]] * w / wout[idx[u]]
+        r = new
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_weighted_pagerank_matches_numpy(spark):
+    wedges = [("a", "b", 3.0), ("b", "c", 1.0), ("c", "a", 2.0),
+              ("a", "c", 1.0), ("d", "a", 5.0)]
+    df = spark.createDataFrame(wedges, ["src", "dst", "w"])
+    got = {r.node: r["rank"]
+           for r in pagerank(df, n_iter=4, weight_col="w").collect()}
+    want = _np_weighted_pagerank(wedges, n_iter=4)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+
+def test_weighted_pagerank_unit_weights_equal_unweighted(spark, edges_df):
+    uw = {r.node: r["rank"] for r in pagerank(edges_df, n_iter=3).collect()}
+    from pyspark.sql import functions as F
+
+    w = {r.node: r["rank"] for r in pagerank(
+        edges_df.withColumn("w", F.lit(1.0)), n_iter=3,
+        weight_col="w").collect()}
+    for k in uw:
+        assert w[k] == pytest.approx(uw[k], rel=1e-12)
+
+
+def test_textrank_keywords_matches_numpy(spark):
+    from pyradiomics_spark.functions.textstats import textrank_keywords
+
+    texts = ["spark runs fast queries fast",
+             "fast queries need fast plans",
+             "spark plans fast spark queries"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = {r.token: r["rank"] for r in
+           textrank_keywords(df, min_count=1, n_iter=3).collect()}
+    # reference: bigram census -> symmetric weighted graph -> pagerank
+    from collections import Counter
+
+    big = Counter()
+    for t in texts:
+        ws = t.split()
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] += 1
+    wedges = []
+    for (a, b), n in big.items():
+        if a != b:
+            wedges.append((a, b, float(n)))
+            wedges.append((b, a, float(n)))
+    want = _np_weighted_pagerank(wedges, n_iter=3)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+    # the hub token co-occurring with everything ranks first
+    top = max(got, key=got.get)
+    assert top == "fast"

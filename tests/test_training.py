@@ -97,3 +97,65 @@ def test_empty_input_raises(spark):
     df = spark.createDataFrame([(1.0, 0.0)], ["x0", "y"]).where("x0 > 5")
     with pytest.raises(ValueError, match="empty"):
         logreg_grad_step(df, ["x0"], "y", [0.0, 1.0])
+
+
+# ---------------------------------------------------------------------------
+# logreg_predict + calibration_bins
+# ---------------------------------------------------------------------------
+
+def test_logreg_predict_matches_sigmoid(spark):
+    import math
+
+    from pyradiomics_spark.operators.training import (
+        logreg_predict, sigmoid)
+
+    rows = [(float(i), float(i % 3)) for i in range(-5, 6)]
+    df = spark.createDataFrame(rows, ["x1", "x2"])
+    w = [0.5, -0.25, 1.5]
+    got = logreg_predict(df, ["x1", "x2"], w).collect()
+    for r in got:
+        z = w[0] + w[1] * r.x1 + w[2] * r.x2
+        assert r.score == pytest.approx(sigmoid(z), rel=1e-15)
+    # clip region: huge feature saturates, never inf/nan
+    big = spark.createDataFrame([(1e9, 0.0)], ["x1", "x2"])
+    s = logreg_predict(big, ["x1", "x2"], [0.0, 1.0, 0.0]).collect()[0].score
+    assert 0.0 < s <= 1.0
+
+
+def test_logreg_predict_rejects_bad_weights(spark):
+    from pyradiomics_spark.operators.training import logreg_predict
+
+    df = spark.createDataFrame([(1.0,)], ["x1"])
+    with pytest.raises(ValueError):
+        logreg_predict(df, ["x1"], [0.0])
+
+
+def test_calibration_bins_matches_python(spark):
+    import numpy as np
+
+    from pyradiomics_spark.operators.training import calibration_bins
+
+    rng = np.random.default_rng(8)
+    scores = rng.uniform(0, 1, 500)
+    labels = (rng.uniform(0, 1, 500) < scores).astype(int)  # calibrated
+    df = spark.createDataFrame(
+        [(float(s), int(y)) for s, y in zip(scores, labels)],
+        ["score", "y"])
+    got = {r.bin: (r.n, r.mean_score, r.label_rate)
+           for r in calibration_bins(df, "score", "y", n_bins=10).collect()}
+    for b in range(10):
+        m = (np.floor(scores * 10).clip(max=9) == b)
+        if not m.any():
+            continue
+        n, ms, lr = got[b]
+        assert n == int(m.sum())
+        assert ms == pytest.approx(scores[m].mean(), rel=1e-12)
+        assert lr == pytest.approx(labels[m].mean(), rel=1e-12)
+
+
+def test_calibration_bins_top_bin_includes_one(spark):
+    from pyradiomics_spark.operators.training import calibration_bins
+
+    df = spark.createDataFrame([(1.0, 1), (0.95, 1)], ["score", "y"])
+    out = calibration_bins(df, "score", "y", n_bins=10).collect()
+    assert len(out) == 1 and out[0].bin == 9 and out[0].n == 2
