@@ -3523,9 +3523,11 @@ def q_minmax_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (VERDICT r4 item 1): the driver's CORRECTNESS gate
     # only checks the FIRST 50 entries, so the least-recently-driver-verified
-    # queries lead.  Round-5 front block = the 26 rows never (or last in
-    # r1/r2) seen by a CORRECTNESS artifact, plus queries new this round;
-    # the 50 rows gated green in CORRECTNESS_r04 follow.
+    # queries lead.  Front block = the 17 rows new in the round-5
+    # continuation session, then the rows never (or last in r1/r2) seen by
+    # a CORRECTNESS artifact plus the earlier round-5 additions; the rows
+    # gated green in CORRECTNESS_r04 follow. tools/check_oracle.py covers
+    # ALL entries locally regardless of this window.
     return {
         # --- new in the round-5 continuation session (never verified) ---
         "triangle_count": q_triangle_count,
