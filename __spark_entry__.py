@@ -3455,6 +3455,25 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bin")
 
 
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus autocorrelation at lags 1-3 of the event value over
+    per-user ordered series (operators/windows.py autocorrelation):
+    ONE window pass emits every lagged pair column, ONE global
+    aggregate computes the Pearson sums per lag — no per-lag scans, no
+    global sort. The temporal-predictiveness diagnostic that decides
+    whether lag/decay features are worth materializing."""
+    from pyradiomics_spark.operators.windows import autocorrelation
+
+    ev = _read(spark, sf_dir, "events")
+    out = autocorrelation(ev, "user_id", "ts", "value", lags=(1, 2, 3),
+                          tie_col="event_id")
+    return out.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        _rnd("r", 6).alias("r"),
+    ).orderBy("lag")
+
+
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level boilerplate removal (operators/dedup.py
     host_boilerplate_strip — the CCNet/RefinedWeb per-site template
@@ -3543,6 +3562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "stream_scd2": q_stream_scd2,
         "textrank": q_textrank,
+        "acf": q_acf,
         "logreg_predict": q_logreg_predict,
         "calibration": q_calibration,
         "snapshot_diff": q_snapshot_diff,
@@ -4376,6 +4396,57 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore": kcore_sql,
         "dedup_canonical": dedup_canonical_sql,
+        "acf": """
+            WITH l AS (
+              SELECT value AS x,
+                     lag(value, 1) OVER w AS l1,
+                     lag(value, 2) OVER w AS l2,
+                     lag(value, 3) OVER w AS l3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), g AS (
+              SELECT count(l1) AS n1,
+                     sum(CASE WHEN l1 IS NOT NULL THEN x END) AS sx1,
+                     sum(l1) AS sy1,
+                     sum(CASE WHEN l1 IS NOT NULL THEN x END
+                         * CASE WHEN l1 IS NOT NULL THEN x END) AS sxx1,
+                     sum(l1 * l1) AS syy1,
+                     sum(CASE WHEN l1 IS NOT NULL THEN x END * l1) AS sxy1,
+                     count(l2) AS n2,
+                     sum(CASE WHEN l2 IS NOT NULL THEN x END) AS sx2,
+                     sum(l2) AS sy2,
+                     sum(CASE WHEN l2 IS NOT NULL THEN x END
+                         * CASE WHEN l2 IS NOT NULL THEN x END) AS sxx2,
+                     sum(l2 * l2) AS syy2,
+                     sum(CASE WHEN l2 IS NOT NULL THEN x END * l2) AS sxy2,
+                     count(l3) AS n3,
+                     sum(CASE WHEN l3 IS NOT NULL THEN x END) AS sx3,
+                     sum(l3) AS sy3,
+                     sum(CASE WHEN l3 IS NOT NULL THEN x END
+                         * CASE WHEN l3 IS NOT NULL THEN x END) AS sxx3,
+                     sum(l3 * l3) AS syy3,
+                     sum(CASE WHEN l3 IS NOT NULL THEN x END * l3) AS sxy3
+              FROM l
+            ), e AS (
+              SELECT 1 AS lag, n1 AS n, sx1 AS sx, sy1 AS sy,
+                     sxx1 AS sxx, syy1 AS syy, sxy1 AS sxy FROM g
+              UNION ALL
+              SELECT 2, n2, sx2, sy2, sxx2, syy2, sxy2 FROM g
+              UNION ALL
+              SELECT 3, n3, sx3, sy3, sxx3, syy3, sxy3 FROM g
+            ), s AS (
+              SELECT lag, n,
+                     sxy - (sx * sy) / n::DOUBLE AS cov,
+                     sxx - (sx * sx) / n::DOUBLE AS vx,
+                     syy - (sy * sy) / n::DOUBLE AS vy
+              FROM e
+            )
+            SELECT lag::BIGINT AS lag, n::BIGINT AS n_pairs,
+                   floor((CASE WHEN n >= 2 AND vx > 0 AND vy > 0
+                          THEN cov / sqrt(vx * vy) END) * 1e6
+                         + 0.50000095367431640625) / 1e6 AS r
+            FROM s ORDER BY lag
+        """,
         "textrank": textrank_sql,
         "logreg_predict": """
             WITH feats AS (

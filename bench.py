@@ -150,7 +150,7 @@ def main() -> None:
         "kcore", "snapshot_diff", "dedup_canonical", "stream_scd2",
         # round 5 continuation: graph-centrality keywords, classifier
         # inference + calibration
-        "textrank", "logreg_predict", "calibration",
+        "textrank", "logreg_predict", "calibration", "acf",
     ]
     for name in headline:
         if name not in qs:

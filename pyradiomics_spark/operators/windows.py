@@ -404,3 +404,60 @@ def scd2_compress(
         .cast("long").alias("n_events"),
         F.lead(ts_col).over(ws).isNull().alias("is_current"),
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    on,
+    ts_col: str,
+    value_col: str,
+    lags=(1, 2, 3),
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Corpus autocorrelation function over per-entity ordered series:
+    for each lag k, the Pearson correlation between x_t and x_{t−k}
+    where the lag never crosses an entity boundary — (lag, n_pairs, r).
+    The temporal-signal diagnostic (is yesterday's metric predictive?)
+    that decides whether lag/decay features are worth materializing.
+
+    Scale shape: ONE window partitioning (entity, ordered by ts + tie)
+    produces every lagged pair column in a single pass, then ONE
+    map-side-combined global aggregate computes the five Pearson sums
+    per lag — no per-lag scans, no global sort, |lags|-row output. The
+    correlation uses the explicit (Σxy − n·x̄·ȳ) form with one fixed
+    operation tree so an oracle replays it exactly; r is NULL when a
+    lag has < 2 pairs or zero variance."""
+    keys = _keys(on)
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    x = F.col(value_col).cast("double")
+    lagged = df.select(
+        x.alias("__x"),
+        *[F.lag(x, int(k)).over(w).alias(f"__l{k}") for k in lags])
+    aggs = []
+    for k in lags:
+        y = F.col(f"__l{k}")
+        pair = y.isNotNull()
+        xx = F.when(pair, F.col("__x"))
+        aggs += [
+            F.count(y).alias(f"n{k}"),
+            F.sum(xx).alias(f"sx{k}"), F.sum(y).alias(f"sy{k}"),
+            F.sum(xx * xx).alias(f"sxx{k}"), F.sum(y * y).alias(f"syy{k}"),
+            F.sum(xx * y).alias(f"sxy{k}"),
+        ]
+    g = lagged.agg(*aggs)
+    parts = []
+    for k in lags:
+        n = F.col(f"n{k}").cast("double")
+        sx, sy = F.col(f"sx{k}"), F.col(f"sy{k}")
+        sxx, syy, sxy = F.col(f"sxx{k}"), F.col(f"syy{k}"), F.col(f"sxy{k}")
+        cov = sxy - (sx * sy) / n
+        vx = sxx - (sx * sx) / n
+        vy = syy - (sy * sy) / n
+        r = F.when((n >= 2) & (vx > 0) & (vy > 0),
+                   cov / F.sqrt(vx * vy))
+        parts.append(F.struct(
+            F.lit(int(k)).alias("lag"),
+            F.col(f"n{k}").alias("n_pairs"), r.alias("r")))
+    return (g.select(F.explode(F.array(*parts)).alias("e"))
+            .select("e.lag", "e.n_pairs", "e.r"))

@@ -385,3 +385,63 @@ def test_scd2_intervals_reconstruct_history(spark):
                 if t >= r.valid_from and (r.valid_to is None or t < r.valid_to):
                     assert a == r.a
         assert n_total == len(obs)
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation
+# ---------------------------------------------------------------------------
+
+def test_autocorrelation_matches_numpy(spark):
+    import numpy as np
+    from datetime import datetime as DT, timedelta
+
+    from pyradiomics_spark.operators.windows import autocorrelation
+
+    rng = np.random.default_rng(6)
+    rows = []
+    series = {}
+    for uid in range(6):
+        t = DT(2024, 1, 1)
+        xs = np.cumsum(rng.normal(0, 1, 50))  # random walk: high ACF
+        series[uid] = xs
+        for i, v in enumerate(xs):
+            t += timedelta(hours=1)
+            rows.append((uid, t, float(v), i))
+    df = spark.createDataFrame(rows, ["uid", "ts", "v", "eid"])
+    got = {r.lag: (r.n_pairs, r.r)
+           for r in autocorrelation(df, "uid", "ts", "v",
+                                    lags=(1, 3), tie_col="eid").collect()}
+    for k in (1, 3):
+        xs = np.concatenate([series[u][k:] for u in range(6)])
+        ys = np.concatenate([series[u][:-k] for u in range(6)])
+        want = np.corrcoef(xs, ys)[0, 1]
+        n, r = got[k]
+        assert n == len(xs)
+        assert r == pytest.approx(want, rel=1e-9)
+    assert got[1][1] > 0.8  # random walk autocorrelates strongly
+
+
+def test_autocorrelation_never_crosses_entities(spark):
+    from datetime import datetime as DT
+
+    from pyradiomics_spark.operators.windows import autocorrelation
+
+    # two single-point entities: no valid pairs at any lag
+    rows = [(1, DT(2024, 1, 1), 5.0, 0), (2, DT(2024, 1, 1), -5.0, 1)]
+    df = spark.createDataFrame(rows, ["uid", "ts", "v", "eid"])
+    out = {r.lag: (r.n_pairs, r.r)
+           for r in autocorrelation(df, "uid", "ts", "v",
+                                    lags=(1,)).collect()}
+    assert out[1] == (0, None)
+
+
+def test_autocorrelation_constant_series_null_r(spark):
+    from datetime import datetime as DT, timedelta
+
+    from pyradiomics_spark.operators.windows import autocorrelation
+
+    t0 = DT(2024, 1, 1)
+    rows = [(1, t0 + timedelta(hours=i), 2.5, i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["uid", "ts", "v", "eid"])
+    out = autocorrelation(df, "uid", "ts", "v", lags=(1,)).collect()[0]
+    assert out.n_pairs == 9 and out.r is None  # zero variance gated
