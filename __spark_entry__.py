@@ -3455,6 +3455,22 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bin")
 
 
+def q_edit_join2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-2 edit-distance self-join (operators/fuzzy.py edit_join,
+    max_dist=2): FastSS double-deletion neighborhoods — variant volume
+    grows ~L/2× over d=1, candidates still one equi-join + levenshtein
+    verify, exactness unchanged (no false positives or negatives). The
+    204k-pair output at sf0.01 exercises the candidate distinct and the
+    verify at real volume."""
+    from pyradiomics_spark.operators.fuzzy import edit_join
+
+    cust = _read(spark, sf_dir, "customer").select("c_name")
+    out = edit_join(cust, "c_name", max_dist=2)
+    return out.select(
+        "w1", "w2", F.col("dist").cast("long").alias("dist"),
+    ).orderBy("w1", "w2")
+
+
 def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus autocorrelation at lags 1-3 of the event value over
     per-user ordered series (operators/windows.py autocorrelation):
@@ -3563,6 +3579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_scd2": q_stream_scd2,
         "textrank": q_textrank,
         "acf": q_acf,
+        "edit_join2": q_edit_join2,
         "logreg_predict": q_logreg_predict,
         "calibration": q_calibration,
         "snapshot_diff": q_snapshot_diff,
@@ -4396,6 +4413,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore": kcore_sql,
         "dedup_canonical": dedup_canonical_sql,
+        "edit_join2": """
+            WITH vocab AS (
+              SELECT DISTINCT c_name AS tok FROM customer
+              WHERE c_name IS NOT NULL AND c_name <> ''
+            )
+            SELECT a.tok AS w1, b.tok AS w2,
+                   levenshtein(a.tok, b.tok)::BIGINT AS dist
+            FROM vocab a JOIN vocab b
+              ON a.tok < b.tok
+             AND abs(length(a.tok) - length(b.tok)) <= 2
+            WHERE levenshtein(a.tok, b.tok) <= 2
+            ORDER BY w1, w2
+        """,
         "acf": """
             WITH l AS (
               SELECT value AS x,

@@ -151,6 +151,7 @@ def main() -> None:
         # round 5 continuation: graph-centrality keywords, classifier
         # inference + calibration
         "textrank", "logreg_predict", "calibration", "acf",
+        "edit_join2",
     ]
     for name in headline:
         if name not in qs:

@@ -9,15 +9,17 @@ surface, next to the n-gram Jaccard / SimHash candidate generators in
 operators/dedup.py — same candidates→verify architecture, here with
 Levenshtein distance as the verifier.
 
-Algorithm — FastSS deletion neighborhoods (Bocek et al., 2007): for
-max_dist=1, ed(s, t) ≤ 1 implies D₁(s) ∩ D₁(t) ≠ ∅ where D₁(x) is x
-plus every single-character deletion of x. Candidate generation is
-therefore an equi-join on deletion variants (L+1 variants per string,
-all built with builtin `transform`/`substring` — zero Python), and
-each candidate pair is verified with the builtin `levenshtein`. This
-is exact (no false negatives) and never compares strings that share no
-variant — unlike q-gram prefix filtering it needs no global gram
-frequency census pass.
+Algorithm — FastSS deletion neighborhoods (Bocek et al., 2007):
+ed(s, t) ≤ d implies D_d(s) ∩ D_d(t) ≠ ∅ where D_d(x) is x plus every
+way of deleting up to d characters from x. Candidate generation is
+therefore an equi-join on deletion variants (O(L^d) variants per
+string — L+1 at d=1, ~L²/2 at d=2 — all built with builtin
+`transform`/`substring` lambdas, zero Python), and each candidate pair
+is verified with the builtin `levenshtein`. This is exact (no false
+negatives) and never compares strings that share no variant — unlike
+q-gram prefix filtering it needs no global gram frequency census
+pass. d is capped at 2: beyond that the neighborhood explodes and the
+n-gram Jaccard pipeline is the right tool.
 
 Scale shape: variant explode (≤ L+1 rows per string) → ONE equi-join on
 the variant key → distinct pairs → JVM-side levenshtein verify. The
@@ -36,9 +38,11 @@ from pyspark.sql import functions as F
 from pyradiomics_spark.operators.dedup import _drop_hot_buckets
 
 
-def _deletion_variants(col):
-    """Array of the string itself plus every single-char deletion —
-    builtin expressions only (whole-stage codegen'd)."""
+def _deletion_variants(col, max_dist: int = 1):
+    """Array of the string plus every distinct way of deleting up to
+    ``max_dist`` (1 or 2) characters — builtin expressions only
+    (whole-stage codegen'd); duplicates collapsed with array_distinct
+    (deleting different equal characters yields the same variant)."""
     s = F.col(col) if isinstance(col, str) else col
     # delete char i (1-based): prefix [1, i-1] ++ suffix [i+1, end]
     dels = F.transform(
@@ -46,7 +50,21 @@ def _deletion_variants(col):
         lambda i: F.concat(s.substr(F.lit(1), i - 1),
                            s.substr(i + 1, F.length(s))),
     )
-    return F.concat(F.array(s), dels)
+    out = F.concat(F.array(s), dels)
+    if max_dist == 2:
+        # delete positions i < j: [1,i-1] ++ [i+1, j-i-1] ++ [j+1, end]
+        del2 = F.flatten(F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s) - 1, F.lit(1))),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.greatest(F.length(s), i + 1)),
+                lambda j: F.when(
+                    j <= F.length(s),
+                    F.concat(s.substr(F.lit(1), i - 1),
+                             s.substr(i + 1, j - i - 1),
+                             s.substr(j + 1, F.length(s))))),
+        ))
+        out = F.concat(out, F.array_compact(del2))
+    return F.array_distinct(out)
 
 
 def edit_join(
@@ -57,22 +75,22 @@ def edit_join(
 ) -> DataFrame:
     """All unordered pairs (w1 < w2) of DISTINCT values of ``col`` with
     Levenshtein distance ≤ ``max_dist``, plus the distance:
-    (w1, w2, dist). Only max_dist=1 is supported — the deletion
-    neighborhood grows O(L^d), and d=1 is the typo/variant regime this
-    join is for; larger radii belong to the n-gram Jaccard pipeline.
+    (w1, w2, dist). max_dist ∈ {1, 2} — the deletion neighborhood grows
+    O(L^d) (d=2 multiplies variant volume ~L/2×), and beyond 2 the
+    n-gram Jaccard pipeline is the right tool.
 
     ``bucket_cap``: exclude deletion-variant buckets with more members
     (they self-join quadratically; the standard hot-bucket treatment —
     see dedup._drop_hot_buckets). Capped pairs may be lost, so the
     default (None) keeps everything; set it at web scale."""
-    if max_dist != 1:
+    if max_dist not in (1, 2):
         raise ValueError(
-            f"edit_join supports max_dist=1 only (got {max_dist}); "
+            f"edit_join supports max_dist in (1, 2) (got {max_dist}); "
             "use ngram Jaccard candidates for larger radii")
     words = df.select(F.col(col).alias("w")).where(
         F.col("w").isNotNull() & (F.col("w") != "")).distinct()
     variants = words.select(
-        "w", F.explode(_deletion_variants("w")).alias("v"))
+        "w", F.explode(_deletion_variants("w", max_dist)).alias("v"))
     if bucket_cap is not None:
         variants, _ = _drop_hot_buckets(variants, ["v"], bucket_cap)
     a = variants.alias("a")

@@ -57,12 +57,6 @@ def test_edit_join_covers_all_single_edit_kinds(spark):
     assert all(a < b for a, b in got)   # canonical order, no self pairs
 
 
-def test_edit_join_rejects_large_radius(spark):
-    df = spark.createDataFrame([("x",)], ["tok"])
-    with pytest.raises(ValueError):
-        edit_join(df, "tok", max_dist=2)
-
-
 def test_edit_join_bucket_cap_drops_hot_variant(spark):
     # 50 words 'a0'..'a49' all share deletion variant 'a' (delete digit)?
     # no — construct an explicit hot bucket: words 'xN' (N digit) share
@@ -76,3 +70,35 @@ def test_edit_join_bucket_cap_drops_hot_variant(spark):
     # the quadratic x-bucket is gone, the organic pair survives
     assert ("hallo", "hello") in got
     assert not any(a.startswith("x") and b.startswith("x") for a, b in got)
+
+
+def _brute_d(words, d):
+    uw = sorted(set(w for w in words if w))
+    return sorted((a, b, _lev(a, b))
+                  for a, b in itertools.combinations(uw, 2)
+                  if _lev(a, b) <= d)
+
+
+def test_edit_join_d2_small(spark):
+    words = ["cat", "cart", "card", "ct", "c", "dog", "dg", "spark",
+             "spork", "sprk", "spoon"]
+    df = spark.createDataFrame([(w,) for w in words], ["tok"])
+    got = sorted((r.w1, r.w2, r.dist)
+                 for r in edit_join(df, "tok", max_dist=2).collect())
+    assert got == _brute_d(words, 2)
+
+
+def test_edit_join_d2_fuzz(spark):
+    rnd = random.Random(23)
+    words = ["".join(rnd.choice("abc") for _ in range(rnd.randint(1, 6)))
+             for _ in range(100)]
+    df = spark.createDataFrame([(w,) for w in words], ["tok"])
+    got = sorted((r.w1, r.w2, r.dist)
+                 for r in edit_join(df, "tok", max_dist=2).collect())
+    assert got == _brute_d(words, 2)
+
+
+def test_edit_join_rejects_d3(spark):
+    df = spark.createDataFrame([("x",)], ["tok"])
+    with pytest.raises(ValueError):
+        edit_join(df, "tok", max_dist=3)
