@@ -3471,6 +3471,43 @@ def q_edit_join2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("w1", "w2")
 
 
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the synthetic host graph
+    (operators/graph.py degree_assortativity — Newman PRL 2002): the
+    whole-graph spam barometer (organic web graphs are disassortative;
+    farms wire hub-to-hub). One degree census + two endpoint joins +
+    one five-sum aggregate over exact integer degrees — engine-exact."""
+    from pyradiomics_spark.operators.graph import degree_assortativity
+
+    out = degree_assortativity(_synth_sparse_host_edges(spark, sf_dir))
+    return out.select(
+        F.col("n_edges").cast("long").alias("n_edges"),
+        _rnd("r", 6).alias("r"))
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the stopword-marker detector's
+    predictions (functions/textstats.py detect_language) against the
+    labeled lang column — (lang, lang_pred, n, recall). The evaluation
+    row for the lang_detect gate: per-true-language recall is the
+    number every corpus card reports. One corpus-token join against
+    the broadcast 40-row marker table + two aggregate-sized groupBys
+    (the recall normalizer is a window over |langs|² rows)."""
+    from pyradiomics_spark.functions.textstats import detect_language
+
+    docs = _read(spark, sf_dir, "documents")
+    pred = detect_language(docs, "doc_id").select("doc_id", "lang_pred")
+    j = docs.select("doc_id", "lang").join(pred, "doc_id")
+    counts = j.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang")
+    out = counts.withColumn(
+        "recall", F.col("n") / F.sum("n").over(w))
+    return out.select(
+        "lang", "lang_pred", F.col("n").cast("long").alias("n"),
+        _rnd("recall", 6).alias("recall"),
+    ).orderBy("lang", "lang_pred")
+
+
 def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus autocorrelation at lags 1-3 of the event value over
     per-user ordered series (operators/windows.py autocorrelation):
@@ -3580,6 +3617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank": q_textrank,
         "acf": q_acf,
         "edit_join2": q_edit_join2,
+        "assortativity": q_assortativity,
+        "lang_confusion": q_lang_confusion,
         "logreg_predict": q_logreg_predict,
         "calibration": q_calibration,
         "snapshot_diff": q_snapshot_diff,
@@ -4413,6 +4452,92 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore": kcore_sql,
         "dedup_canonical": dedup_canonical_sql,
+        "assortativity": """
+            WITH b AS (
+              SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                       ::BIGINT % 400 AS sb,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':o1'), 1, 8))
+                       ::BIGINT % 400 AS t1,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':o2'), 1, 8))
+                       ::BIGINT % 400 AS t2
+              FROM documents
+            ), ed AS (
+              SELECT 'g' || sb::VARCHAR AS src, 'g' || t1::VARCHAR AS dst
+              FROM b WHERE sb < 350 AND sb <> t1
+              UNION ALL
+              SELECT 'g' || sb::VARCHAR, 'g' || t2::VARCHAR
+              FROM b WHERE sb < 350 AND sb <> t2
+            ), se AS (
+              SELECT DISTINCT least(src, dst) AS na, greatest(src, dst) AS nb
+              FROM ed WHERE src <> dst
+            ), both_dir AS (
+              SELECT na, nb FROM se
+              UNION ALL SELECT nb, na FROM se
+            ), deg AS (
+              SELECT na AS node, count(*) AS dg FROM both_dir GROUP BY na
+            ), j AS (
+              SELECT dx.dg::DOUBLE AS x, dy.dg::DOUBLE AS y
+              FROM both_dir e
+              JOIN deg dx ON e.na = dx.node
+              JOIN deg dy ON e.nb = dy.node
+            ), g AS (
+              SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(y * y) AS syy,
+                     sum(x * y) AS sxy
+              FROM j
+            ), s AS (
+              SELECT m,
+                     sxy - (sx * sy) / m::DOUBLE AS cov,
+                     sxx - (sx * sx) / m::DOUBLE AS vx,
+                     syy - (sy * sy) / m::DOUBLE AS vy
+              FROM g
+            )
+            SELECT (m / 2)::BIGINT AS n_edges,
+                   floor((CASE WHEN m >= 2 AND vx > 0 AND vy > 0
+                          THEN cov / sqrt(vx * vy) END) * 1e6
+                         + 0.50000095367431640625) / 1e6 AS r
+            FROM s
+        """,
+        "lang_confusion": """
+            WITH markers AS (
+              SELECT * FROM (VALUES
+                ('en','the'),('en','and'),('en','of'),('en','to'),('en','is'),
+                ('en','in'),('en','that'),('en','it'),('en','with'),('en','for'),
+                ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),
+                ('de','nicht'),('de','mit'),('de','ein'),('de','zu'),('de','für'),
+                ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','est'),
+                ('fr','dans'),('fr','pour'),('fr','que'),('fr','une'),('fr','des'),
+                ('nl','de'),('nl','het'),('nl','een'),('nl','en'),('nl','van'),
+                ('nl','is'),('nl','dat'),('nl','niet'),('nl','met'),('nl','voor')
+              ) AS t(cand_lang, marker)
+            ), toks AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents
+            ), hits AS (
+              SELECT doc_id, cand_lang, count(*) AS h
+              FROM toks JOIN markers ON tok = marker
+              WHERE tok <> ''
+              GROUP BY doc_id, cand_lang
+            ), best AS (
+              SELECT doc_id, cand_lang,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY h DESC, cand_lang) AS rn
+              FROM hits
+            ), pred AS (
+              SELECT d.doc_id, d.lang,
+                     coalesce(b.cand_lang, 'unk') AS lang_pred
+              FROM documents d
+              LEFT JOIN (SELECT doc_id, cand_lang FROM best WHERE rn = 1) b
+                ON d.doc_id = b.doc_id
+            ), c AS (
+              SELECT lang, lang_pred, count(*) AS n
+              FROM pred GROUP BY lang, lang_pred
+            )
+            SELECT lang, lang_pred, n,
+                   floor((n / sum(n) OVER (PARTITION BY lang)) * 1e6
+                         + 0.50000095367431640625) / 1e6 AS recall
+            FROM c ORDER BY lang, lang_pred
+        """,
         "edit_join2": """
             WITH vocab AS (
               SELECT DISTINCT c_name AS tok FROM customer

@@ -151,7 +151,7 @@ def main() -> None:
         # round 5 continuation: graph-centrality keywords, classifier
         # inference + calibration
         "textrank", "logreg_predict", "calibration", "acf",
-        "edit_join2",
+        "edit_join2", "assortativity", "lang_confusion",
     ]
     for name in headline:
         if name not in qs:

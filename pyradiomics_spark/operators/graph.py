@@ -262,3 +262,52 @@ def kcore_peel(
     return (e.select(F.col("a").alias("node"))
             .unionAll(e.select(F.col("b").alias("node")))
             .groupBy("node").agg(F.count("*").alias("degree")))
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """One-row (n_edges, r): the degree assortativity coefficient
+    (Newman, PRL 2002) of the undirected simple graph — the Pearson
+    correlation of endpoint degrees over the symmetrized edge list.
+    Web graphs are famously DISassortative (hubs link to leaves,
+    r < 0); link farms wire hub-to-hub and push r up, which makes this
+    the cheapest whole-graph spam barometer next to triangle_count /
+    kcore_peel's local ones.
+
+    Scale shape: canonical distinct + ONE degree groupBy + two
+    |edges|⨝|nodes| equi-joins to attach endpoint degrees + ONE
+    five-sum aggregate — every float in the output flows through a
+    fixed op tree over exact integer degree sums, so an oracle replays
+    it bit-for-bit. NULL r for degenerate graphs (no edges / zero
+    variance)."""
+    e = (edges
+         .select(F.least(F.col(src), F.col(dst)).alias("a"),
+                 F.greatest(F.col(src), F.col(dst)).alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .distinct())
+    both = e.unionAll(e.select(F.col("b").alias("a"),
+                               F.col("a").alias("b")))
+    deg = both.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").alias("deg"))
+    j = (both
+         .join(deg.select(F.col("node").alias("a"),
+                          F.col("deg").alias("__x")), "a")
+         .join(deg.select(F.col("node").alias("b"),
+                          F.col("deg").alias("__y")), "b"))
+    x = F.col("__x").cast("double")
+    y = F.col("__y").cast("double")
+    g = j.agg(F.count("*").alias("m"),
+              F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+              F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+              F.sum(x * y).alias("sxy"))
+    m = F.col("m").cast("double")
+    cov = F.col("sxy") - (F.col("sx") * F.col("sy")) / m
+    vx = F.col("sxx") - (F.col("sx") * F.col("sx")) / m
+    vy = F.col("syy") - (F.col("sy") * F.col("sy")) / m
+    r = F.when((F.col("m") >= 2) & (vx > 0) & (vy > 0),
+               cov / F.sqrt(vx * vy))
+    return g.select(
+        (F.col("m") / 2).cast("long").alias("n_edges"), r.alias("r"))

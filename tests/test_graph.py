@@ -341,3 +341,48 @@ def test_textrank_keywords_matches_numpy(spark):
     # the hub token co-occurring with everything ranks first
     top = max(got, key=got.get)
     assert top == "fast"
+
+
+# ---------------------------------------------------------------------------
+# degree_assortativity
+# ---------------------------------------------------------------------------
+
+def test_assortativity_matches_numpy(spark):
+    import random
+
+    from pyradiomics_spark.operators.graph import degree_assortativity
+
+    rnd = random.Random(31)
+    nodes = [f"n{i}" for i in range(20)]
+    edges = list({tuple(sorted((rnd.choice(nodes), rnd.choice(nodes))))
+                  for _ in range(60)})
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = degree_assortativity(df).collect()[0]
+    # numpy reference over the symmetrized edge list
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    want = np.corrcoef(xs, ys)[0, 1]
+    assert got.n_edges == len(edges)
+    assert got.r == pytest.approx(want, rel=1e-12)
+
+
+def test_assortativity_star_is_negative_clique_null(spark):
+    from pyradiomics_spark.operators.graph import degree_assortativity
+
+    star = [("hub", f"leaf{i}") for i in range(6)]
+    r = degree_assortativity(
+        spark.createDataFrame(star, ["src", "dst"])).collect()[0].r
+    assert r < -0.99  # pure star: perfectly disassortative
+    import itertools
+
+    k4 = list(itertools.combinations("abcd", 2))
+    rk = degree_assortativity(
+        spark.createDataFrame(k4, ["src", "dst"])).collect()[0].r
+    assert rk is None  # regular graph: zero degree variance → gated NULL
