@@ -3464,7 +3464,12 @@ def q_edit_join2(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify at real volume."""
     from pyradiomics_spark.operators.fuzzy import edit_join
 
-    cust = _read(spark, sf_dir, "customer").select("c_name")
+    # bounded vocabulary: sequential zero-padded names make radius-2
+    # neighborhoods grow ~quadratically with corpus size (every pair of
+    # digit positions collides) — 2k names keep the GATE fixed-cost at
+    # every SF while still producing a ~300k-pair verified output
+    cust = _read(spark, sf_dir, "customer").where(
+        F.col("c_custkey") < 2000).select("c_name")
     out = edit_join(cust, "c_name", max_dist=2)
     return out.select(
         "w1", "w2", F.col("dist").cast("long").alias("dist"),
@@ -4542,6 +4547,7 @@ def oracle_sql() -> dict[str, str]:
             WITH vocab AS (
               SELECT DISTINCT c_name AS tok FROM customer
               WHERE c_name IS NOT NULL AND c_name <> ''
+                AND c_custkey < 2000
             )
             SELECT a.tok AS w1, b.tok AS w2,
                    levenshtein(a.tok, b.tok)::BIGINT AS dist
