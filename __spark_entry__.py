@@ -3513,6 +3513,40 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "lang_pred")
 
 
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients over the sparse host graph
+    (operators/graph.py clustering_coefficient — Watts & Strogatz '98):
+    2T(v)/(deg(v)(deg(v)−1)), the third local-density spam signal next
+    to triangle_count/kcore. The oriented triangle census plus one
+    degree groupBy; the coefficient is exact-integer scalar
+    arithmetic."""
+    from pyradiomics_spark.operators.graph import clustering_coefficient
+
+    out = clustering_coefficient(_synth_sparse_host_edges(spark, sf_dir))
+    return out.select(
+        "node", F.col("degree").cast("long").alias("degree"),
+        F.col("triangles").cast("long").alias("triangles"),
+        _rnd("coeff", 6).alias("coeff"),
+    ).orderBy("node")
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most common session paths (operators/events.py
+    session_paths): gap-sessionized per-user event-type sequences
+    joined with '>', corpus path census, k-bounded TakeOrdered with
+    deterministic (n desc, path) ties. Sessionization + path assembly
+    share the per-user partitioning; the census is one map-side
+    groupBy on the path string."""
+    from pyradiomics_spark.operators.events import session_paths
+
+    ev = _read(spark, sf_dir, "events")
+    out = session_paths(ev, "user_id", "ts", "event_type",
+                        gap_seconds=1800.0, top_k=20,
+                        tie_col="event_id")
+    return out.select(
+        "path", F.col("n").cast("long").alias("n")).orderBy("path")
+
+
 def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus autocorrelation at lags 1-3 of the event value over
     per-user ordered series (operators/windows.py autocorrelation):
@@ -3623,6 +3657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf": q_acf,
         "edit_join2": q_edit_join2,
         "assortativity": q_assortativity,
+        "clustering_coeff": q_clustering_coeff,
+        "session_paths": q_session_paths,
         "lang_confusion": q_lang_confusion,
         "logreg_predict": q_logreg_predict,
         "calibration": q_calibration,
@@ -4457,6 +4493,80 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore": kcore_sql,
         "dedup_canonical": dedup_canonical_sql,
+        "clustering_coeff": """
+            WITH b AS (
+              SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                       ::BIGINT % 400 AS sb,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':o1'), 1, 8))
+                       ::BIGINT % 400 AS t1,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':o2'), 1, 8))
+                       ::BIGINT % 400 AS t2
+              FROM documents
+            ), ed AS (
+              SELECT 'g' || sb::VARCHAR AS src, 'g' || t1::VARCHAR AS dst
+              FROM b WHERE sb < 350 AND sb <> t1
+              UNION ALL
+              SELECT 'g' || sb::VARCHAR, 'g' || t2::VARCHAR
+              FROM b WHERE sb < 350 AND sb <> t2
+            ), se AS (
+              SELECT DISTINCT least(src, dst) AS na, greatest(src, dst) AS nb
+              FROM ed WHERE src <> dst
+            ), deg AS (
+              SELECT node, count(*) AS dg FROM (
+                SELECT na AS node FROM se UNION ALL SELECT nb FROM se
+              ) GROUP BY node
+            ), oe AS (
+              SELECT CASE WHEN da.dg <= db.dg THEN se.na ELSE se.nb END AS u,
+                     CASE WHEN da.dg <= db.dg THEN se.nb ELSE se.na END AS v
+              FROM se JOIN deg da ON se.na = da.node
+                      JOIN deg db ON se.nb = db.node
+            ), tri AS (
+              SELECT x.u AS c1, x.v AS c2, y.v AS c3
+              FROM oe x JOIN oe y ON x.u = y.u AND x.v <> y.v
+              JOIN oe z ON z.u = x.v AND z.v = y.v
+            ), per AS (
+              SELECT node, count(*) AS t FROM (
+                SELECT c1 AS node FROM tri
+                UNION ALL SELECT c2 FROM tri
+                UNION ALL SELECT c3 FROM tri
+              ) GROUP BY node
+            )
+            SELECT d.node, d.dg::BIGINT AS degree,
+                   coalesce(per.t, 0)::BIGINT AS triangles,
+                   floor((CASE WHEN d.dg >= 2
+                          THEN (2.0 * coalesce(per.t, 0)::DOUBLE)
+                               / (d.dg::DOUBLE * (d.dg::DOUBLE - 1.0))
+                          END) * 1e6 + 0.50000095367431640625) / 1e6
+                     AS coeff
+            FROM deg d LEFT JOIN per ON d.node = per.node
+            ORDER BY d.node
+        """,
+        "session_paths": """
+            WITH gaps AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts, event_id, event_type,
+                     sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM gaps
+            ), p AS (
+              SELECT user_id, sid,
+                     string_agg(event_type, '>' ORDER BY ts, event_id)
+                       AS path
+              FROM sess GROUP BY user_id, sid
+            ), c AS (
+              SELECT path, count(*) AS n FROM p GROUP BY path
+            ), k AS (
+              SELECT path, n FROM c ORDER BY n DESC, path LIMIT 20
+            )
+            SELECT path, n FROM k ORDER BY path
+        """,
         "assortativity": """
             WITH b AS (
               SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))

@@ -152,6 +152,7 @@ def main() -> None:
         # inference + calibration
         "textrank", "logreg_predict", "calibration", "acf",
         "edit_join2", "assortativity", "lang_confusion",
+        "clustering_coeff", "session_paths",
     ]
     for name in headline:
         if name not in qs:

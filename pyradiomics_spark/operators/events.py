@@ -196,3 +196,52 @@ def ab_welch_ttest(
         mean_a.alias("mean_a"), mean_b.alias("mean_b"),
         F.when(ok, t).alias("t_stat"),
         F.when(ok, dof).alias("dof"))
+
+
+def session_paths(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    gap_seconds: float = 1800.0,
+    top_k: int = 20,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Top-``top_k`` most common session paths: each entity's event
+    stream is gap-sessionized, every session rendered as its ordered
+    ``type_col`` sequence joined with '>', and the corpus-wide path
+    census cut to the k most frequent — (path, n) with deterministic
+    (n desc, path) ties. The classic clickstream product question
+    ("what do users actually do?") and a bot signature detector
+    (machine traffic repeats improbably exact paths).
+
+    Scale shape: sessionization and path assembly both run on the
+    per-entity partitioning (window + one groupBy on (entity, session));
+    the census is a map-side-combined groupBy on the path string, and
+    the cut is a k-bounded TakeOrdered — no global sort. Path strings
+    are bounded by session length, which the gap bounds in practice;
+    pathological never-idle entities are a monitoring concern upstream
+    (hot_keys), not a shuffle hazard here (one row per session)."""
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag(ts_col).over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | ((F.col(ts_col).cast("timestamp").cast("double")
+            - prev.cast("timestamp").cast("double")) > gap_seconds),
+        1).otherwise(0)
+    sess = df.withColumn("__sid", F.sum(new_sess).over(cum))
+    order_struct = F.struct(
+        *([F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+          + [F.col(type_col).alias("__t")]))
+    paths = (sess.groupBy(key, "__sid")
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(order_struct)),
+                     lambda s: s["__t"]),
+                 ">").alias("path")))
+    return (paths.groupBy("path").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "path").limit(int(top_k)))

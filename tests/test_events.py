@@ -161,3 +161,49 @@ def test_ab_welch_ttest_degenerate_arms_null(spark):
     assert got["g"].t_stat is None and got["g"].dof is None
     # both arms constant → se2 == 0 → gated NULL, not inf/NaN
     assert got["h"].t_stat is None
+
+
+# ---------------------------------------------------------------------------
+# session_paths
+# ---------------------------------------------------------------------------
+
+def test_session_paths_matches_python(spark):
+    from collections import Counter
+    from datetime import datetime as DT, timedelta
+    import random
+
+    from pyradiomics_spark.operators.events import session_paths
+
+    rnd = random.Random(41)
+    rows, eid = [], 0
+    ref_paths = Counter()
+    for uid in range(10):
+        t = DT(2024, 1, 1)
+        n_sessions = rnd.randint(1, 4)
+        for _ in range(n_sessions):
+            t += timedelta(seconds=3600)  # > gap: new session
+            path = [rnd.choice("abc") for _ in range(rnd.randint(1, 4))]
+            for e in path:
+                rows.append((eid, uid, t, e))
+                eid += 1
+                t += timedelta(seconds=rnd.randint(1, 900))  # < gap
+            ref_paths[">".join(path)] += 1
+    df = spark.createDataFrame(rows, ["event_id", "uid", "ts", "etype"])
+    got = [(r.path, r.n) for r in session_paths(
+        df, "uid", "ts", "etype", gap_seconds=1800.0, top_k=50,
+        tie_col="event_id").collect()]
+    want = sorted(ref_paths.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert got == want
+
+
+def test_session_paths_tie_order_deterministic(spark):
+    from datetime import datetime as DT
+
+    from pyradiomics_spark.operators.events import session_paths
+
+    t = DT(2024, 1, 1)
+    rows = [(2, 1, t, "b"), (1, 1, t, "a"), (3, 1, t, "c")]
+    df = spark.createDataFrame(rows, ["event_id", "uid", "ts", "etype"])
+    out = session_paths(df, "uid", "ts", "etype",
+                        tie_col="event_id").collect()
+    assert [(r.path, r.n) for r in out] == [("a>b>c", 1)]

@@ -386,3 +386,49 @@ def test_assortativity_star_is_negative_clique_null(spark):
     rk = degree_assortativity(
         spark.createDataFrame(k4, ["src", "dst"])).collect()[0].r
     assert rk is None  # regular graph: zero degree variance → gated NULL
+
+
+# ---------------------------------------------------------------------------
+# clustering_coefficient
+# ---------------------------------------------------------------------------
+
+def test_clustering_coefficient_fuzz(spark):
+    import random
+
+    from pyradiomics_spark.operators.graph import clustering_coefficient
+
+    rnd = random.Random(37)
+    nodes = [f"n{i}" for i in range(22)]
+    edges = [(rnd.choice(nodes), rnd.choice(nodes)) for _ in range(90)]
+    got = {r.node: (r.degree, r.triangles, r.coeff)
+           for r in clustering_coefficient(
+               spark.createDataFrame(edges, ["src", "dst"])).collect()}
+    tri = _np_triangles(edges)
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    for n, d in deg.items():
+        gd, gt, gc = got[n]
+        assert gd == d and gt == tri[n]
+        if d >= 2:
+            assert gc == pytest.approx(2.0 * tri[n] / (d * (d - 1)),
+                                       rel=1e-15)
+        else:
+            assert gc is None
+
+
+def test_clustering_coefficient_extremes(spark):
+    import itertools
+
+    from pyradiomics_spark.operators.graph import clustering_coefficient
+
+    k4 = list(itertools.combinations("abcd", 2))
+    star = [("hub", f"l{i}") for i in range(5)]
+    out = {r.node: r.coeff for r in clustering_coefficient(
+        spark.createDataFrame(k4 + star, ["src", "dst"])).collect()}
+    for n in "bcd":
+        assert out[n] == pytest.approx(1.0)   # clique members
+    assert out["hub"] is None or out["hub"] == pytest.approx(0.0)
+    assert out["l0"] is None                  # degree-1 leaf gated NULL
