@@ -3631,6 +3631,38 @@ def q_minmax_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket", "column")
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS hub/authority scores (operators/graph.py hits,
+    2 rounds, L1-normalized) over the synthetic md5 host graph — the
+    directional quality prior PageRank flattens: directories score as
+    hubs, canonical sources as authorities, and a high hub/auth ratio
+    flags link farms. Per round: two |nodes|-row joins onto the edge
+    list + two same-key groupBys; normalizers are broadcast single-row
+    aggregates. DuckDB twin unrolls both rounds."""
+    from pyradiomics_spark.operators.graph import hits
+
+    out = hits(_synth_host_edges(spark, sf_dir), n_iter=2)
+    return out.select(
+        "node", _rnd("hub", 6).alias("hub"),
+        _rnd("auth", 6).alias("auth")).orderBy("node")
+
+
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (operators/graph.py
+    label_propagation, 3 rounds, most-frequent-neighbor label with
+    min-label ties) over the sparse synthetic host graph — community
+    granularity between connected_components (merges across any bridge)
+    and per-host stats: the unit for mirror-family and per-community
+    quality weighting. Integer counts + string min make every round
+    engine-exact; the DuckDB twin replays all three rounds with
+    QUALIFY row_number."""
+    from pyradiomics_spark.operators.graph import label_propagation
+
+    out = label_propagation(_synth_sparse_host_edges(spark, sf_dir),
+                            n_iter=3)
+    return out.select("node", "label").orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (VERDICT r4 item 1): the driver's CORRECTNESS gate
     # only checks the FIRST 50 entries, so the least-recently-driver-verified
@@ -3640,6 +3672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gated green in CORRECTNESS_r04 follow. tools/check_oracle.py covers
     # ALL entries locally regardless of this window.
     return {
+        # --- new in the second round-5 continuation session ---
+        "hits": q_hits,
+        "label_prop": q_label_prop,
         # --- new in the round-5 continuation session (never verified) ---
         "triangle_count": q_triangle_count,
         "scd2": q_scd2,
@@ -4426,6 +4461,115 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY node ORDER BY node
         """
     return {
+        "hits": """
+            WITH b AS (
+              SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                       ::BIGINT % 40 AS sb,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':o1'), 1, 8))
+                       ::BIGINT % 40 AS t1,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':o2'), 1, 8))
+                       ::BIGINT % 40 AS t2
+              FROM documents
+            ), e AS (
+              SELECT 'h' || sb::VARCHAR AS src, 'h' || t1::VARCHAR AS dst
+              FROM b WHERE sb < 35 AND sb <> t1
+              UNION ALL
+              SELECT 'h' || sb::VARCHAR, 'h' || t2::VARCHAR
+              FROM b WHERE sb < 35 AND sb <> t2
+            ), nodes AS (
+              SELECT src AS node FROM e UNION SELECT dst FROM e
+            ), h0 AS (
+              SELECT node,
+                     1.0 / (SELECT count(*) FROM nodes) AS hub FROM nodes
+            ), a1r AS (
+              SELECT n.node,
+                     coalesce(s.v, 0) AS auth
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(h.hub) AS v
+                FROM e JOIN h0 h ON e.src = h.node GROUP BY e.dst) s
+                ON n.node = s.node
+            ), a1 AS (
+              SELECT node, auth / (SELECT sum(auth) FROM a1r) AS auth
+              FROM a1r
+            ), h1r AS (
+              SELECT n.node, coalesce(s.v, 0) AS hub
+              FROM nodes n LEFT JOIN (
+                SELECT e.src AS node, sum(a.auth) AS v
+                FROM e JOIN a1 a ON e.dst = a.node GROUP BY e.src) s
+                ON n.node = s.node
+            ), h1 AS (
+              SELECT node, hub / (SELECT sum(hub) FROM h1r) AS hub
+              FROM h1r
+            ), a2r AS (
+              SELECT n.node, coalesce(s.v, 0) AS auth
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(h.hub) AS v
+                FROM e JOIN h1 h ON e.src = h.node GROUP BY e.dst) s
+                ON n.node = s.node
+            ), a2 AS (
+              SELECT node, auth / (SELECT sum(auth) FROM a2r) AS auth
+              FROM a2r
+            ), h2r AS (
+              SELECT n.node, coalesce(s.v, 0) AS hub
+              FROM nodes n LEFT JOIN (
+                SELECT e.src AS node, sum(a.auth) AS v
+                FROM e JOIN a2 a ON e.dst = a.node GROUP BY e.src) s
+                ON n.node = s.node
+            ), h2 AS (
+              SELECT node, hub / (SELECT sum(hub) FROM h2r) AS hub
+              FROM h2r
+            )
+            SELECT h2.node,
+                   floor(h2.hub * 1e6 + 0.50000095367431640625) / 1e6
+                     AS hub,
+                   floor(a2.auth * 1e6 + 0.50000095367431640625) / 1e6
+                     AS auth
+            FROM h2 JOIN a2 ON h2.node = a2.node ORDER BY h2.node
+        """,
+        "label_prop": """
+            WITH b AS (
+              SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                       ::BIGINT % 400 AS sb,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':o1'), 1, 8))
+                       ::BIGINT % 400 AS t1,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':o2'), 1, 8))
+                       ::BIGINT % 400 AS t2
+              FROM documents
+            ), ed AS (
+              SELECT 'g' || sb::VARCHAR AS src, 'g' || t1::VARCHAR AS dst
+              FROM b WHERE sb < 350 AND sb <> t1
+              UNION ALL
+              SELECT 'g' || sb::VARCHAR, 'g' || t2::VARCHAR
+              FROM b WHERE sb < 350 AND sb <> t2
+            ), se AS (
+              SELECT DISTINCT least(src, dst) AS na, greatest(src, dst) AS nb
+              FROM ed WHERE src <> dst
+            ), bo AS (
+              SELECT na AS u, nb AS v FROM se
+              UNION ALL SELECT nb, na FROM se
+            ), l0 AS (
+              SELECT DISTINCT u AS node, u AS label FROM bo
+            ), l1 AS (
+              SELECT bo.u AS node, l.label, count(*) AS n1
+              FROM bo JOIN l0 l ON bo.v = l.node
+              GROUP BY bo.u, l.label
+              QUALIFY row_number() OVER (
+                PARTITION BY bo.u ORDER BY n1 DESC, l.label) = 1
+            ), l2 AS (
+              SELECT bo.u AS node, l.label, count(*) AS n2
+              FROM bo JOIN l1 l ON bo.v = l.node
+              GROUP BY bo.u, l.label
+              QUALIFY row_number() OVER (
+                PARTITION BY bo.u ORDER BY n2 DESC, l.label) = 1
+            ), l3 AS (
+              SELECT bo.u AS node, l.label, count(*) AS n3
+              FROM bo JOIN l2 l ON bo.v = l.node
+              GROUP BY bo.u, l.label
+              QUALIFY row_number() OVER (
+                PARTITION BY bo.u ORDER BY n3 DESC, l.label) = 1
+            )
+            SELECT node, label FROM l3 ORDER BY node
+        """,
         "triangle_count": """
             WITH b AS (
               SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))

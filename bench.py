@@ -153,6 +153,9 @@ def main() -> None:
         "textrank", "logreg_predict", "calibration", "acf",
         "edit_join2", "assortativity", "lang_confusion",
         "clustering_coeff", "session_paths",
+        # round 5 continuation 2: HITS hub/authority split, deterministic
+        # label-propagation communities
+        "hits", "label_prop",
     ]
     for name in headline:
         if name not in qs:

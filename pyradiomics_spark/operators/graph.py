@@ -344,3 +344,140 @@ def clustering_coefficient(
     coeff = F.when(F.col("degree") >= 2,
                    (2.0 * t) / (d * (d - 1.0)))
     return j.select("node", "degree", "triangles", coeff.alias("coeff"))
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(node, hub, auth) after ``n_iter`` synchronous rounds of
+    Kleinberg's HITS (JACM '99) over the directed edge list — the
+    hub/authority split PageRank flattens: a link directory is a hub
+    (points at good authorities), a canonical source is an authority
+    (pointed at by good hubs). For crawl curation the AUTHORITY score is
+    the quality prior and a high hub/auth ratio flags link farms.
+
+        a'(v) = Σ_{u→v} h(u)        then L1-normalize a'
+        h'(u) = Σ_{u→v} a'(v)       then L1-normalize h'
+
+    L1 normalization (not Kleinberg's L2) keeps every output a fixed
+    IEEE op tree over regrouped sums — same determinism contract as
+    `pagerank` (exact at fixed partitioning, 1-ulp-stable otherwise);
+    the ranking it induces is identical to the L2-normalized one since
+    normalization is a positive scalar. Parallel edges are honored
+    as-is (dedup upstream for simple-graph semantics). Hubs start
+    uniform at 1/N over the nodes present in ``edges``; a node with no
+    in-edges has auth exactly 0, no out-edges hub exactly 0.
+
+    Scale shape per round: TWO equi-joins of the |nodes|-row score
+    vector onto the edge list (keyed on ``src`` then ``dst``) and TWO
+    map-side-combined groupBys on the same keys — a cluster run that
+    bucket-writes ``edges`` by either endpoint reuses its exchange
+    every round. Normalizers are single-row aggregates broadcast back
+    via crossJoin (no driver collect); localCheckpoint per round caps
+    iterative lineage exactly like `pagerank`."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    nodes = (e.select(F.col("__s").alias("node"))
+             .unionByName(e.select(F.col("__d").alias("node")))
+             .distinct())
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=True)
+    n_total = nodes.agg(F.count("*").alias("__n"))
+    hub = nodes.crossJoin(F.broadcast(n_total)).select(
+        "node", (F.lit(1.0) / F.col("__n")).alias("hub"))
+
+    def _norm(scores: DataFrame, col: str) -> DataFrame:
+        tot = scores.agg(F.sum(col).alias("__t"))
+        return (scores.crossJoin(F.broadcast(tot))
+                .select("node", (F.col(col) / F.col("__t")).alias(col)))
+
+    auth = None
+    for _ in range(n_iter):
+        a_raw = (e.join(hub.select(F.col("node").alias("__s"), "hub"),
+                        "__s")
+                 .groupBy(F.col("__d").alias("node"))
+                 .agg(F.sum("hub").alias("auth")))
+        auth = _norm(
+            nodes.join(a_raw, "node", "left")
+            .select("node", F.coalesce(F.col("auth"), F.lit(0.0))
+                    .alias("auth")), "auth")
+        h_raw = (e.join(auth.select(F.col("node").alias("__d"), "auth"),
+                        "__d")
+                 .groupBy(F.col("__s").alias("node"))
+                 .agg(F.sum("auth").alias("hub")))
+        hub = _norm(
+            nodes.join(h_raw, "node", "left")
+            .select("node", F.coalesce(F.col("hub"), F.lit(0.0))
+                    .alias("hub")), "hub")
+        if checkpoint:
+            auth = auth.localCheckpoint(eager=True)
+            hub = hub.localCheckpoint(eager=True)
+    return hub.join(auth, "node").select("node", "hub", "auth")
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(node, label) after ``n_iter`` SYNCHRONOUS rounds of deterministic
+    label propagation (Raghavan et al., PRE 2007) over the undirected
+    simple graph: every node adopts the most frequent label among its
+    neighbors, ties broken by the smallest label. Communities over the
+    host graph group mirror/boilerplate families that exact URL dedup
+    misses; unlike `connected_components` (which merges anything
+    touching) LPA keeps weakly-bridged clusters apart, so it is the
+    right granularity for per-community quality weighting.
+
+    Deterministic by construction — integer counts, string min — so a
+    SQL twin replaying the same rounds is bit-exact. Labels start as
+    the node's own id; classic LPA excludes the self-label from the
+    vote (a node's label flips whenever any neighbor label outvotes it),
+    and synchronous updates may 2-cycle on bipartite structures — run a
+    fixed even/odd ``n_iter`` per cadence and compare, as with
+    `kcore_peel`'s bounded rounds.
+
+    Scale shape per round: ONE equi-join of the |nodes|-row label vector
+    onto the symmetrized edge list + ONE (node, label) census groupBy +
+    ONE argmax window over census rows partitioned by node (census rows
+    ≤ edge endpoints, shrinking as communities coalesce; the window
+    never sees corpus-scale partitions because a node's census rows are
+    bounded by its degree). Same-key shuffles reuse one exchange;
+    localCheckpoint per round caps lineage."""
+    from pyspark.sql import Window
+
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    e = (edges
+         .select(F.least(F.col(src), F.col(dst)).alias("a"),
+                 F.greatest(F.col(src), F.col(dst)).alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .distinct())
+    both = e.unionAll(e.select(F.col("b").alias("a"),
+                               F.col("a").alias("b")))
+    if checkpoint:
+        both = both.localCheckpoint(eager=True)
+    labels = (both.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    w = Window.partitionBy("node").orderBy(
+        F.col("__n").desc(), F.col("label").asc())
+    for _ in range(n_iter):
+        census = (both
+                  .join(labels.select(F.col("node").alias("b"), "label"),
+                        "b")
+                  .groupBy(F.col("a").alias("node"), "label")
+                  .agg(F.count("*").alias("__n")))
+        labels = (census
+                  .withColumn("__r", F.row_number().over(w))
+                  .where(F.col("__r") == 1)
+                  .select("node", "label"))
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

@@ -432,3 +432,145 @@ def test_clustering_coefficient_extremes(spark):
         assert out[n] == pytest.approx(1.0)   # clique members
     assert out["hub"] is None or out["hub"] == pytest.approx(0.0)
     assert out["l0"] is None                  # degree-1 leaf gated NULL
+
+
+def _np_hits(edges, n_iter):
+    import numpy as np
+
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    h = np.full(n, 1.0 / n)
+    a = np.zeros(n)
+    for _ in range(n_iter):
+        a = np.zeros(n)
+        for u, v in edges:
+            a[idx[v]] += h[idx[u]]
+        a = a / a.sum()
+        h = np.zeros(n)
+        for u, v in edges:
+            h[idx[u]] += a[idx[v]]
+        h = h / h.sum()
+    return ({nodes[i]: h[i] for i in range(n)},
+            {nodes[i]: a[i] for i in range(n)})
+
+
+def test_hits_matches_numpy(spark, edges_df):
+    from pyradiomics_spark.operators.graph import hits
+
+    rows = hits(edges_df, n_iter=3).collect()
+    got_h = {r.node: r.hub for r in rows}
+    got_a = {r.node: r.auth for r in rows}
+    want_h, want_a = _np_hits(EDGES, 3)
+    assert set(got_h) == set(want_h)
+    for k in want_h:
+        assert got_h[k] == pytest.approx(want_h[k], rel=1e-12, abs=1e-15)
+        assert got_a[k] == pytest.approx(want_a[k], rel=1e-12, abs=1e-15)
+    # L1 normalization holds exactly on both vectors
+    assert sum(got_h.values()) == pytest.approx(1.0, abs=1e-12)
+    assert sum(got_a.values()) == pytest.approx(1.0, abs=1e-12)
+    # e has no out-edges -> hub exactly 0; d has no in-edges -> auth 0
+    assert got_h["e"] == 0.0
+    assert got_a["d"] == 0.0
+
+
+def test_hits_directory_vs_source(spark):
+    """A pure directory (links to everything, never linked) must be the
+    top hub with zero authority; the page everyone points at the top
+    authority."""
+    from pyradiomics_spark.operators.graph import hits
+
+    edges = [("dir", "p1"), ("dir", "p2"), ("dir", "p3"),
+             ("p1", "p2"), ("p3", "p2")]
+    rows = hits(spark.createDataFrame(edges, ["src", "dst"]),
+                n_iter=4).collect()
+    h = {r.node: r.hub for r in rows}
+    a = {r.node: r.auth for r in rows}
+    assert max(h, key=h.get) == "dir" and a["dir"] == 0.0
+    assert max(a, key=a.get) == "p2"
+
+
+def test_hits_no_checkpoint_same_result(spark, edges_df):
+    from pyradiomics_spark.operators.graph import hits
+
+    ref = {(r.node): (r.hub, r.auth)
+           for r in hits(edges_df, n_iter=2).collect()}
+    got = {(r.node): (r.hub, r.auth)
+           for r in hits(edges_df, n_iter=2, checkpoint=False).collect()}
+    assert ref == got
+
+
+def test_hits_rejects_zero_iters(edges_df):
+    from pyradiomics_spark.operators.graph import hits
+
+    with pytest.raises(ValueError):
+        hits(edges_df, n_iter=0)
+
+
+def _py_lpa(edges, n_iter):
+    """Synchronous deterministic LPA: most frequent neighbor label,
+    ties -> smallest label, self-label excluded from the vote."""
+    from collections import Counter
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    lab = {n: n for n in nbrs}
+    for _ in range(n_iter):
+        new = {}
+        for n in nbrs:
+            c = Counter(lab[m] for m in nbrs[n])
+            best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            new[n] = best[0]
+        lab = new
+    return lab
+
+
+def test_lpa_matches_reference(spark):
+    from pyradiomics_spark.operators.graph import label_propagation
+
+    # two triangles joined by one bridge edge: LPA keeps them apart
+    edges = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for n_iter in (1, 2, 3, 4):
+        got = {r.node: r.label
+               for r in label_propagation(df, n_iter=n_iter).collect()}
+        assert got == _py_lpa(edges, n_iter)
+    got = {r.node: r.label
+           for r in label_propagation(df, n_iter=4).collect()}
+    # the two triangles converge to single (distinct) community labels
+    # despite the bridge edge
+    assert len({got[n] for n in "abc"}) == 1
+    assert len({got[n] for n in "xyz"}) == 1
+    assert got["a"] != got["x"]
+
+
+def test_lpa_fuzz_random_graph(spark):
+    import numpy as np
+
+    from pyradiomics_spark.operators.graph import label_propagation
+
+    rng = np.random.default_rng(7)
+    edges = []
+    for _ in range(80):
+        u, v = rng.integers(0, 25, size=2)
+        if u != v:
+            edges.append((f"n{u:02d}", f"n{v:02d}"))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.label
+           for r in label_propagation(df, n_iter=3).collect()}
+    assert got == _py_lpa(edges, 3)
+
+
+def test_lpa_ignores_direction_and_duplicates(spark):
+    from pyradiomics_spark.operators.graph import label_propagation
+
+    a = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "b"), ("b", "c")], ["src", "dst"])
+    b = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    ga = {r.node: r.label for r in label_propagation(a, n_iter=2).collect()}
+    gb = {r.node: r.label for r in label_propagation(b, n_iter=2).collect()}
+    assert ga == gb
