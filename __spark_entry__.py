@@ -3663,6 +3663,31 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", "label").orderBy("node")
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-token estimate via the KMV k-minimum-values
+    sketch (operators/sketches.py kmv_sketch/kmv_estimate, k=256) — the
+    unbiased, set-operation-closed companion to the hll_by_lang gate:
+    KMV sketches from different crawls merge EXACTLY (union + re-rank),
+    which HLL registers cannot do for intersections. One map-side
+    distinct on (lang, hash) + a rank window over distinct rows + a
+    ≤k-row aggregate; the estimator divides by the exactly-representable
+    2^60, one fixed IEEE op tree both engines."""
+    from pyradiomics_spark.operators.sketches import (kmv_estimate,
+                                                      kmv_sketch)
+
+    docs = _read(spark, sf_dir, "documents").select("lang", "text")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    sk = kmv_sketch(toks, "lang", "term", k=256)
+    out = kmv_estimate(sk, "lang", k=256)
+    return out.select(
+        "lang", F.col("n_hashes").cast("long").alias("n_hashes"),
+        _rnd("est", 6).alias("est"),
+    ).orderBy("lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (VERDICT r4 item 1): the driver's CORRECTNESS gate
     # only checks the FIRST 50 entries, so the least-recently-driver-verified
@@ -3675,6 +3700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in the second round-5 continuation session ---
         "hits": q_hits,
         "label_prop": q_label_prop,
+        "kmv_distinct": q_kmv_distinct,
         # --- new in the round-5 continuation session (never verified) ---
         "triangle_count": q_triangle_count,
         "scd2": q_scd2,
@@ -4525,6 +4551,32 @@ def oracle_sql() -> dict[str, str]:
                    floor(a2.auth * 1e6 + 0.50000095367431640625) / 1e6
                      AS auth
             FROM h2 JOIN a2 ON h2.node = a2.node ORDER BY h2.node
+        """,
+        "kmv_distinct": """
+            WITH toks AS (
+              SELECT lang, unnest(string_split(lower(text), ' ')) AS term
+              FROM documents
+            ), hs AS (
+              SELECT DISTINCT lang,
+                     ('0x' || substr(md5(term || ':0'), 1, 15))::BIGINT
+                       AS h
+              FROM toks WHERE term <> ''
+            ), rk AS (
+              SELECT lang, h,
+                     row_number() OVER (PARTITION BY lang ORDER BY h)
+                       AS pos
+              FROM hs
+            ), ag AS (
+              SELECT lang, count(*) AS n_hashes,
+                     max(CASE WHEN pos = 256 THEN h END) AS hk
+              FROM rk WHERE pos <= 256 GROUP BY lang
+            )
+            SELECT lang, n_hashes::BIGINT AS n_hashes,
+                   floor((CASE WHEN n_hashes < 256 THEN n_hashes::DOUBLE
+                          ELSE 255.0 / (hk::DOUBLE
+                                        / 1152921504606846976.0) END)
+                         * 1e6 + 0.50000095367431640625) / 1e6 AS est
+            FROM ag ORDER BY lang
         """,
         "label_prop": """
             WITH b AS (

@@ -200,3 +200,78 @@ def test_hll_by_group_matches_driver_estimate(spark):
         assert got[g][1] == nz_drv
         assert got[g][0] == pytest.approx(est_drv, rel=1e-9)
         assert abs(got[g][0] - exact) / exact < 0.15
+
+
+def _py_kmv(values, k, seed=0):
+    import hashlib
+
+    hs = sorted({int(hashlib.md5(f"{v}:{seed}".encode()).hexdigest()[:15],
+                     16) for v in values})
+    return hs[:k]
+
+
+def test_kmv_sketch_matches_python_twin(spark):
+    from pyradiomics_spark.operators.sketches import kmv_sketch
+
+    vals = [f"tok{i % 700}" for i in range(3000)]  # duplicates collapse
+    df = spark.createDataFrame([("g", v) for v in vals], ["g", "u"])
+    rows = kmv_sketch(df, "g", "u", k=32, seed=5).collect()
+    got = [r.h for r in sorted(rows, key=lambda r: r.pos)]
+    assert got == _py_kmv(vals, 32, seed=5)
+    assert [r.pos for r in sorted(rows, key=lambda r: r.pos)] == list(
+        range(1, 33))
+
+
+def test_kmv_estimate_exact_below_k(spark):
+    from pyradiomics_spark.operators.sketches import (kmv_estimate,
+                                                      kmv_sketch)
+
+    df = spark.createDataFrame(
+        [("a", f"v{i % 10}") for i in range(100)]
+        + [("b", f"w{i}") for i in range(500)], ["g", "u"])
+    sk = kmv_sketch(df, "g", "u", k=64)
+    out = {r.g: (r.n_hashes, r.est) for r in
+           kmv_estimate(sk, "g", k=64).collect()}
+    # group a has 10 < k distinct values -> exact
+    assert out["a"] == (10, 10.0)
+    # group b: unbiased estimate within 25% at k=64, n=500
+    n, est = out["b"]
+    assert n == 64 and abs(est - 500) / 500 < 0.25
+
+
+def test_kmv_estimate_matches_python_formula(spark):
+    from pyradiomics_spark.operators.sketches import (kmv_estimate,
+                                                      kmv_sketch)
+
+    vals = [f"u{i}" for i in range(2000)]
+    df = spark.createDataFrame([("g", v) for v in vals], ["g", "u"])
+    k = 128
+    est = kmv_estimate(kmv_sketch(df, "g", "u", k=k), "g", k=k
+                       ).collect()[0].est
+    hs = _py_kmv(vals, k)
+    assert est == pytest.approx((k - 1) / (hs[k - 1] / float(1 << 60)),
+                                rel=1e-12)
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    from pyradiomics_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    a_vals = [(f"g{i % 2}", f"x{i}") for i in range(400)]
+    b_vals = [(f"g{i % 2}", f"x{i + 200}") for i in range(400)]  # overlap
+    a = spark.createDataFrame(a_vals, ["g", "u"])
+    b = spark.createDataFrame(b_vals, ["g", "u"])
+    k = 48
+    merged = kmv_merge(kmv_sketch(a, "g", "u", k=k),
+                       kmv_sketch(b, "g", "u", k=k), "g", k=k)
+    direct = kmv_sketch(a.unionByName(b), "g", "u", k=k)
+    got = {(r.g, r.pos): r.h for r in merged.collect()}
+    want = {(r.g, r.pos): r.h for r in direct.collect()}
+    assert got == want
+
+
+def test_kmv_rejects_tiny_k(spark):
+    from pyradiomics_spark.operators.sketches import kmv_sketch
+
+    df = spark.createDataFrame([("g", "v")], ["g", "u"])
+    with pytest.raises(ValueError):
+        kmv_sketch(df, "g", "u", k=1)
