@@ -3688,6 +3688,41 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer (functions/encoders.py feature_hash,
+    Weinberger ICML'09): tokens → signed counts in 64 md5 buckets, the
+    dictionary-free encoder that keeps model width fixed while the
+    crawl vocabulary drifts. One explode + ONE map-side-combined
+    groupBy on (doc, idx); no fitted state, no broadcast, no Python.
+    DuckDB twin replays idx and sign from the same md5 digits."""
+    from pyradiomics_spark.functions.encoders import feature_hash
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = feature_hash(docs, "doc_id", "text", n_features=64, seed=0)
+    return out.select(
+        "doc_id", "feat_idx", "feat_val"
+    ).orderBy("doc_id", "feat_idx")
+
+
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence table + information value of `source`
+    against English-ness (functions/encoders.py woe_encode, Laplace
+    0.5) — the monotone categorical encoding and screening statistic
+    for curation quality classifiers. ONE category aggregate + windows
+    over the |categories|-row aggregate only; every float flows
+    through one fixed op tree (ln of a smoothed-count ratio)."""
+    from pyradiomics_spark.functions.encoders import woe_encode
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "source", (F.col("lang") == "en").cast("int").alias("y"))
+    out = woe_encode(docs, "source", "y", alpha=0.5)
+    return out.select(
+        "source", F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        _rnd("woe", 6).alias("woe"), _rnd("iv", 6).alias("iv"),
+    ).orderBy("source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (VERDICT r4 item 1): the driver's CORRECTNESS gate
     # only checks the FIRST 50 entries, so the least-recently-driver-verified
@@ -3701,6 +3736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "label_prop": q_label_prop,
         "kmv_distinct": q_kmv_distinct,
+        "feature_hash": q_feature_hash,
+        "woe_iv": q_woe_iv,
         # --- new in the round-5 continuation session (never verified) ---
         "triangle_count": q_triangle_count,
         "scd2": q_scd2,
@@ -4551,6 +4588,47 @@ def oracle_sql() -> dict[str, str]:
                    floor(a2.auth * 1e6 + 0.50000095367431640625) / 1e6
                      AS auth
             FROM h2 JOIN a2 ON h2.node = a2.node ORDER BY h2.node
+        """,
+        "feature_hash": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ), t AS (
+              SELECT doc_id, md5(tok || ':0') AS h
+              FROM toks WHERE tok <> ''
+            )
+            SELECT doc_id,
+                   ('0x' || substr(h, 1, 8))::BIGINT % 64 AS feat_idx,
+                   sum(CASE WHEN ((instr('0123456789abcdef',
+                                         substr(h, 9, 1)) - 1) & 1) = 1
+                            THEN 1 ELSE -1 END)::BIGINT AS feat_val
+            FROM t GROUP BY 1, 2 ORDER BY doc_id, feat_idx
+        """,
+        "woe_iv": """
+            WITH s AS (
+              SELECT source, count(*) AS n,
+                     sum(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END)
+                       AS np
+              FROM documents GROUP BY source
+            ), t AS (
+              SELECT count(*) AS c, sum(np) AS tp, sum(n - np) AS tn
+              FROM s
+            ), w AS (
+              SELECT s.source, s.n, s.np,
+                     (s.np + 0.5) / (t.tp + 0.5 * t.c) AS p1,
+                     (s.n - s.np + 0.5) / (t.tn + 0.5 * t.c) AS p0
+              FROM s CROSS JOIN t
+            ), w2 AS (
+              SELECT source, n, np, ln(p1 / p0) AS woe,
+                     (p1 - p0) * ln(p1 / p0) AS ivc
+              FROM w
+            )
+            SELECT source, n::BIGINT AS n, np::BIGINT AS n_pos,
+                   floor(woe * 1e6 + 0.50000095367431640625) / 1e6
+                     AS woe,
+                   floor((SELECT sum(ivc) FROM w2) * 1e6
+                         + 0.50000095367431640625) / 1e6 AS iv
+            FROM w2 ORDER BY source
         """,
         "kmv_distinct": """
             WITH toks AS (

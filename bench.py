@@ -155,7 +155,7 @@ def main() -> None:
         "clustering_coeff", "session_paths",
         # round 5 continuation 2: HITS hub/authority split, deterministic
         # label-propagation communities
-        "hits", "label_prop", "kmv_distinct",
+        "hits", "label_prop", "kmv_distinct", "feature_hash", "woe_iv",
     ]
     for name in headline:
         if name not in qs:

@@ -124,3 +124,95 @@ def psi_drift(
         F.lit(None).cast("double").alias("p_a"),
         F.lit(None).cast("double").alias("p_b"), "term")
     return scored.unionByName(total)
+
+
+def feature_hash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_features: int = 1024,
+    seed: int = 0,
+) -> DataFrame:
+    """The hashing trick (Weinberger et al., ICML'09; Vowpal Wabbit's
+    featurizer): whitespace tokens of ``text_col`` map to
+    ``(id, feat_idx, feat_val)`` sparse rows with
+    ``feat_idx = md5(tok:seed) % n_features`` and a ±1 sign drawn from
+    the next md5 hex digit, summed per (id, idx). Signed hashing keeps
+    the implicit inner products unbiased under collisions — the
+    property that lets a fixed-width model train over an unbounded,
+    drifting vocabulary with NO fitted dictionary (nothing to broadcast,
+    nothing to version per crawl; the encoder is a pure expression).
+
+    Deterministic md5 family → the same corpus hashes identically on
+    any engine or cluster; an oracle replays every row bit-for-bit.
+
+    Scale shape: one explode + ONE map-side-combined groupBy on
+    (id, idx) — each scan partition ships at most |its docs|·width
+    partial cells; no fitted state, no second pass, no Python."""
+    if n_features < 2:
+        raise ValueError("n_features must be >= 2")
+    toks = (df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok"))
+        .where(F.col("__tok") != ""))
+    h = F.md5(F.concat(F.col("__tok"), F.lit(f":{seed}")))
+    idx = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+           % F.lit(int(n_features)))
+    # sign from hex digit 9's low bit — independent of the idx bits
+    sign = F.when(
+        (F.instr(F.lit("0123456789abcdef"), F.substring(h, 9, 1)) - 1)
+        .bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+    return (toks.select(F.col(id_col), idx.alias("feat_idx"),
+                        sign.alias("__s"))
+            .groupBy(id_col, "feat_idx")
+            .agg(F.sum("__s").cast("long").alias("feat_val")))
+
+
+def woe_encode(
+    df: DataFrame,
+    cat_col: str,
+    y_col,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Weight-of-evidence table for a categorical column against a
+    binary target: ``(cat, n, n_pos, woe, iv)`` with Laplace-``alpha``
+    smoothing on every per-category count (totals adjusted by
+    ``alpha·|categories|`` so the smoothed class distributions still
+    sum to 1):
+
+        woe(c) = ln( p(c|y=1) / p(c|y=0) )
+        iv     = Σ_c (p(c|y=1) − p(c|y=0)) · woe(c)
+
+    (Siddiqi, *Credit Risk Scorecards* 2006.) WoE is the standard
+    monotone categorical encoding for the quality/spam classifiers in
+    curation loops, and IV — repeated on every row, aggregate-sized —
+    is the screening statistic for whether the column is worth
+    encoding at all (rule of thumb: IV < 0.02 useless, > 0.5 suspect).
+
+    Scale shape: ONE map-side-combined category aggregate
+    (|categories| rows), one broadcast totals row, one |categories|²-free
+    window for IV over the aggregate — corpus rows are scanned once;
+    encode rows by broadcast-joining this table back on ``cat_col``."""
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (unsmoothed WoE is "
+                         "undefined for single-class categories)")
+    from pyspark.sql import Window
+
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("double")
+    stats = df.groupBy(cat_col).agg(
+        F.count("*").alias("n"),
+        F.sum(y).alias("__np"))
+    a = F.lit(float(alpha))
+    w = Window.partitionBy()
+    c_cnt = F.count("*").over(w)
+    tot_p = F.sum("__np").over(w)
+    tot_n = F.sum(F.col("n") - F.col("__np")).over(w)
+    p1 = (F.col("__np") + a) / (tot_p + a * c_cnt)
+    p0 = (F.col("n") - F.col("__np") + a) / (tot_n + a * c_cnt)
+    woe = F.log(p1 / p0)
+    out = stats.select(
+        F.col(cat_col), F.col("n"),
+        F.col("__np").cast("long").alias("n_pos"),
+        woe.alias("woe"),
+        ((p1 - p0) * woe).alias("__ivc"))
+    return out.withColumn("iv", F.sum("__ivc").over(w)).drop("__ivc")

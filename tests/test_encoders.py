@@ -54,3 +54,106 @@ def test_guards(spark):
     df = spark.createDataFrame([("a", 1.0)], ["cat", "y"])
     with pytest.raises(ValueError, match="smoothing"):
         target_encode(df, "cat", "y", smoothing=-1.0)
+
+
+def _py_feature_hash(rows, n_features, seed=0):
+    import hashlib
+    from collections import defaultdict
+
+    out = defaultdict(int)
+    for rid, text in rows:
+        for tok in text.split(" "):
+            if not tok:
+                continue
+            h = hashlib.md5(f"{tok}:{seed}".encode()).hexdigest()
+            idx = int(h[:8], 16) % n_features
+            sign = 1 if (int(h[8], 16) & 1) == 1 else -1
+            out[(rid, idx)] += sign
+    return dict(out)
+
+
+def test_feature_hash_matches_python(spark):
+    from pyradiomics_spark.functions.encoders import feature_hash
+
+    rows = [(1, "the cat sat on the mat"),
+            (2, "spark shuffles the  data"),   # double space -> empty tok
+            (3, "")]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {(r.id, r.feat_idx): r.feat_val
+           for r in feature_hash(df, "id", "text", n_features=16,
+                                 seed=2).collect()}
+    assert got == _py_feature_hash(rows, 16, seed=2)
+
+
+def test_feature_hash_signed_collisions_cancel(spark):
+    """Same token twice doubles its cell; the sign is deterministic per
+    token so repeated text scales values linearly."""
+    from pyradiomics_spark.functions.encoders import feature_hash
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b a b")], ["id", "text"])
+    out = feature_hash(df, "id", "text", n_features=8)
+    one = {r.feat_idx: r.feat_val for r in
+           out.where("id = 1").collect()}
+    two = {r.feat_idx: r.feat_val for r in
+           out.where("id = 2").collect()}
+    assert two == {k: 2 * v for k, v in one.items()}
+
+
+def test_feature_hash_rejects_width(spark):
+    import pytest
+
+    from pyradiomics_spark.functions.encoders import feature_hash
+
+    df = spark.createDataFrame([(1, "x")], ["id", "text"])
+    with pytest.raises(ValueError):
+        feature_hash(df, "id", "text", n_features=1)
+
+
+def _py_woe(pairs, alpha):
+    import math
+    from collections import Counter
+
+    n = Counter(c for c, _ in pairs)
+    npos = Counter(c for c, y in pairs if y == 1)
+    cats = sorted(n)
+    c_cnt = len(cats)
+    tot_p = sum(npos.values())
+    tot_n = sum(n.values()) - tot_p
+    woe, iv = {}, 0.0
+    for c in cats:
+        p1 = (npos.get(c, 0) + alpha) / (tot_p + alpha * c_cnt)
+        p0 = (n[c] - npos.get(c, 0) + alpha) / (tot_n + alpha * c_cnt)
+        woe[c] = math.log(p1 / p0)
+        iv += (p1 - p0) * woe[c]
+    return woe, iv
+
+
+def test_woe_matches_python(spark):
+    import pytest
+
+    from pyradiomics_spark.functions.encoders import woe_encode
+
+    pairs = ([("a", 1)] * 30 + [("a", 0)] * 10
+             + [("b", 1)] * 5 + [("b", 0)] * 45
+             + [("c", 1)] * 2)           # single-class category
+    df = spark.createDataFrame(pairs, ["cat", "y"])
+    rows = woe_encode(df, "cat", "y", alpha=0.5).collect()
+    want_woe, want_iv = _py_woe(pairs, 0.5)
+    assert {r.cat for r in rows} == set(want_woe)
+    for r in rows:
+        assert r.woe == pytest.approx(want_woe[r.cat], rel=1e-12)
+        assert r.iv == pytest.approx(want_iv, rel=1e-12)
+        assert r.n_pos <= r.n
+    # separating column -> substantial IV
+    assert rows[0].iv > 0.5
+
+
+def test_woe_rejects_zero_alpha(spark):
+    import pytest
+
+    from pyradiomics_spark.functions.encoders import woe_encode
+
+    df = spark.createDataFrame([("a", 1)], ["cat", "y"])
+    with pytest.raises(ValueError):
+        woe_encode(df, "cat", "y", alpha=0.0)
