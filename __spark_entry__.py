@@ -3775,6 +3775,46 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch conversion attribution (operators/events.py
+    conversion_attribution) of purchases to the preceding event channel
+    — the two bookend credit models over the engine's per-user ordered
+    streams. ONE window pass (running IGNORE-NULLS bookends over the
+    same per-user partitioning every temporal operator uses) + two
+    |channels|-row censuses joined null-safely; both columns sum to the
+    conversion count by construction."""
+    from pyradiomics_spark.operators.events import conversion_attribution
+
+    ev = _read(spark, sf_dir, "events")
+    out = conversion_attribution(ev, "user_id", "ts", "event_type",
+                                 "purchase", tie_col="event_id")
+    return out.select(
+        F.coalesce(F.col("channel"), F.lit("(none)")).alias("channel"),
+        "first_touch", "last_touch").orderBy("channel")
+
+
+def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language host-concentration card row (functions/textstats.py
+    concentration_metrics): HHI and Gini of document counts over the
+    synthetic md5 host assignment — the diversity metrics that flag a
+    language one takedown away from collapse and feed domain_mix
+    rebalancing. ONE corpus census groupBy, then rank/sum windows over
+    the |lang×host| aggregate only; exact integer counts through one
+    fixed op tree."""
+    from pyradiomics_spark.functions.textstats import concentration_metrics
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "lang",
+        F.concat(F.lit("h"), (F.conv(F.substring(
+            F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 40).cast("string")).alias("host"))
+    out = concentration_metrics(docs, "lang", "host")
+    return out.select(
+        "lang", F.col("n_units").cast("long").alias("n_units"),
+        _rnd("hhi", 6).alias("hhi"), _rnd("gini", 6).alias("gini"),
+    ).orderBy("lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (VERDICT r4 item 1): the driver's CORRECTNESS gate
     # only checks the FIRST 50 entries, so the least-recently-driver-verified
@@ -3792,6 +3832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "woe_iv": q_woe_iv,
         "rrf_fuse": q_rrf_fuse,
         "ndcg": q_ndcg,
+        "attribution": q_attribution,
+        "concentration": q_concentration,
         # --- new in the round-5 continuation session (never verified) ---
         "triangle_count": q_triangle_count,
         "scd2": q_scd2,
@@ -4642,6 +4684,57 @@ def oracle_sql() -> dict[str, str]:
                    floor(a2.auth * 1e6 + 0.50000095367431640625) / 1e6
                      AS auth
             FROM h2 JOIN a2 ON h2.node = a2.node ORDER BY h2.node
+        """,
+        "attribution": """
+            WITH m AS (
+              SELECT user_id, event_type,
+                     first_value(CASE WHEN event_type <> 'purchase'
+                                 THEN event_type END IGNORE NULLS)
+                       OVER w AS ft,
+                     last_value(CASE WHEN event_type <> 'purchase'
+                                THEN event_type END IGNORE NULLS)
+                       OVER w AS lt
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING)
+            ), c AS (
+              SELECT * FROM m WHERE event_type = 'purchase'
+            ), f AS (
+              SELECT ft AS ch, count(*) AS n FROM c GROUP BY ft
+            ), l AS (
+              SELECT lt AS ch, count(*) AS n FROM c GROUP BY lt
+            )
+            SELECT coalesce(coalesce(f.ch, l.ch), '(none)') AS channel,
+                   coalesce(f.n, 0)::BIGINT AS first_touch,
+                   coalesce(l.n, 0)::BIGINT AS last_touch
+            FROM f FULL OUTER JOIN l ON f.ch IS NOT DISTINCT FROM l.ch
+            ORDER BY channel
+        """,
+        "concentration": """
+            WITH d AS (
+              SELECT lang,
+                     'h' || (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                             ::BIGINT % 40)::VARCHAR AS host
+              FROM documents
+            ), cen AS (
+              SELECT lang, host, count(*) AS c FROM d GROUP BY lang, host
+            ), per AS (
+              SELECT lang, c, host,
+                     count(*) OVER (PARTITION BY lang) AS n,
+                     sum(c) OVER (PARTITION BY lang) AS tot,
+                     row_number() OVER (
+                       PARTITION BY lang ORDER BY c, host) AS rk
+              FROM cen
+            )
+            SELECT lang, max(n)::BIGINT AS n_units,
+                   floor(sum((c::DOUBLE / tot::DOUBLE)
+                             * (c::DOUBLE / tot::DOUBLE)) * 1e6
+                         + 0.50000095367431640625) / 1e6 AS hhi,
+                   floor(sum((2.0 * rk::DOUBLE - n::DOUBLE - 1.0)
+                             * c::DOUBLE / (n::DOUBLE * tot::DOUBLE))
+                         * 1e6 + 0.50000095367431640625) / 1e6 AS gini
+            FROM per GROUP BY lang ORDER BY lang
         """,
         "rrf_fuse": """
             WITH agg AS (

@@ -156,7 +156,7 @@ def main() -> None:
         # round 5 continuation 2: HITS hub/authority split, deterministic
         # label-propagation communities
         "hits", "label_prop", "kmv_distinct", "feature_hash", "woe_iv",
-        "rrf_fuse", "ndcg",
+        "rrf_fuse", "ndcg", "attribution", "concentration",
     ]
     for name in headline:
         if name not in qs:

@@ -1106,3 +1106,50 @@ def textrank_keywords(
     if top_k is not None:
         out = out.orderBy(F.col("rank").desc(), "token").limit(int(top_k))
     return out
+
+
+def concentration_metrics(
+    df: DataFrame,
+    group_cols,
+    unit_col,
+) -> DataFrame:
+    """Per-group source-concentration metrics over unit counts —
+    ``(group..., n_units, hhi, gini)`` where each unit's share is its
+    row count within the group:
+
+        hhi  = Σ_u share_u²          (Herfindahl–Hirschman index)
+        gini = Σ_u (2·rank_u − n − 1)·count_u / (n · Σ count)
+
+    (ranks ascending by (count, unit) — the deterministic form of the
+    standard rank formula). The data-card diversity row: a language
+    whose corpus mass concentrates in a handful of hosts (HHI → 1,
+    Gini → 1) is one takedown or one boilerplate family away from
+    collapse, and mix rebalancing (domain_mix_sample) keys off exactly
+    these numbers.
+
+    Scale shape: ONE map-side-combined (group, unit) census — corpus
+    rows are touched once — then a rank window and a sum over the
+    |group×unit| AGGREGATE rows only. Exact integer counts through one
+    fixed op tree → engine-exact."""
+    from pyspark.sql import Window
+
+    groups = [group_cols] if isinstance(group_cols, str) else list(
+        group_cols)
+    u = F.col(unit_col) if isinstance(unit_col, str) else unit_col
+    census = df.groupBy(*groups, u.alias("__unit")).agg(
+        F.count("*").alias("__c"))
+    w = Window.partitionBy(*groups)
+    wr = w.orderBy(F.col("__c").asc(), F.col("__unit").asc())
+    c = F.col("__c").cast("double")
+    tot = F.sum("__c").over(w).cast("double")
+    n = F.count("*").over(w).cast("double")
+    rk = F.row_number().over(wr).cast("double")
+    per = census.select(
+        *groups,
+        n.alias("__n"),
+        (c / tot) .alias("__share"),
+        ((2.0 * rk - n - 1.0) * c / (n * tot)).alias("__gc"))
+    return per.groupBy(*groups).agg(
+        F.max("__n").cast("long").alias("n_units"),
+        F.sum(F.col("__share") * F.col("__share")).alias("hhi"),
+        F.sum("__gc").alias("gini"))

@@ -245,3 +245,56 @@ def session_paths(
                  ">").alias("path")))
     return (paths.groupBy("path").agg(F.count("*").alias("n"))
             .orderBy(F.desc("n"), "path").limit(int(top_k)))
+
+
+def conversion_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    conversion_type: str,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """First- and last-touch conversion attribution: for every
+    ``conversion_type`` event, credit the FIRST and the LAST
+    non-conversion event type seen earlier in the same user's stream,
+    then census per channel — ``(channel, first_touch, last_touch)``
+    conversion counts, the two bookend models of marketing/funnel
+    attribution (linear and position-decay interpolate between them).
+    Conversions with no prior touch report under channel NULL, so the
+    two columns each sum to the total conversion count — an invariant
+    the tests pin.
+
+    Scale shape: ONE per-user ordered window pass computes both running
+    bookends (``first_value``/``last_value`` IGNORE NULLS over rows
+    UNBOUNDED PRECEDING..1 PRECEDING — running state, not a per-pair
+    join), then ONE map-side-combined census groupBy per model on
+    |channels| keys, combined by a full-outer join on the |channels|-row
+    aggregates. The window partitioning is the same per-user key every
+    temporal operator here uses — one exchange end to end."""
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(user_col).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.when(F.col(type_col) != conversion_type, F.col(type_col))
+    marked = df.select(
+        F.col(user_col), F.col(type_col),
+        F.first(touch, ignorenulls=True).over(w).alias("__ft"),
+        F.last(touch, ignorenulls=True).over(w).alias("__lt"))
+    conv = marked.where(F.col(type_col) == conversion_type)
+    first = conv.groupBy(F.col("__ft").alias("channel")).agg(
+        F.count("*").alias("first_touch"))
+    last = conv.groupBy(F.col("__lt").alias("channel")).agg(
+        F.count("*").alias("last_touch"))
+    # the no-prior-touch channel is NULL — join null-safely so both
+    # models' NULL rows land on ONE output row instead of two
+    last = last.withColumnRenamed("channel", "__ch")
+    return (first.join(last, F.col("channel").eqNullSafe(F.col("__ch")),
+                       "full_outer")
+            .select(F.coalesce(F.col("channel"), F.col("__ch"))
+                    .alias("channel"),
+                    F.coalesce(F.col("first_touch"), F.lit(0))
+                    .cast("long").alias("first_touch"),
+                    F.coalesce(F.col("last_touch"), F.lit(0))
+                    .cast("long").alias("last_touch")))

@@ -207,3 +207,113 @@ def test_session_paths_tie_order_deterministic(spark):
     out = session_paths(df, "uid", "ts", "etype",
                         tie_col="event_id").collect()
     assert [(r.path, r.n) for r in out] == [("a>b>c", 1)]
+
+
+def _py_attribution(rows, conv):
+    """rows: (user, ts, type) sorted input; returns channel ->
+    (first_touch, last_touch)."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, ts, t in rows:
+        by_user[u].append((ts, t))
+    first = defaultdict(int)
+    last = defaultdict(int)
+    for u, evs in by_user.items():
+        evs.sort()
+        seen = []
+        for _, t in evs:
+            if t == conv:
+                f = next((x for x in seen if x != conv), None)
+                l = next((x for x in reversed(seen) if x != conv), None)
+                first[f] += 1
+                last[l] += 1
+            seen.append(t)
+    return {c: (first.get(c, 0), last.get(c, 0))
+            for c in set(first) | set(last)}
+
+
+def test_attribution_matches_python(spark):
+    from pyradiomics_spark.operators.events import conversion_attribution
+
+    rows = [
+        (1, 1.0, "ad"), (1, 2.0, "email"), (1, 3.0, "buy"),
+        (1, 4.0, "ad"), (1, 5.0, "buy"),          # 2nd conv, same user
+        (2, 1.0, "buy"),                           # no prior touch
+        (2, 2.0, "search"), (2, 3.0, "buy"),
+        (3, 1.0, "email"), (3, 2.0, "ad"), (3, 3.0, "buy"),
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "t"])
+    got = {r.channel: (r.first_touch, r.last_touch)
+           for r in conversion_attribution(df, "u", "ts", "t",
+                                           "buy").collect()}
+    assert got == _py_attribution(rows, "buy")
+    # both models each account for every conversion exactly once
+    n_conv = sum(1 for _, _, t in rows if t == "buy")
+    assert sum(v[0] for v in got.values()) == n_conv
+    assert sum(v[1] for v in got.values()) == n_conv
+
+
+def test_attribution_first_vs_last_disagree(spark):
+    from pyradiomics_spark.operators.events import conversion_attribution
+
+    df = spark.createDataFrame(
+        [(1, 1.0, "ad"), (1, 2.0, "email"), (1, 3.0, "buy")],
+        ["u", "ts", "t"])
+    got = {r.channel: (r.first_touch, r.last_touch)
+           for r in conversion_attribution(df, "u", "ts", "t",
+                                           "buy").collect()}
+    assert got == {"ad": (1, 0), "email": (0, 1)}
+
+
+def _py_concentration(pairs):
+    """pairs: (group, unit) rows -> group -> (n_units, hhi, gini)."""
+    from collections import Counter, defaultdict
+
+    counts = Counter(pairs)
+    by_g = defaultdict(dict)
+    for (g, u), c in counts.items():
+        by_g[g][u] = c
+    out = {}
+    for g, d in by_g.items():
+        n = len(d)
+        tot = sum(d.values())
+        hhi = sum((c / tot) ** 2 for c in d.values())
+        ranked = sorted(d.items(), key=lambda kv: (kv[1], kv[0]))
+        gini = sum((2 * (i + 1) - n - 1) * c
+                   for i, (_, c) in enumerate(ranked)) / (n * tot)
+        out[g] = (n, hhi, gini)
+    return out
+
+
+def test_concentration_matches_python(spark):
+    import pytest
+
+    from pyradiomics_spark.functions.textstats import concentration_metrics
+
+    pairs = ([("en", "h1")] * 50 + [("en", "h2")] * 30
+             + [("en", "h3")] * 20
+             + [("de", "h1")] * 25 + [("de", "h4")] * 25)
+    df = spark.createDataFrame(pairs, ["lang", "host"])
+    got = {r.lang: (r.n_units, r.hhi, r.gini)
+           for r in concentration_metrics(df, "lang", "host").collect()}
+    want = _py_concentration(pairs)
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g][0] == want[g][0]
+        assert got[g][1] == pytest.approx(want[g][1], rel=1e-12)
+        assert got[g][2] == pytest.approx(want[g][2], rel=1e-12)
+    # de is a perfect 50/50 duopoly: hhi 0.5, gini 0
+    assert got["de"][1] == pytest.approx(0.5)
+    assert got["de"][2] == pytest.approx(0.0, abs=1e-15)
+
+
+def test_concentration_monopoly_extremes(spark):
+    import pytest
+
+    from pyradiomics_spark.functions.textstats import concentration_metrics
+
+    df = spark.createDataFrame([("g", "only")] * 10, ["g", "h"])
+    r = concentration_metrics(df, "g", "h").collect()[0]
+    assert (r.n_units, r.hhi) == (1, pytest.approx(1.0))
+    assert r.gini == pytest.approx(0.0, abs=1e-15)
