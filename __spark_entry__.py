@@ -3815,6 +3815,42 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def q_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-8-row OLS trend per user event stream
+    (operators/windows.py rolling_slope) — the local-drift feature
+    lag/delta can't express under irregular sampling. Five sufficient
+    statistics over ONE shared ROWS frame on the engine-wide per-user
+    partitioning; x is rebased to the entity's min timestamp (per-
+    partition constant) so epoch² never eats the mantissa. Reported
+    per hour to keep signal above the 6-dp gate rounding."""
+    from pyradiomics_spark.operators.windows import rolling_slope
+
+    ev = _read(spark, sf_dir, "events")
+    out = rolling_slope(ev, "user_id", "ts", "value", window_rows=8,
+                        tie_col="event_id")
+    return out.select(
+        "event_id", "user_id",
+        _rnd(F.col("slope") * 3600.0, 6).alias("slope_per_hr"),
+    ).orderBy("event_id")
+
+
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM changepoint scan (operators/windows.py
+    cusum_changepoint, Page 1954): position of max |running deviation
+    sum| and its σ√n-normalized score — the regime-shift monitor for
+    quality/traffic drift. One window pass on the shared per-user
+    ordering + one argmax-by-struct aggregate; the O(n) CUSUM identity
+    replaces the naive O(n²) split scan."""
+    from pyradiomics_spark.operators.windows import cusum_changepoint
+
+    ev = _read(spark, sf_dir, "events")
+    out = cusum_changepoint(ev, "user_id", "ts", "value",
+                            tie_col="event_id")
+    return out.select(
+        "user_id", F.col("n").cast("long").alias("n"), "cp_ts",
+        _rnd("score", 6).alias("score")).orderBy("user_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (VERDICT r4 item 1): the driver's CORRECTNESS gate
     # only checks the FIRST 50 entries, so the least-recently-driver-verified
@@ -3834,6 +3870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg": q_ndcg,
         "attribution": q_attribution,
         "concentration": q_concentration,
+        "rolling_slope": q_rolling_slope,
+        "cusum": q_cusum,
         # --- new in the round-5 continuation session (never verified) ---
         "triangle_count": q_triangle_count,
         "scd2": q_scd2,
@@ -4684,6 +4722,62 @@ def oracle_sql() -> dict[str, str]:
                    floor(a2.auth * 1e6 + 0.50000095367431640625) / 1e6
                      AS auth
             FROM h2 JOIN a2 ON h2.node = a2.node ORDER BY h2.node
+        """,
+        "rolling_slope": """
+            WITH b AS (
+              SELECT user_id, event_id, ts, value,
+                     epoch(ts) - min(epoch(ts))
+                       OVER (PARTITION BY user_id) AS x0
+              FROM events
+            ), s AS (
+              SELECT user_id, event_id,
+                     count(value) OVER w AS n,
+                     sum(x0) OVER w AS sx,
+                     sum(value) OVER w AS sy,
+                     sum(x0 * value) OVER w AS sxy,
+                     sum(x0 * x0) OVER w AS sxx
+              FROM b
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id, user_id,
+                   floor((CASE WHEN n >= 2
+                               AND n * sxx - sx * sx > 0
+                          THEN (n * sxy - sx * sy)
+                               / (n * sxx - sx * sx) * 3600.0 END)
+                         * 1e6 + 0.50000095367431640625) / 1e6
+                     AS slope_per_hr
+            FROM s ORDER BY event_id
+        """,
+        "cusum": """
+            WITH st AS (
+              SELECT user_id, count(value) AS n, sum(value) AS sv,
+                     sum(value * value) AS svv
+              FROM events GROUP BY user_id
+            ), r AS (
+              SELECT e.user_id, e.ts,
+                     abs(sum(e.value) OVER (
+                           PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+                           ROWS UNBOUNDED PRECEDING)
+                         - (row_number() OVER (
+                              PARTITION BY e.user_id
+                              ORDER BY e.ts, e.event_id))
+                           * (st.sv / st.n)) AS a,
+                     st.n AS n,
+                     st.svv / st.n - (st.sv / st.n) * (st.sv / st.n)
+                       AS var
+              FROM events e JOIN st USING (user_id)
+            ), top AS (
+              SELECT user_id, ts, a, n, var,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY a DESC, ts) AS rk
+              FROM r
+            )
+            SELECT user_id, n::BIGINT AS n, ts AS cp_ts,
+                   floor((CASE WHEN var > 0
+                          THEN a / (sqrt(var) * sqrt(n::DOUBLE)) END)
+                         * 1e6 + 0.50000095367431640625) / 1e6 AS score
+            FROM top WHERE rk = 1 ORDER BY user_id
         """,
         "attribution": """
             WITH m AS (

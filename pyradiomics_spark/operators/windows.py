@@ -461,3 +461,103 @@ def autocorrelation(
             F.col(f"n{k}").alias("n_pairs"), r.alias("r")))
     return (g.select(F.explode(F.array(*parts)).alias("e"))
             .select("e.lag", "e.n_pairs", "e.r"))
+
+
+def rolling_slope(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    window_rows: int = 8,
+    tie_col: str | None = None,
+    out_col: str = "slope",
+) -> DataFrame:
+    """Per-row OLS trend over the entity's trailing ``window_rows``
+    observations: the regression slope of value on time across the ROWS
+    frame ending at the current row — the standard local-trend feature
+    (is this host's quality/traffic/latency drifting, and how fast?)
+    that lag/delta features can't express when sampling is irregular.
+    NULL until the frame holds ≥ 2 points or while time variance is 0.
+
+    Computed as sufficient statistics — n, Σx, Σy, Σxy, Σxx as five
+    aggregates over ONE shared window frame (one exchange + one sort
+    per entity, the same partitioning every other temporal operator
+    here uses), then ``slope = (nΣxy − ΣxΣy) / (nΣxx − (Σx)²)`` as a
+    scalar expression. x is epoch seconds REBASED to the entity's
+    minimum timestamp (a per-partition constant, so the shift is
+    slope-invariant): raw epoch² magnitudes (~3e18) would eat all 52
+    mantissa bits and make the denominator pure cancellation noise."""
+    if window_rows < 2:
+        raise ValueError("window_rows must be >= 2")
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    x_raw = F.col(ts_col).cast("timestamp").cast("double") \
+        if dict(df.dtypes).get(ts_col) != "double" else F.col(ts_col)
+    base = df.withColumn(
+        "__x0", x_raw - F.min(x_raw).over(Window.partitionBy(entity_col)))
+    w = (Window.partitionBy(entity_col).orderBy(*order)
+         .rowsBetween(-(window_rows - 1), 0))
+    x = F.col("__x0")
+    y = F.col(value_col).cast("double")
+    n = F.count(y).over(w).cast("double")
+    sx = F.sum(x).over(w)
+    sy = F.sum(y).over(w)
+    sxy = F.sum(x * y).over(w)
+    sxx = F.sum(x * x).over(w)
+    den = n * sxx - sx * sx
+    slope = F.when((n >= 2) & (den > 0), (n * sxy - sx * sy) / den)
+    return base.withColumn(out_col, slope).drop("__x0")
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Per-entity CUSUM changepoint scan (Page 1954; the batch
+    mean-shift form): running sum of deviations from the entity mean,
+    ``S_i = Σ_{j≤i}(x_j − x̄)``; the changepoint estimate is the
+    position maximizing |S_i| and the score is
+    ``max|S_i| / (σ·√n)`` — the normalized statistic regime-shift
+    monitors threshold (≳1.6 is the classic 5% line for a single
+    scan). Output one row per entity: ``(entity, n, cp_ts, score)``,
+    ties on |S| broken by earliest (ts, tie). NULL score when σ = 0
+    (constant series — no changepoint definable).
+
+    Scale shape: x̄ and σ as window aggregates over the FULL entity
+    partition, the running sum over the same ordered partitioning (ONE
+    exchange + sort total), then one per-entity argmax aggregate via
+    max(struct) — no self-joins, no per-split scans (the O(n) CUSUM
+    identity replaces the naive try-every-split O(n²))."""
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    wp = Window.partitionBy(entity_col)
+    wr = (Window.partitionBy(entity_col).orderBy(*order)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    x = F.col(value_col).cast("double")
+    n = F.count(x).over(wp).cast("double")
+    mean = F.sum(x).over(wp) / n
+    # population σ via E[x²]−E[x]² (one pass; exact fixed op tree)
+    var = F.sum(x * x).over(wp) / n - mean * mean
+    s = F.sum(x).over(wr) - F.row_number().over(
+        Window.partitionBy(entity_col).orderBy(*order)) * mean
+    scored = df.select(
+        F.col(entity_col), F.col(ts_col).alias("__ts"),
+        n.alias("__n"), var.alias("__var"), F.abs(s).alias("__as"),
+        *([F.col(tie_col).alias("__tie")] if tie_col else []))
+    # argmax by (|S| desc, ts asc[, tie asc]) via max(struct): negate
+    # the time order inside the struct so max picks the earliest tie
+    neg_ts = (-F.col("__ts").cast("timestamp").cast("double")
+              if dict(df.dtypes)[ts_col] != "double"
+              else -F.col("__ts"))
+    key = F.struct(F.col("__as").alias("a"), neg_ts.alias("t"),
+                   F.col("__ts").alias("ts"))
+    agg = scored.groupBy(entity_col).agg(
+        F.max(key).alias("__k"),
+        F.max("__n").alias("__n"), F.max("__var").alias("__var"))
+    sigma = F.sqrt(F.col("__var"))
+    score = F.when(F.col("__var") > 0,
+                   F.col("__k.a") / (sigma * F.sqrt(F.col("__n"))))
+    return agg.select(
+        F.col(entity_col), F.col("__n").cast("long").alias("n"),
+        F.col("__k.ts").alias("cp_ts"), score.alias("score"))

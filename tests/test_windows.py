@@ -445,3 +445,128 @@ def test_autocorrelation_constant_series_null_r(spark):
     df = spark.createDataFrame(rows, ["uid", "ts", "v", "eid"])
     out = autocorrelation(df, "uid", "ts", "v", lags=(1,)).collect()[0]
     assert out.n_pairs == 9 and out.r is None  # zero variance gated
+
+
+def _py_rolling_slope(rows, k):
+    """rows: (entity, ts, val) -> {(entity, ts): slope} with ts floats."""
+    from collections import defaultdict
+
+    by_e = defaultdict(list)
+    for e, ts, v in rows:
+        by_e[e].append((ts, v))
+    out = {}
+    for e, evs in by_e.items():
+        evs.sort()
+        m = min(ts for ts, _ in evs)
+        for i in range(len(evs)):
+            fr = evs[max(0, i - k + 1):i + 1]
+            n = len(fr)
+            xs = [ts - m for ts, _ in fr]
+            ys = [v for _, v in fr]
+            sx, sy = sum(xs), sum(ys)
+            sxy = sum(a * b for a, b in zip(xs, ys))
+            sxx = sum(a * a for a in xs)
+            den = n * sxx - sx * sx
+            out[(e, evs[i][0])] = ((n * sxy - sx * sy) / den
+                                   if n >= 2 and den > 0 else None)
+    return out
+
+
+def test_rolling_slope_matches_python(spark):
+    from pyradiomics_spark.operators.windows import rolling_slope
+
+    rows = [("a", 1.0, 2.0), ("a", 3.0, 6.0), ("a", 4.0, 8.0),
+            ("a", 7.0, 14.0), ("a", 8.0, 10.0),
+            ("b", 1.0, 5.0), ("b", 2.0, 5.0), ("b", 3.0, 5.0)]
+    df = spark.createDataFrame(rows, ["e", "ts", "v"])
+    got = {(r.e, r.ts): r.slope
+           for r in rolling_slope(df, "e", "ts", "v",
+                                  window_rows=3).collect()}
+    want = _py_rolling_slope(rows, 3)
+    assert set(got) == set(want)
+    for key in want:
+        if want[key] is None:
+            assert got[key] is None
+        else:
+            assert got[key] == pytest.approx(want[key], rel=1e-12)
+    # a is exactly linear y=2x over its first frames -> slope 2
+    assert got[("a", 4.0)] == pytest.approx(2.0, rel=1e-12)
+    # constant series has slope 0, not NULL (time variance > 0)
+    assert got[("b", 3.0)] == pytest.approx(0.0, abs=1e-15)
+    # single-point frame is NULL
+    assert got[("a", 1.0)] is None
+
+
+def test_rolling_slope_epoch_magnitude_stable(spark):
+    """Realistic epoch-seconds timestamps must not lose the slope to
+    floating cancellation (the rebase regression guard)."""
+    from pyradiomics_spark.operators.windows import rolling_slope
+
+    t0 = 1_700_000_000.0
+    rows = [("e", t0 + 3600.0 * i, 10.0 + 2.5 * i) for i in range(6)]
+    df = spark.createDataFrame(rows, ["e", "ts", "v"])
+    got = rolling_slope(df, "e", "ts", "v", window_rows=4).collect()
+    last = max(got, key=lambda r: r.ts)
+    assert last.slope == pytest.approx(2.5 / 3600.0, rel=1e-9)
+
+
+def test_rolling_slope_rejects_window(spark):
+    from pyradiomics_spark.operators.windows import rolling_slope
+
+    df = spark.createDataFrame([("e", 1.0, 1.0)], ["e", "ts", "v"])
+    with pytest.raises(ValueError):
+        rolling_slope(df, "e", "ts", "v", window_rows=1)
+
+
+def _py_cusum(rows):
+    """rows: (entity, ts, val) -> entity -> (n, cp_ts, score)."""
+    import math
+    from collections import defaultdict
+
+    by_e = defaultdict(list)
+    for e, ts, v in rows:
+        by_e[e].append((ts, v))
+    out = {}
+    for e, evs in by_e.items():
+        evs.sort()
+        xs = [v for _, v in evs]
+        n = len(xs)
+        mean = sum(xs) / n
+        var = sum(x * x for x in xs) / n - mean * mean
+        best = None
+        run = 0.0
+        for i, (ts, v) in enumerate(evs):
+            run += v
+            s = abs(run - (i + 1) * mean)
+            if best is None or s > best[0]:
+                best = (s, ts)
+        score = (best[0] / (math.sqrt(var) * math.sqrt(n))
+                 if var > 0 else None)
+        out[e] = (n, best[1], score)
+    return out
+
+
+def test_cusum_matches_python(spark):
+    from pyradiomics_spark.operators.windows import cusum_changepoint
+
+    # regime shift at ts 5 for a; constant series for c
+    rows = ([("a", float(i), 1.0) for i in range(5)]
+            + [("a", float(i), 9.0) for i in range(5, 10)]
+            + [("b", float(i), float(i % 3)) for i in range(7)]
+            + [("c", float(i), 4.0) for i in range(4)])
+    df = spark.createDataFrame(rows, ["e", "ts", "v"])
+    got = {r.e: (r.n, r.cp_ts, r.score)
+           for r in cusum_changepoint(df, "e", "ts", "v").collect()}
+    want = _py_cusum(rows)
+    assert set(got) == set(want)
+    for e in want:
+        assert got[e][0] == want[e][0]
+        assert got[e][1] == pytest.approx(want[e][1])
+        if want[e][2] is None:
+            assert got[e][2] is None
+        else:
+            assert got[e][2] == pytest.approx(want[e][2], rel=1e-12)
+    # the shift point: |S| peaks at the last pre-shift row (ts 4)
+    assert got["a"][1] == 4.0
+    # a strong shift scores far above the noise series
+    assert got["a"][2] > got["b"][2]
