@@ -3851,6 +3851,43 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rnd("score", 6).alias("score")).orderBy("user_id")
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for the query {spark, window, hash} by summed
+    Okapi BM25 (functions/textstats.py bm25_search) — the lexical
+    serving leg that rrf_fuse merges with the ANN leg and ndcg
+    evaluates. Token stream filtered to query terms AT THE SCAN (isin
+    over literals), doc lengths one groupBy, df/N/avgdl aggregate-sized,
+    k-bounded final cut — the corpus is never globally sorted."""
+    from pyradiomics_spark.functions.textstats import bm25_search
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = bm25_search(docs, "doc_id", ["spark", "window", "hash"],
+                      top_n=20)
+    return out.select(
+        "doc_id", _rnd("score", 6).alias("score"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("rank").cast("long").alias("rank")).orderBy("doc_id")
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman–Girvan modularity (operators/graph.py modularity) of the
+    label-propagation communities on the sparse host graph — the
+    evaluation row for label_prop exactly as ndcg evaluates rankings
+    (Q≈0 ⇒ no better than random wiring; near-clique families score
+    high — the farm signature). Two |nodes|-row label joins + community
+    -sized aggregates; Q is exact-integer arithmetic, engine-exact.
+    DuckDB twin replays the three LPA rounds then the same formula."""
+    from pyradiomics_spark.operators.graph import (label_propagation,
+                                                   modularity)
+
+    e = _synth_sparse_host_edges(spark, sf_dir)
+    out = modularity(e, label_propagation(e, n_iter=3))
+    return out.select(
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_communities").cast("long").alias("n_communities"),
+        _rnd("q", 6).alias("q"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (VERDICT r4 item 1): the driver's CORRECTNESS gate
     # only checks the FIRST 50 entries, so the least-recently-driver-verified
@@ -3872,6 +3909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concentration": q_concentration,
         "rolling_slope": q_rolling_slope,
         "cusum": q_cusum,
+        "bm25_search": q_bm25_search,
+        "modularity": q_modularity,
         # --- new in the round-5 continuation session (never verified) ---
         "triangle_count": q_triangle_count,
         "scd2": q_scd2,
@@ -4722,6 +4761,116 @@ def oracle_sql() -> dict[str, str]:
                    floor(a2.auth * 1e6 + 0.50000095367431640625) / 1e6
                      AS auth
             FROM h2 JOIN a2 ON h2.node = a2.node ORDER BY h2.node
+        """,
+        "bm25_search": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' '))
+                       AS term
+              FROM documents
+            ), t AS (
+              SELECT doc_id, term FROM toks WHERE term <> ''
+            ), dl AS (
+              SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id
+            ), st AS (
+              SELECT count(*) AS n, sum(dl) / count(*) AS avgdl FROM dl
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM t
+              WHERE term IN ('spark', 'window', 'hash')
+              GROUP BY doc_id, term
+            ), dfr AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), sc AS (
+              SELECT tf.doc_id,
+                     ln(1.0 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5))
+                       * (tf.tf * (1.2 + 1.0))
+                       / (tf.tf + 1.2 * (1.0 - 0.75
+                                         + 0.75 * dl.dl / st.avgdl))
+                       AS s
+              FROM tf JOIN dl USING (doc_id) JOIN dfr USING (term)
+              CROSS JOIN st
+            ), ag AS (
+              SELECT doc_id, sum(s) AS score, count(*) AS n_hits
+              FROM sc GROUP BY doc_id
+            ), top AS (
+              SELECT doc_id, score, n_hits,
+                     row_number() OVER (ORDER BY score DESC, doc_id)
+                       AS rank
+              FROM ag QUALIFY rank <= 20
+            )
+            SELECT doc_id,
+                   floor(score * 1e6 + 0.50000095367431640625) / 1e6
+                     AS score,
+                   n_hits::BIGINT AS n_hits, rank::BIGINT AS rank
+            FROM top ORDER BY doc_id
+        """,
+        "modularity": """
+            WITH b AS (
+              SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                       ::BIGINT % 400 AS sb,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':o1'), 1, 8))
+                       ::BIGINT % 400 AS t1,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':o2'), 1, 8))
+                       ::BIGINT % 400 AS t2
+              FROM documents
+            ), ed AS (
+              SELECT 'g' || sb::VARCHAR AS src, 'g' || t1::VARCHAR AS dst
+              FROM b WHERE sb < 350 AND sb <> t1
+              UNION ALL
+              SELECT 'g' || sb::VARCHAR, 'g' || t2::VARCHAR
+              FROM b WHERE sb < 350 AND sb <> t2
+            ), se AS (
+              SELECT DISTINCT least(src, dst) AS na, greatest(src, dst) AS nb
+              FROM ed WHERE src <> dst
+            ), bo AS (
+              SELECT na AS u, nb AS v FROM se
+              UNION ALL SELECT nb, na FROM se
+            ), l0 AS (
+              SELECT DISTINCT u AS node, u AS label FROM bo
+            ), l1 AS (
+              SELECT bo.u AS node, l.label, count(*) AS n1
+              FROM bo JOIN l0 l ON bo.v = l.node
+              GROUP BY bo.u, l.label
+              QUALIFY row_number() OVER (
+                PARTITION BY bo.u ORDER BY n1 DESC, l.label) = 1
+            ), l2 AS (
+              SELECT bo.u AS node, l.label, count(*) AS n2
+              FROM bo JOIN l1 l ON bo.v = l.node
+              GROUP BY bo.u, l.label
+              QUALIFY row_number() OVER (
+                PARTITION BY bo.u ORDER BY n2 DESC, l.label) = 1
+            ), l3 AS (
+              SELECT bo.u AS node, l.label, count(*) AS n3
+              FROM bo JOIN l2 l ON bo.v = l.node
+              GROUP BY bo.u, l.label
+              QUALIFY row_number() OVER (
+                PARTITION BY bo.u ORDER BY n3 DESC, l.label) = 1
+            ), m AS (
+              SELECT count(*) AS m FROM se
+            ), intra AS (
+              SELECT la.label AS l, count(*) AS ec
+              FROM se JOIN l3 la ON se.na = la.node
+                      JOIN l3 lb ON se.nb = lb.node
+              WHERE la.label = lb.label
+              GROUP BY la.label
+            ), deg AS (
+              SELECT l3.label AS l, count(*) AS dc
+              FROM (SELECT na AS node FROM se
+                    UNION ALL SELECT nb FROM se) ends
+              JOIN l3 ON ends.node = l3.node
+              GROUP BY l3.label
+            ), per AS (
+              SELECT deg.l,
+                     coalesce(intra.ec, 0)::DOUBLE / m.m::DOUBLE
+                     - (deg.dc::DOUBLE / (2.0 * m.m::DOUBLE))
+                       * (deg.dc::DOUBLE / (2.0 * m.m::DOUBLE)) AS term,
+                     m.m AS m
+              FROM deg LEFT JOIN intra ON deg.l = intra.l CROSS JOIN m
+            )
+            SELECT max(m)::BIGINT AS n_edges,
+                   count(*)::BIGINT AS n_communities,
+                   floor(sum(term) * 1e6 + 0.50000095367431640625) / 1e6
+                     AS q
+            FROM per
         """,
         "rolling_slope": """
             WITH b AS (

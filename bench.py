@@ -157,7 +157,7 @@ def main() -> None:
         # label-propagation communities
         "hits", "label_prop", "kmv_distinct", "feature_hash", "woe_iv",
         "rrf_fuse", "ndcg", "attribution", "concentration",
-        "rolling_slope", "cusum",
+        "rolling_slope", "cusum", "bm25_search", "modularity",
     ]
     for name in headline:
         if name not in qs:

@@ -1153,3 +1153,62 @@ def concentration_metrics(
         F.max("__n").cast("long").alias("n_units"),
         F.sum(F.col("__share") * F.col("__share")).alias("hhi"),
         F.sum("__gc").alias("gini"))
+
+
+def bm25_search(
+    df: DataFrame,
+    id_col: str,
+    query_terms: list[str],
+    text_col: str = "text",
+    top_n: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Rank documents for a bag-of-terms query by summed Okapi BM25 —
+    the serving twin of ``bm25_top_terms`` (same Lucene idf / saturation
+    / length normalization; Robertson & Zaragoza 2009). Returns the
+    ``top_n`` docs as (id, score, n_hits, rank) with deterministic
+    (score desc, id) ties; ``n_hits`` = how many query terms matched.
+    This is the lexical leg a retrieval stack fuses with the ANN leg
+    via ``ranking.rrf_fuse`` and evaluates with ``ranking.ndcg_at_k``.
+
+    Scale shape: the token stream is filtered to the query terms AT THE
+    SCAN (an isin over a literal list — predicate-pushdown friendly,
+    no broadcast table needed), so the per-(doc, term) tf groupBy only
+    ever sees query-term hits; doc lengths come from one full-count
+    groupBy on the same doc key; df/N/avgdl are aggregate-sized. The
+    final cut is a k-bounded TakeOrdered on the scored hits — never a
+    global sort of the corpus."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be distinct")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    # doc length over ALL tokens (BM25 normalizes by true verbosity,
+    # not by query-hit count)
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = F.broadcast(dl.agg(
+        F.count("*").alias("__n"),
+        (F.sum("dl") / F.count("*")).alias("__avgdl")))
+    hits = toks.where(F.col("term").isin([t.lower()
+                                          for t in query_terms]))
+    tf = hits.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(1.0 + (F.col("__n") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    scored = (tf.join(dl, id_col).join(F.broadcast(dfreq), "term")
+              .crossJoin(stats))
+    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                               / F.col("__avgdl"))
+    per_term = scored.withColumn(
+        "__s", idf * (F.col("tf") * (k1 + 1.0)) / norm)
+    agg = per_term.groupBy(id_col).agg(
+        F.sum("__s").alias("score"), F.count("*").alias("n_hits"))
+    top = agg.orderBy(F.col("score").desc(), F.col(id_col)).limit(top_n)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "score", F.col("n_hits").cast("long").alias("n_hits"),
+        "rank")

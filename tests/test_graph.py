@@ -574,3 +574,67 @@ def test_lpa_ignores_direction_and_duplicates(spark):
     ga = {r.node: r.label for r in label_propagation(a, n_iter=2).collect()}
     gb = {r.node: r.label for r in label_propagation(b, n_iter=2).collect()}
     assert ga == gb
+
+
+def _py_modularity(edges, labels):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    m = len(und)
+    from collections import defaultdict
+
+    ec = defaultdict(int)
+    dc = defaultdict(int)
+    for a, b in und:
+        la, lb = labels.get(a), labels.get(b)
+        if la == lb:
+            ec[la] += 1
+        dc[la] += 1
+        dc[lb] += 1
+    return sum(ec.get(l, 0) / m - (d / (2 * m)) ** 2
+               for l, d in dc.items())
+
+
+def test_modularity_matches_python(spark):
+    from pyradiomics_spark.operators.graph import modularity
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x"),
+             ("b", "a")]  # duplicate direction collapses
+    labels = {"a": "L1", "b": "L1", "c": "L1",
+              "x": "L2", "y": "L2", "z": "L2"}
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    ldf = spark.createDataFrame(list(labels.items()), ["node", "label"])
+    row = modularity(edf, ldf).collect()[0]
+    assert row.n_edges == 7 and row.n_communities == 2
+    assert row.q == pytest.approx(_py_modularity(edges, labels),
+                                  rel=1e-12)
+    # two clean triangles with one bridge: strongly positive Q
+    assert row.q > 0.3
+
+
+def test_modularity_single_community_is_zero(spark):
+    from pyradiomics_spark.operators.graph import modularity
+
+    edges = [("a", "b"), ("b", "c")]
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    ldf = spark.createDataFrame([("a", "L"), ("b", "L"), ("c", "L")],
+                                ["node", "label"])
+    # all mass in one community: e_c/m = 1, (d_c/2m)^2 = 1 -> Q = 0
+    assert modularity(edf, ldf).collect()[0].q == pytest.approx(0.0,
+                                                                abs=1e-15)
+
+
+def test_modularity_lpa_beats_random_assignment(spark):
+    from pyradiomics_spark.operators.graph import (label_propagation,
+                                                   modularity)
+
+    edges = ([(f"a{i}", f"a{j}") for i in range(5) for j in range(i)]
+             + [(f"b{i}", f"b{j}") for i in range(5) for j in range(i)]
+             + [("a0", "b0")])
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    lpa_q = modularity(edf, label_propagation(edf, n_iter=3)).collect()[0].q
+    # everything-in-one-bucket baseline
+    nodes = sorted({u for e in edges for u in e})
+    one = spark.createDataFrame([(n, "L") for n in nodes],
+                                ["node", "label"])
+    base_q = modularity(edf, one).collect()[0].q
+    assert lpa_q > 0.3 > base_q

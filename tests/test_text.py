@@ -390,3 +390,68 @@ def test_pmi_pairs_hand_computed(spark):
     # min_count filters hapax pairs out entirely
     assert all(n >= 2 for n, _ in got.values())
     assert len(out) == 3
+
+
+def _py_bm25_search(docs, terms, k1=1.2, b=0.75, top_n=10):
+    import math
+
+    toks = {i: [t for t in txt.lower().split(" ") if t]
+            for i, txt in docs}
+    dl = {i: len(ts) for i, ts in toks.items()}
+    n = len(dl)
+    avgdl = sum(dl.values()) / n
+    dfreq = {}
+    for t in terms:
+        dfreq[t] = sum(1 for ts in toks.values() if t in ts)
+    scores = {}
+    hits = {}
+    for i, ts in toks.items():
+        s, h = 0.0, 0
+        for t in terms:
+            tf = ts.count(t)
+            if tf == 0:
+                continue
+            h += 1
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * dl[i] / avgdl))
+        if h:
+            scores[i], hits[i] = s, h
+    ranked = sorted(scores, key=lambda i: (-scores[i], i))[:top_n]
+    return [(i, scores[i], hits[i], r + 1) for r, i in enumerate(ranked)]
+
+
+def test_bm25_search_matches_python(spark):
+    import pytest
+
+    from pyradiomics_spark.functions.textstats import bm25_search
+
+    docs = [(1, "spark shuffles data across the cluster"),
+            (2, "the spark catalyst optimizer prunes columns"),
+            (3, "ducks swim in data lakes and data ponds"),
+            (4, "spark spark spark tiny doc"),
+            (5, "completely unrelated text here")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = [(r.doc_id, r.score, r.n_hits, r.rank)
+           for r in bm25_search(df, "doc_id", ["spark", "data"],
+                                top_n=3).orderBy("rank").collect()]
+    want = _py_bm25_search(docs, ["spark", "data"], top_n=3)
+    assert [(g[0], g[2], g[3]) for g in got] == [
+        (w[0], w[2], w[3]) for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], rel=1e-12)
+    # saturation: the spam doc (4) must not outrank on raw repetition
+    # alone over the two-term match (1)
+    assert got[0][0] == 1
+
+
+def test_bm25_search_rejects_bad_query(spark):
+    import pytest
+
+    from pyradiomics_spark.functions.textstats import bm25_search
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        bm25_search(df, "doc_id", [])
+    with pytest.raises(ValueError):
+        bm25_search(df, "doc_id", ["a", "a"])
