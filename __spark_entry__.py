@@ -3888,6 +3888,37 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rnd("q", 6).alias("q"))
 
 
+def q_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user MASE of the lag-5 seasonal-naive forecast
+    (operators/windows.py mase_eval, Hyndman & Koehler 2006) — the
+    scale-free 'is this series worth lag features?' diagnostic that
+    complements acf. Both lags from ONE pass on the engine-wide
+    per-user ordering + one two-sum aggregate; no joins."""
+    from pyradiomics_spark.operators.windows import mase_eval
+
+    ev = _read(spark, sf_dir, "events")
+    out = mase_eval(ev, "user_id", "ts", "value", season=5,
+                    tie_col="event_id")
+    return out.select(
+        "user_id", "n_scored", _rnd("mase", 6).alias("mase"),
+    ).orderBy("user_id")
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-edge reciprocity of the synthetic host graph
+    (operators/graph.py reciprocity) — organic inter-host linking is
+    asymmetric; link exchanges wire A↔B, so a high ratio is the third
+    whole-graph spam barometer next to assortativity and modularity.
+    One distinct + one reversed-key self-semi-join + count aggregates;
+    exact integer ratio."""
+    from pyradiomics_spark.operators.graph import reciprocity
+
+    out = reciprocity(_synth_host_edges(spark, sf_dir))
+    return out.select(
+        "n_directed", "n_reciprocated",
+        _rnd("reciprocity", 6).alias("reciprocity"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (VERDICT r4 item 1): the driver's CORRECTNESS gate
     # only checks the FIRST 50 entries, so the least-recently-driver-verified
@@ -3911,6 +3942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum": q_cusum,
         "bm25_search": q_bm25_search,
         "modularity": q_modularity,
+        "mase": q_mase,
+        "reciprocity": q_reciprocity,
         # --- new in the round-5 continuation session (never verified) ---
         "triangle_count": q_triangle_count,
         "scd2": q_scd2,
@@ -4761,6 +4794,56 @@ def oracle_sql() -> dict[str, str]:
                    floor(a2.auth * 1e6 + 0.50000095367431640625) / 1e6
                      AS auth
             FROM h2 JOIN a2 ON h2.node = a2.node ORDER BY h2.node
+        """,
+        "mase": """
+            WITH l AS (
+              SELECT user_id,
+                     abs(value - lag(value, 5) OVER w) AS es,
+                     abs(value - lag(value, 1) OVER w) AS e1
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), a AS (
+              SELECT user_id, count(es) AS ns, sum(es) AS ses,
+                     count(e1) AS n1, sum(e1) AS se1
+              FROM l GROUP BY user_id
+            )
+            SELECT user_id, ns::BIGINT AS n_scored,
+                   floor((CASE WHEN ns > 0 AND se1 / n1 > 0
+                          THEN (ses / ns) / (se1 / n1) END) * 1e6
+                         + 0.50000095367431640625) / 1e6 AS mase
+            FROM a ORDER BY user_id
+        """,
+        "reciprocity": """
+            WITH b AS (
+              SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                       ::BIGINT % 40 AS sb,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':o1'), 1, 8))
+                       ::BIGINT % 40 AS t1,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':o2'), 1, 8))
+                       ::BIGINT % 40 AS t2
+              FROM documents
+            ), e AS (
+              SELECT 'h' || sb::VARCHAR AS src, 'h' || t1::VARCHAR AS dst
+              FROM b WHERE sb < 35 AND sb <> t1
+              UNION ALL
+              SELECT 'h' || sb::VARCHAR, 'h' || t2::VARCHAR
+              FROM b WHERE sb < 35 AND sb <> t2
+            ), d AS (
+              SELECT DISTINCT src AS s, dst AS t FROM e
+              WHERE src <> dst
+            ), r AS (
+              SELECT count(*) AS nr FROM d
+              WHERE EXISTS (SELECT 1 FROM d r2
+                            WHERE r2.s = d.t AND r2.t = d.s)
+            ), tt AS (
+              SELECT count(*) AS nd FROM d
+            )
+            SELECT nd::BIGINT AS n_directed,
+                   nr::BIGINT AS n_reciprocated,
+                   floor((CASE WHEN nd > 0
+                          THEN nr::DOUBLE / nd::DOUBLE END) * 1e6
+                         + 0.50000095367431640625) / 1e6 AS reciprocity
+            FROM tt CROSS JOIN r
         """,
         "bm25_search": """
             WITH toks AS (

@@ -540,3 +540,35 @@ def modularity(
         F.max("m").cast("long").alias("n_edges"),
         F.count("*").cast("long").alias("n_communities"),
         F.sum(term).alias("q"))
+
+
+def reciprocity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """One row ``(n_directed, n_reciprocated, reciprocity)`` — the
+    fraction of distinct directed edges whose reverse edge also exists
+    (self-loops excluded). Organic web linking is strongly asymmetric
+    (reciprocity ≲ 0.1 between hosts); link exchanges and farm rings
+    wire A↔B by construction, so a high ratio is the third whole-graph
+    spam barometer next to `degree_assortativity` and `modularity`.
+
+    Scale shape: one distinct + ONE self-equi-join on the reversed key
+    pair (hash join on (src,dst) — no broadcast needed at any scale) +
+    a single count aggregate; exact integer ratio."""
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .where(F.col("s") != F.col("d")).distinct())
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    rec = e.join(rev, ["s", "d"], "left_semi")
+    tot = e.agg(F.count("*").alias("n_directed"))
+    got = rec.agg(F.count("*").alias("n_reciprocated"))
+    ratio = F.when(
+        F.col("n_directed") > 0,
+        F.col("n_reciprocated").cast("double")
+        / F.col("n_directed").cast("double"))
+    return (tot.crossJoin(F.broadcast(got))
+            .select(F.col("n_directed").cast("long").alias("n_directed"),
+                    F.col("n_reciprocated").cast("long")
+                    .alias("n_reciprocated"),
+                    ratio.alias("reciprocity")))

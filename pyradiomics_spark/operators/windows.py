@@ -561,3 +561,48 @@ def cusum_changepoint(
     return agg.select(
         F.col(entity_col), F.col("__n").cast("long").alias("n"),
         F.col("__k.ts").alias("cp_ts"), score.alias("score"))
+
+
+def mase_eval(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    season: int = 1,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Per-entity MASE (mean absolute scaled error — Hyndman & Koehler
+    2006) of the seasonal-naive forecast ``ŷ_t = y_{t−season}``:
+
+        mase = mean|y_t − y_{t−season}| / mean|y_t − y_{t−1}|
+
+    the scale-free forecastability diagnostic: < 1 means the seasonal
+    pattern beats a random-walk carry-forward, ≫ 1 means the series has
+    no usable seasonal structure (don't build lag-``season`` features
+    for it). Output ``(entity, n_scored, mase)``; NULL when the naive
+    denominator is 0 (constant series) or too few points.
+
+    Scale shape: both lags come from ONE window pass on the engine-wide
+    per-entity ordering (same exchange+sort as lag/ffill/sessionize),
+    then one per-entity aggregate of two conditional sums — no joins,
+    no second scan."""
+    if season < 1:
+        raise ValueError("season must be >= 1")
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    y = F.col(value_col).cast("double")
+    es = F.abs(y - F.lag(y, season).over(w))
+    e1 = F.abs(y - F.lag(y, 1).over(w))
+    per = df.select(F.col(entity_col), es.alias("__es"),
+                    e1.alias("__e1"))
+    agg = per.groupBy(entity_col).agg(
+        F.count("__es").alias("n_scored"),
+        F.sum("__es").alias("__ses"),
+        F.count("__e1").alias("__n1"),
+        F.sum("__e1").alias("__se1"))
+    num = F.col("__ses") / F.col("n_scored")
+    den = F.col("__se1") / F.col("__n1")
+    mase = F.when((F.col("n_scored") > 0) & (den > 0), num / den)
+    return agg.select(
+        F.col(entity_col), F.col("n_scored").cast("long").alias("n_scored"),
+        mase.alias("mase"))

@@ -638,3 +638,29 @@ def test_modularity_lpa_beats_random_assignment(spark):
                                 ["node", "label"])
     base_q = modularity(edf, one).collect()[0].q
     assert lpa_q > 0.3 > base_q
+
+
+def test_reciprocity_counts(spark):
+    from pyradiomics_spark.operators.graph import reciprocity
+
+    edges = [("a", "b"), ("b", "a"),      # reciprocated pair
+             ("a", "c"),                   # one-way
+             ("c", "d"), ("d", "c"),       # reciprocated pair
+             ("d", "d"),                   # self-loop dropped
+             ("a", "b")]                   # duplicate collapses
+    row = reciprocity(
+        spark.createDataFrame(edges, ["src", "dst"])).collect()[0]
+    assert (row.n_directed, row.n_reciprocated) == (5, 4)
+    assert row.reciprocity == pytest.approx(0.8)
+
+
+def test_reciprocity_none_and_all(spark):
+    from pyradiomics_spark.operators.graph import reciprocity
+
+    one_way = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], ["src", "dst"])
+    assert reciprocity(one_way).collect()[0].reciprocity == 0.0
+    ring = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], ["src", "dst"])
+    assert ring.count() == 2
+    assert reciprocity(ring).collect()[0].reciprocity == 1.0

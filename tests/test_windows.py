@@ -570,3 +570,60 @@ def test_cusum_matches_python(spark):
     assert got["a"][1] == 4.0
     # a strong shift scores far above the noise series
     assert got["a"][2] > got["b"][2]
+
+
+def _py_mase(rows, season):
+    from collections import defaultdict
+
+    by_e = defaultdict(list)
+    for e, ts, v in rows:
+        by_e[e].append((ts, v))
+    out = {}
+    for e, evs in by_e.items():
+        ys = [v for _, v in sorted(evs)]
+        es = [abs(ys[i] - ys[i - season])
+              for i in range(season, len(ys))]
+        e1 = [abs(ys[i] - ys[i - 1]) for i in range(1, len(ys))]
+        num = sum(es) / len(es) if es else None
+        den = sum(e1) / len(e1) if e1 else None
+        out[e] = (len(es),
+                  num / den if es and den and den > 0 else None)
+    return out
+
+
+def test_mase_matches_python(spark):
+    from pyradiomics_spark.operators.windows import mase_eval
+
+    # a: perfect period-2 series (seasonal naive wins); b: trend;
+    # c: constant (NULL); d: too short
+    rows = ([("a", float(i), float(i % 2)) for i in range(8)]
+            + [("b", float(i), 3.0 * i) for i in range(6)]
+            + [("c", float(i), 7.0) for i in range(5)]
+            + [("d", 0.0, 1.0)])
+    df = spark.createDataFrame(rows, ["e", "ts", "v"])
+    for season in (1, 2):
+        got = {r.e: (r.n_scored, r.mase)
+               for r in mase_eval(df, "e", "ts", "v",
+                                  season=season).collect()}
+        want = _py_mase(rows, season)
+        assert set(got) == set(want)
+        for e in want:
+            assert got[e][0] == want[e][0]
+            if want[e][1] is None:
+                assert got[e][1] is None
+            else:
+                assert got[e][1] == pytest.approx(want[e][1], rel=1e-12)
+    got2 = {r.e: r.mase
+            for r in mase_eval(df, "e", "ts", "v", season=2).collect()}
+    # period-2 series: seasonal-naive is exact -> mase 0
+    assert got2["a"] == pytest.approx(0.0, abs=1e-15)
+    # linear trend: |y_t - y_{t-2}| = 2*|y_t - y_{t-1}| -> mase 2
+    assert got2["b"] == pytest.approx(2.0, rel=1e-12)
+
+
+def test_mase_rejects_bad_season(spark):
+    from pyradiomics_spark.operators.windows import mase_eval
+
+    df = spark.createDataFrame([("e", 1.0, 1.0)], ["e", "ts", "v"])
+    with pytest.raises(ValueError):
+        mase_eval(df, "e", "ts", "v", season=0)
