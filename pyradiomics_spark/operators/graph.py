@@ -415,7 +415,10 @@ def hits(
             .select("node", F.coalesce(F.col("hub"), F.lit(0.0))
                     .alias("hub")), "hub")
         if checkpoint:
-            auth = auth.localCheckpoint(eager=True)
+            # only the hub drives the recursion — auth's lineage is one
+            # join+groupBy past the previous hub checkpoint, so
+            # materializing it too would double the per-round I/O for
+            # nothing (the final auth is read once, at the output join)
             hub = hub.localCheckpoint(eager=True)
     return hub.join(auth, "node").select("node", "hub", "auth")
 
