@@ -132,3 +132,53 @@ def calibration_bins(
                  (F.sum(score_col) / F.count("*")).alias("mean_score"),
                  (F.sum(F.col(label_col).cast("double")) / F.count("*"))
                  .alias("label_rate")))
+
+
+def auc_eval(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    group_cols=None,
+) -> DataFrame:
+    """ROC AUC of classifier scores against a binary label via the
+    Mann–Whitney rank identity (Hanley & McNeil 1982):
+
+        AUC = ( Σ_{positives} avg_rank − n⁺(n⁺+1)/2 ) / (n⁺ · n⁻)
+
+    with AVERAGE ranks for tied scores (the tie-correct form — min- or
+    row-ranks bias AUC whenever a quantized score ties across classes).
+    Output ``(group..., n_pos, n_neg, auc)``; NULL when a class is
+    absent. This completes the classifier-eval family: calibration_bins
+    answers 'are the probabilities honest', AUC answers 'does the score
+    order the classes at all'.
+
+    avg_rank is computed WITHOUT a second pass: ``rank()`` (min-rank)
+    plus the tie-group size from one count window over the same score
+    partitioning, ``avg = rank + (ties − 1)/2``.
+
+    Scale note: a global ranking is inherent to AUC, so the ungrouped
+    form sorts the full input — run it on the EVALUATION SET (bounded
+    by construction), not the corpus; per-group AUC (``group_cols``)
+    partitions the sort exactly like every other grouped window here."""
+    from pyspark.sql import Window
+
+    groups = ([group_cols] if isinstance(group_cols, str)
+              else list(group_cols or []))
+    y = (F.col(label_col) if isinstance(label_col, str)
+         else label_col).cast("int")
+    s = F.col(score_col).cast("double")
+    wr = Window.partitionBy(*groups).orderBy(s)
+    wt = Window.partitionBy(*groups, s)
+    avg_rank = (F.rank().over(wr).cast("double")
+                + (F.count("*").over(wt).cast("double") - 1.0) / 2.0)
+    per = df.select(*groups, y.alias("__y"), avg_rank.alias("__r"))
+    agg = per.groupBy(*groups).agg(
+        F.sum("__y").cast("long").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("__y")).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("__y") == 1, F.col("__r"))).alias("__sr"))
+    npos = F.col("n_pos").cast("double")
+    nneg = F.col("n_neg").cast("double")
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        (F.col("__sr") - npos * (npos + 1.0) / 2.0) / (npos * nneg))
+    return agg.select(*groups, "n_pos", "n_neg", auc.alias("auc"))

@@ -159,3 +159,64 @@ def test_calibration_bins_top_bin_includes_one(spark):
     df = spark.createDataFrame([(1.0, 1), (0.95, 1)], ["score", "y"])
     out = calibration_bins(df, "score", "y", n_bins=10).collect()
     assert len(out) == 1 and out[0].bin == 9 and out[0].n == 2
+
+
+def _py_auc(pairs):
+    """pairs: (score, label). Tie-corrected Mann-Whitney AUC."""
+    from collections import Counter
+
+    scores = sorted(s for s, _ in pairs)
+    # average rank per distinct score (1-based)
+    first = {}
+    cnt = Counter(scores)
+    r = 1
+    for s in sorted(cnt):
+        first[s] = r + (cnt[s] - 1) / 2.0
+        r += cnt[s]
+    npos = sum(1 for _, y in pairs if y == 1)
+    nneg = len(pairs) - npos
+    if npos == 0 or nneg == 0:
+        return None
+    sr = sum(first[s] for s, y in pairs if y == 1)
+    return (sr - npos * (npos + 1) / 2.0) / (npos * nneg)
+
+
+def test_auc_matches_python_with_ties(spark):
+    import pytest
+
+    from pyradiomics_spark.operators.training import auc_eval
+
+    pairs = [(0.9, 1), (0.8, 1), (0.8, 0), (0.7, 0), (0.7, 1),
+             (0.7, 0), (0.5, 1), (0.3, 0), (0.3, 0), (0.1, 0)]
+    df = spark.createDataFrame(pairs, ["score", "y"])
+    row = auc_eval(df, "score", "y").collect()[0]
+    assert (row.n_pos, row.n_neg) == (4, 6)
+    assert row.auc == pytest.approx(_py_auc(pairs), rel=1e-12)
+
+
+def test_auc_perfect_random_inverted(spark):
+    import pytest
+
+    from pyradiomics_spark.operators.training import auc_eval
+
+    perfect = [(float(i), 1 if i >= 5 else 0) for i in range(10)]
+    df = spark.createDataFrame(perfect, ["score", "y"])
+    assert auc_eval(df, "score", "y").collect()[0].auc == pytest.approx(1.0)
+    inverted = [(float(-i), 1 if i >= 5 else 0) for i in range(10)]
+    df = spark.createDataFrame(inverted, ["score", "y"])
+    assert auc_eval(df, "score", "y").collect()[0].auc == pytest.approx(0.0)
+    # all-ties scores -> AUC exactly 0.5 by the tie correction
+    ties = [(1.0, y) for y in (0, 1) * 5]
+    df = spark.createDataFrame(ties, ["score", "y"])
+    assert auc_eval(df, "score", "y").collect()[0].auc == pytest.approx(0.5)
+
+
+def test_auc_single_class_null_and_groups(spark):
+    from pyradiomics_spark.operators.training import auc_eval
+
+    rows = ([("g1", float(i), 1 if i > 2 else 0) for i in range(6)]
+            + [("g2", float(i), 1) for i in range(4)])
+    df = spark.createDataFrame(rows, ["g", "score", "y"])
+    got = {r.g: r.auc for r in auc_eval(df, "score", "y",
+                                        group_cols="g").collect()}
+    assert got["g1"] == 1.0 and got["g2"] is None
