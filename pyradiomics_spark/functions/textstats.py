@@ -1181,8 +1181,10 @@ def bm25_search(
     global sort of the corpus."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    if len(set(query_terms)) != len(query_terms):
-        raise ValueError("query_terms must be distinct")
+    # distinctness must hold AFTER lowercasing — ['A', 'a'] would
+    # otherwise double-count the term in the isin filter's score sum
+    if len({t.lower() for t in query_terms}) != len(query_terms):
+        raise ValueError("query_terms must be distinct (case-folded)")
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),

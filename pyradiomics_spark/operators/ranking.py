@@ -98,11 +98,14 @@ def ndcg_at_k(
         F.col(query_col), rel.alias("__rel"),
         r1.alias("__rr"), r2.alias("__ri"))
     # exact integer 2^rel − 1 via bit shift (shiftleft needs a column
-    # operand -> SQL expression form), never floating pow
+    # operand -> SQL expression form), never floating pow; a negative
+    # grade would shift by a negative count (undefined) — fail loudly
     scored = scored.withColumn(
         "__g",
-        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), "
-               "CAST(__rel AS INT)) - 1 AS DOUBLE)"))
+        F.expr("CASE WHEN __rel < 0 THEN "
+               "raise_error('ndcg_at_k: relevance must be >= 0') "
+               "ELSE CAST(shiftleft(CAST(1 AS BIGINT), "
+               "CAST(__rel AS INT)) - 1 AS DOUBLE) END"))
     disc = lambda r: F.log2(r.cast("double") + F.lit(1.0))  # noqa: E731
     agg = scored.groupBy(query_col).agg(
         F.sum(F.when(F.col("__rr") <= k,

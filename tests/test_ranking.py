@@ -80,3 +80,10 @@ def test_ndcg_rejects_bad_k(spark):
                                ["q", "score", "rel", "item"])
     with pytest.raises(ValueError):
         ndcg_at_k(df, "q", "score", "rel", k=0)
+
+
+def test_ndcg_rejects_negative_relevance(spark):
+    df = spark.createDataFrame([("q", 1.0, -1, 1), ("q", 0.5, 2, 2)],
+                               ["q", "score", "rel", "item"])
+    with pytest.raises(Exception, match="relevance"):
+        ndcg_at_k(df, "q", "score", "rel", k=5, tie_col="item").collect()

@@ -455,3 +455,13 @@ def test_bm25_search_rejects_bad_query(spark):
         bm25_search(df, "doc_id", [])
     with pytest.raises(ValueError):
         bm25_search(df, "doc_id", ["a", "a"])
+
+
+def test_bm25_search_rejects_case_folded_duplicates(spark):
+    import pytest
+
+    from pyradiomics_spark.functions.textstats import bm25_search
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="case-folded"):
+        bm25_search(df, "doc_id", ["Spark", "spark"])
