@@ -3986,6 +3986,24 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("supp_nation", "cust_nation", "l_year")
 
 
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-ring negative sampling (operators/sampling.py
+    negative_samples, k=3): the contrastive-training data op — each
+    doc's negatives are the ring successors of md5 target points, so
+    sampling is uniform, engine-reproducible, and consistent-hashing
+    stable under corpus growth. Global ring order WITHOUT a global
+    window: bucketed equi-join successor + aggregate-sized bucket-
+    successor fallback + broadcast wrap (the rank_normalize
+    discipline). DuckDB twin is a native ASOF join on the ring."""
+    from pyradiomics_spark.operators.sampling import negative_samples
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    out = negative_samples(docs, "doc_id", k=3, seed=0, bucket_bits=6)
+    return out.select(
+        "doc_id", F.col("j").cast("long").alias("j"),
+        "neg_id").orderBy("doc_id", "j")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (VERDICT r4 item 1): the driver's CORRECTNESS gate
     # only checks the FIRST 50 entries, so the least-recently-driver-verified
@@ -4013,6 +4031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "auc": q_auc,
         "tpch_q7": q_tpch_q7,
+        "negative_samples": q_negative_samples,
         # --- new in the round-5 continuation session (never verified) ---
         "triangle_count": q_triangle_count,
         "scd2": q_scd2,
@@ -4863,6 +4882,31 @@ def oracle_sql() -> dict[str, str]:
                    floor(a2.auth * 1e6 + 0.50000095367431640625) / 1e6
                      AS auth
             FROM h2 JOIN a2 ON h2.node = a2.node ORDER BY h2.node
+        """,
+        "negative_samples": """
+            WITH ring AS (
+              SELECT doc_id AS rid,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':ring:0'),
+                                     1, 15))::BIGINT AS rpos
+              FROM documents
+            ), tg AS (
+              SELECT doc_id, j,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':neg'
+                                         || j::VARCHAR || ':0'),
+                                     1, 15))::BIGINT AS tpos
+              FROM documents
+              CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)
+            ), a AS (
+              SELECT tg.doc_id, tg.j, r.rid AS neg
+              FROM tg ASOF LEFT JOIN ring r ON tg.tpos <= r.rpos
+            ), w AS (
+              SELECT rid FROM ring ORDER BY rpos, rid LIMIT 1
+            )
+            SELECT doc_id, j::BIGINT AS j,
+                   coalesce(neg, (SELECT rid FROM w)) AS neg_id
+            FROM a
+            WHERE coalesce(neg, (SELECT rid FROM w)) <> doc_id
+            ORDER BY doc_id, j
         """,
         "auc": """
             WITH feats AS (

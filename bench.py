@@ -158,7 +158,7 @@ def main() -> None:
         "hits", "label_prop", "kmv_distinct", "feature_hash", "woe_iv",
         "rrf_fuse", "ndcg", "attribution", "concentration",
         "rolling_slope", "cusum", "bm25_search", "modularity",
-        "mase", "reciprocity", "auc", "tpch_q7",
+        "mase", "reciprocity", "auc", "tpch_q7", "negative_samples",
     ]
     for name in headline:
         if name not in qs:

@@ -649,3 +649,82 @@ def chunk_documents(
             F.concat_ws(" ", F.col("c.t")).alias(out_col),
         )
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    k: int = 4,
+    seed: int = 0,
+    bucket_bits: int = 6,
+) -> DataFrame:
+    """Deterministic hash-ring negative sampling for contrastive /
+    embedding training data: every id owns a segment of the 60-bit md5
+    ring, and its j-th negative (j = 1..k) is the id owning the ring
+    position ``h(id:neg<j>:seed)`` — i.e. the successor doc at a
+    pseudo-random point. Uniform over the corpus, reproducible across
+    engines and re-runs (no RNG state), and stable under corpus growth
+    in the consistent-hashing sense (adding docs only re-routes targets
+    whose segment split). The rare self-draw (target lands in the id's
+    own segment, P ≈ 1/n per slot) is dropped and documented — slots
+    are not re-rolled, so output has ≤ k rows per id.
+
+    Output: ``(id, j, neg_id)``.
+
+    Scale shape — the ring successor is a GLOBAL-order lookup, but no
+    global window ever runs (the rank_normalize discipline): ring rows
+    and targets are bucketed by the position's high ``bucket_bits``
+    bits, the in-bucket successor is one bucket-keyed equi-join + one
+    min(struct) aggregate (size each bucket to O(10) docs by raising
+    ``bucket_bits`` with corpus size), empty/overrun buckets fall back
+    to a bucket-successor table built from ONE aggregate-sized window
+    over the 2^bucket_bits-row bucket minima (bucket = high bits ⇒ the
+    min struct over following buckets IS the next non-empty bucket's
+    owner), and the wrap-around is a broadcast 1-row global min."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not 1 <= bucket_bits <= 40:
+        raise ValueError("bucket_bits must be in [1, 40]")
+    from pyspark.sql import Window
+
+    def h60(col):
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast(
+            "long")
+
+    shift = 60 - bucket_bits
+    i = F.col(id_col).cast("string")
+    ring = df.select(
+        F.col(id_col).alias("__rid"),
+        h60(F.concat(i, F.lit(f":ring:{seed}"))).alias("__rpos"))
+    ring = ring.withColumn("__b", F.shiftright(F.col("__rpos"), shift))
+    tg = df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("j"))
+    tg = tg.withColumn(
+        "__tpos",
+        h60(F.concat(i, F.lit(":neg"), F.col("j").cast("string"),
+                     F.lit(f":{seed}"))))
+    tg = tg.withColumn("__b", F.shiftright(F.col("__tpos"), shift))
+    win = F.struct(F.col("__rpos").alias("p"), F.col("__rid").alias("r"))
+    cand = (tg.join(ring, "__b")
+            .where(F.col("__rpos") >= F.col("__tpos"))
+            .groupBy(id_col, "j")
+            .agg(F.min(win).alias("__w1")))
+    bmin = ring.groupBy("__b").agg(F.min(win).alias("__w"))
+    # the successor table must cover buckets that hold TARGETS but no
+    # ring rows — a target there must route to the next non-empty
+    # bucket, not fall through to the global wrap; window min skips
+    # the empty buckets' nulls
+    allb = (ring.select("__b").unionByName(tg.select("__b")).distinct()
+            .join(bmin, "__b", "left"))
+    w_succ = Window.orderBy("__b").rowsBetween(
+        1, Window.unboundedFollowing)
+    succ = allb.select(
+        "__b", F.min("__w").over(w_succ).alias("__w2"))
+    wrap = F.broadcast(ring.agg(F.min(win).alias("__w3")))
+    out = (tg.join(cand, [id_col, "j"], "left")
+           .join(F.broadcast(succ), "__b", "left")
+           .crossJoin(wrap))
+    neg = F.coalesce(F.col("__w1.r"), F.col("__w2.r"), F.col("__w3.r"))
+    return (out.select(F.col(id_col), "j", neg.alias("neg_id"))
+            .where(F.col("neg_id") != F.col(id_col)))

@@ -520,3 +520,60 @@ def test_time_split_embargo(spark):
     assert "embargo" not in z.values()
     with _pt.raises(ValueError, match="embargo"):
         time_split(df, "ts", 100.0, embargo=-1.0)
+
+
+def _py_negative_samples(ids, k, seed=0):
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    ring = sorted((h60(f"{i}:ring:{seed}"), i) for i in ids)
+    out = {}
+    for i in ids:
+        for j in range(1, k + 1):
+            t = h60(f"{i}:neg{j}:{seed}")
+            nxt = next((rid for pos, rid in ring if pos >= t),
+                       ring[0][1])
+            if nxt != i:
+                out[(i, j)] = nxt
+    return out
+
+
+def test_negative_samples_matches_python(spark):
+    from pyradiomics_spark.operators.sampling import negative_samples
+
+    ids = [f"doc{i}" for i in range(60)]
+    df = spark.createDataFrame([(i,) for i in ids], ["id"])
+    for bits in (1, 3, 6, 12):
+        got = {(r.id, r.j): r.neg_id
+               for r in negative_samples(df, "id", k=3, seed=2,
+                                         bucket_bits=bits).collect()}
+        assert got == _py_negative_samples(ids, 3, seed=2), bits
+
+
+def test_negative_samples_deterministic_and_no_self(spark):
+    from pyradiomics_spark.operators.sampling import negative_samples
+
+    ids = [f"u{i}" for i in range(40)]
+    df = spark.createDataFrame([(i,) for i in ids], ["id"])
+    a = sorted(map(tuple, negative_samples(
+        df, "id", k=4).collect()))
+    b = sorted(map(tuple, negative_samples(
+        df.repartition(7), "id", k=4).collect()))
+    assert a == b  # partitioning-invariant
+    assert all(r[0] != r[2] for r in a)
+    # coverage: nearly every (id, j) slot produced a negative
+    assert len(a) >= 40 * 4 - 6
+
+
+def test_negative_samples_rejects_bad_params(spark):
+    import pytest
+
+    from pyradiomics_spark.operators.sampling import negative_samples
+
+    df = spark.createDataFrame([("a",)], ["id"])
+    with pytest.raises(ValueError):
+        negative_samples(df, "id", k=0)
+    with pytest.raises(ValueError):
+        negative_samples(df, "id", bucket_bits=0)
