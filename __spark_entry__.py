@@ -4004,6 +4004,41 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_id").orderBy("doc_id", "j")
 
 
+def q_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed skip-gram co-occurrence census (functions/textstats.py
+    skipgram_pairs, ±2, min_count 5, top-200 cut) — the word2vec/GloVe
+    training-pair shape beyond pmi_pairs' adjacent bigrams. Pairing is
+    arrays_zip over shifted slices (zero shuffle), census one map-side
+    groupBy, cut k-bounded on exact integers. DuckDB twin renumbers
+    compacted positions and self-joins on the offset range."""
+    from pyradiomics_spark.functions.textstats import skipgram_pairs
+
+    docs = _read(spark, sf_dir, "documents").select("text")
+    out = skipgram_pairs(docs, window=2, min_count=5)
+    top = out.orderBy(F.col("n").desc(), "w1", "w2", "d").limit(200)
+    return top.select(
+        "w1", "w2", F.col("d").cast("long").alias("d"),
+        F.col("n").cast("long").alias("n"),
+    ).orderBy("w1", "w2", "d")
+
+
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hour-of-day seasonality strength (operators/windows.py
+    seasonality_strength): the one-way-ANOVA variance share of the
+    calendar profile — cron-driven bots score near 1, humans diffuse;
+    the behavioral bot signal next to session_paths. Two map-side-
+    combined groupBys on the engine-wide entity key; exact sums through
+    one fixed op tree."""
+    from pyradiomics_spark.operators.windows import seasonality_strength
+
+    ev = _read(spark, sf_dir, "events")
+    out = seasonality_strength(ev, "user_id", "ts", "value",
+                               bucket="hour")
+    return out.select(
+        "user_id", "n", "n_buckets",
+        _rnd("strength", 6).alias("strength")).orderBy("user_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (VERDICT r4 item 1): the driver's CORRECTNESS gate
     # only checks the FIRST 50 entries, so the least-recently-driver-verified
@@ -4032,6 +4067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc": q_auc,
         "tpch_q7": q_tpch_q7,
         "negative_samples": q_negative_samples,
+        "skipgrams": q_skipgrams,
+        "seasonality": q_seasonality,
         # --- new in the round-5 continuation session (never verified) ---
         "triangle_count": q_triangle_count,
         "scd2": q_scd2,
@@ -4882,6 +4919,49 @@ def oracle_sql() -> dict[str, str]:
                    floor(a2.auth * 1e6 + 0.50000095367431640625) / 1e6
                      AS auth
             FROM h2 JOIN a2 ON h2.node = a2.node ORDER BY h2.node
+        """,
+        "skipgrams": """
+            WITH t AS (
+              SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+                     unnest(toks) AS tok
+              FROM (SELECT doc_id,
+                           string_split(lower(text), ' ') AS toks
+                    FROM documents)
+            ), r AS (
+              SELECT doc_id, tok,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS p
+              FROM t WHERE tok <> ''
+            ), pr AS (
+              SELECT a.tok AS w1, b.tok AS w2, (b.p - a.p) AS d
+              FROM r a JOIN r b
+                ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 2
+            ), c AS (
+              SELECT w1, w2, d, count(*) AS n
+              FROM pr GROUP BY 1, 2, 3 HAVING count(*) >= 5
+            ), k AS (
+              SELECT * FROM c ORDER BY n DESC, w1, w2, d LIMIT 200
+            )
+            SELECT w1, w2, d::BIGINT AS d, n::BIGINT AS n
+            FROM k ORDER BY w1, w2, d
+        """,
+        "seasonality": """
+            WITH pb AS (
+              SELECT user_id, hour(ts) AS h, count(value) AS nh,
+                     sum(value) AS sh, sum(value * value) AS qh
+              FROM events GROUP BY 1, 2
+            ), ag AS (
+              SELECT user_id, sum(nh) AS n, sum(sh) AS s,
+                     sum(qh) AS q, sum(sh * sh / nh) AS ssb_raw,
+                     count(*) AS nb
+              FROM pb GROUP BY user_id
+            )
+            SELECT user_id, n::BIGINT AS n, nb::BIGINT AS n_buckets,
+                   floor((CASE WHEN n >= 2 AND q - s * s / n > 0
+                          THEN (ssb_raw - s * s / n) / (q - s * s / n)
+                          END) * 1e6 + 0.50000095367431640625) / 1e6
+                     AS strength
+            FROM ag ORDER BY user_id
         """,
         "negative_samples": """
             WITH ring AS (

@@ -1214,3 +1214,45 @@ def bm25_search(
     return top.withColumn("rank", F.row_number().over(w)).select(
         id_col, "score", F.col("n_hits").cast("long").alias("n_hits"),
         "rank")
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 1,
+) -> DataFrame:
+    """Directional skip-gram co-occurrence census — ``(w1, w2, d, n)``
+    counts of token pairs at forward offset ``d`` (1..``window``) —
+    the word2vec/GloVe training-pair shape (Mikolov et al. 2013)
+    generalizing ``pmi_pairs``' adjacent-only bigrams: windowed
+    co-occurrence is what embedding trainers and distributional-
+    similarity audits consume (symmetric counts are
+    ``c(a,b,d) + c(b,a,d)`` — emit-once keeps the census lossless).
+
+    Scale shape: pairing is ``window`` arrays_zip's over shifted slices
+    of the SAME tokenized array — pure per-row expressions, ZERO
+    shuffle until the single map-side-combined census groupBy (each
+    scan partition ships at most its distinct (w1, w2, d) keys).
+    ``min_count`` prunes the hapax tail at the aggregate."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    toks = F.array_compact(F.transform(
+        F.split(F.lower(F.col(text_col)), " "),
+        lambda x: F.when(x != "", x)))
+    base = df.select(toks.alias("__t"))
+    parts = []
+    for d in range(1, window + 1):
+        n_pairs = F.greatest(F.size(F.col("__t")) - d, F.lit(0))
+        parts.append(base.select(
+            F.explode(F.arrays_zip(
+                F.slice(F.col("__t"), 1, n_pairs),
+                F.slice(F.col("__t"), 1 + d, n_pairs))).alias("__p"))
+            .select(F.col("__p.0").alias("w1"),
+                    F.col("__p.1").alias("w2"),
+                    F.lit(d).alias("d")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    census = u.groupBy("w1", "w2", "d").agg(F.count("*").alias("n"))
+    return census.where(F.col("n") >= min_count)

@@ -606,3 +606,55 @@ def mase_eval(
     return agg.select(
         F.col(entity_col), F.col("n_scored").cast("long").alias("n_scored"),
         mase.alias("mase"))
+
+
+def seasonality_strength(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Per-entity seasonality strength — the one-way-ANOVA variance
+    share of a calendar bucket (hour of day by default):
+
+        strength = SSB / SST
+                 = (Σ_h s_h²/n_h − S²/N) / (Σx² − S²/N)
+
+    i.e. how much of the value's variance the time-of-day profile
+    explains, in [0, 1] up to rounding: ~0 ⇒ no diurnal structure
+    (don't build hour features), → 1 ⇒ the series IS its calendar
+    profile (typical for bot traffic — cron-driven crawlers score near
+    1 while humans are diffuse, which makes this a behavioral bot
+    signal next to session_paths). NULL when total variance is 0 or
+    the entity has < 2 rows. ``bucket`` ∈ {hour, dayofweek}.
+
+    Scale shape: ONE (entity, bucket) groupBy and ONE entity groupBy
+    over the bucket aggregate — two map-side-combined shuffles on the
+    engine-wide entity key, no windows, no joins back to corpus rows;
+    every float is a ratio of sums through one fixed op tree."""
+    buckets = {"hour": F.hour, "dayofweek": F.dayofweek}
+    if bucket not in buckets:
+        raise ValueError(f"bucket must be one of {sorted(buckets)}")
+    b = buckets[bucket](F.col(ts_col).cast("timestamp"))
+    x = F.col(value_col).cast("double")
+    per_b = (df.select(F.col(entity_col), b.alias("__h"), x.alias("__x"))
+             .groupBy(entity_col, "__h")
+             .agg(F.count("__x").alias("__nh"),
+                  F.sum("__x").alias("__sh"),
+                  F.sum(F.col("__x") * F.col("__x")).alias("__qh")))
+    agg = per_b.groupBy(entity_col).agg(
+        F.sum("__nh").cast("long").alias("n"),
+        F.sum("__sh").alias("__s"),
+        F.sum("__qh").alias("__q"),
+        F.sum(F.col("__sh") * F.col("__sh")
+              / F.col("__nh").cast("double")).alias("__ssb_raw"),
+        F.count("*").cast("long").alias("n_buckets"))
+    nd = F.col("n").cast("double")
+    corr = F.col("__s") * F.col("__s") / nd
+    sst = F.col("__q") - corr
+    ssb = F.col("__ssb_raw") - corr
+    strength = F.when((F.col("n") >= 2) & (sst > 0), ssb / sst)
+    return agg.select(
+        F.col(entity_col), "n", "n_buckets",
+        strength.alias("strength"))

@@ -465,3 +465,45 @@ def test_bm25_search_rejects_case_folded_duplicates(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="case-folded"):
         bm25_search(df, "doc_id", ["Spark", "spark"])
+
+
+def _py_skipgrams(texts, window, min_count=1):
+    from collections import Counter
+
+    c = Counter()
+    for txt in texts:
+        toks = [t for t in txt.lower().split(" ") if t]
+        for d in range(1, window + 1):
+            for i in range(len(toks) - d):
+                c[(toks[i], toks[i + d], d)] += 1
+    return {k: v for k, v in c.items() if v >= min_count}
+
+
+def test_skipgram_pairs_matches_python(spark):
+    from pyradiomics_spark.functions.textstats import skipgram_pairs
+
+    texts = ["the cat sat on the mat",
+             "the cat  ran", "a", ""]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = {(r.w1, r.w2, r.d): r.n
+           for r in skipgram_pairs(df, window=3).collect()}
+    assert got == _py_skipgrams(texts, 3)
+    # adjacent slice equals the bigram census
+    got1 = {(r.w1, r.w2, r.d): r.n
+            for r in skipgram_pairs(df, window=1).collect()}
+    assert got1 == _py_skipgrams(texts, 1)
+
+
+def test_skipgram_min_count_and_window_guard(spark):
+    import pytest
+
+    from pyradiomics_spark.functions.textstats import skipgram_pairs
+
+    df = spark.createDataFrame([("x y x y x",)], ["text"])
+    got = {(r.w1, r.w2, r.d): r.n
+           for r in skipgram_pairs(df, window=2,
+                                   min_count=2).collect()}
+    assert got == {("x", "y", 1): 2, ("y", "x", 1): 2,
+                   ("x", "x", 2): 2}
+    with pytest.raises(ValueError):
+        skipgram_pairs(df, window=0)

@@ -627,3 +627,68 @@ def test_mase_rejects_bad_season(spark):
     df = spark.createDataFrame([("e", 1.0, 1.0)], ["e", "ts", "v"])
     with pytest.raises(ValueError):
         mase_eval(df, "e", "ts", "v", season=0)
+
+
+def _py_seasonality(rows, bucket_fn):
+    from collections import defaultdict
+
+    by_e = defaultdict(list)
+    for e, ts, v in rows:
+        by_e[e].append((bucket_fn(ts), v))
+    out = {}
+    for e, pairs in by_e.items():
+        xs = [v for _, v in pairs]
+        n = len(xs)
+        s = sum(xs)
+        q = sum(v * v for v in xs)
+        by_h = defaultdict(list)
+        for h, v in pairs:
+            by_h[h].append(v)
+        ssb_raw = sum(sum(vs) ** 2 / len(vs) for vs in by_h.values())
+        sst = q - s * s / n
+        out[e] = (n, len(by_h),
+                  (ssb_raw - s * s / n) / sst
+                  if n >= 2 and sst > 0 else None)
+    return out
+
+
+def test_seasonality_matches_python(spark):
+    import datetime as dt
+
+    from pyradiomics_spark.operators.windows import seasonality_strength
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # bot: value is a pure function of hour -> strength 1
+    for day in range(4):
+        for h in (2, 9, 14):
+            rows.append(("bot", base + dt.timedelta(days=day, hours=h),
+                         10.0 * h))
+    # human: same value at all hours -> sst 0 -> NULL
+    for i in range(6):
+        rows.append(("flat", base + dt.timedelta(hours=i), 5.0))
+    # mixed: noise across hours
+    for i in range(12):
+        rows.append(("mix", base + dt.timedelta(hours=i * 7),
+                     float((i * 13) % 5)))
+    df = spark.createDataFrame(rows, ["e", "ts", "v"])
+    got = {r.e: (r.n, r.n_buckets, r.strength)
+           for r in seasonality_strength(df, "e", "ts", "v").collect()}
+    want = _py_seasonality(rows, lambda ts: ts.hour)
+    assert set(got) == set(want)
+    for e in want:
+        assert got[e][:2] == want[e][:2]
+        if want[e][2] is None:
+            assert got[e][2] is None
+        else:
+            assert got[e][2] == pytest.approx(want[e][2], rel=1e-12)
+    assert got["bot"][2] == pytest.approx(1.0, rel=1e-12)
+    assert got["flat"][2] is None
+
+
+def test_seasonality_rejects_bad_bucket(spark):
+    from pyradiomics_spark.operators.windows import seasonality_strength
+
+    df = spark.createDataFrame([("e", 1.0, 1.0)], ["e", "ts", "v"])
+    with pytest.raises(ValueError):
+        seasonality_strength(df, "e", "ts", "v", bucket="minute")
