@@ -4039,6 +4039,36 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rnd("strength", 6).alias("strength")).orderBy("user_id")
 
 
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item revenue report): quarter-filtered
+    orders join the return-flagged fact rows and a broadcast nation
+    dim, one customer-grained groupBy, k-bounded top-20 by revenue
+    (deterministic c_custkey tie) — the classic revenue-report join
+    tree: fact⨝dim with BOTH filters pushed below the join."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R")
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-04-01"))
+    cust = _read(spark, sf_dir, "customer")
+    nat = _read(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    j = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(cust),
+               F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(nat),
+               F.col("c_nationkey") == F.col("n_nationkey")))
+    agg = (j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+           .agg(F.sum(rev).alias("revenue")))
+    top = agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")
+                      ).limit(20)
+    return top.select(
+        "c_custkey", "c_name", _rnd("c_acctbal", 2).alias("c_acctbal"),
+        "n_name", _rnd("revenue", 4).alias("revenue"),
+    ).orderBy("c_custkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (VERDICT r4 item 1): the driver's CORRECTNESS gate
     # only checks the FIRST 50 entries, so the least-recently-driver-verified
@@ -4069,6 +4099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": q_negative_samples,
         "skipgrams": q_skipgrams,
         "seasonality": q_seasonality,
+        "tpch_q10": q_tpch_q10,
         # --- new in the round-5 continuation session (never verified) ---
         "triangle_count": q_triangle_count,
         "scd2": q_scd2,
@@ -4919,6 +4950,30 @@ def oracle_sql() -> dict[str, str]:
                    floor(a2.auth * 1e6 + 0.50000095367431640625) / 1e6
                      AS auth
             FROM h2 JOIN a2 ON h2.node = a2.node ORDER BY h2.node
+        """,
+        "tpch_q10": """
+            WITH ag AS (
+              SELECT c_custkey, c_name, c_acctbal, n_name,
+                     sum(l_extendedprice * (1.0 - l_discount))
+                       AS revenue
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= '1995-01-01'
+                AND o_orderdate < '1995-04-01'
+              GROUP BY 1, 2, 3, 4
+            ), top AS (
+              SELECT * FROM ag ORDER BY revenue DESC, c_custkey LIMIT 20
+            )
+            SELECT c_custkey, c_name,
+                   floor(c_acctbal * 1e2 + 0.50000095367431640625) / 1e2
+                     AS c_acctbal,
+                   n_name,
+                   floor(revenue * 1e4 + 0.50000095367431640625) / 1e4
+                     AS revenue
+            FROM top ORDER BY c_custkey
         """,
         "skipgrams": """
             WITH t AS (
