@@ -159,7 +159,7 @@ def main() -> None:
         "rrf_fuse", "ndcg", "attribution", "concentration",
         "rolling_slope", "cusum", "bm25_search", "modularity",
         "mase", "reciprocity", "auc", "tpch_q7", "negative_samples",
-        "skipgrams", "seasonality", "tpch_q10",
+        "skipgrams", "seasonality", "tpch_q10", "embedding_quality",
     ]
     for name in headline:
         if name not in qs:

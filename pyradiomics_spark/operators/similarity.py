@@ -334,3 +334,52 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+def embedding_quality(
+    df: DataFrame,
+    vec_col: str,
+    group_cols=None,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-column QA census — per group: row count, null vectors,
+    wrong-width vectors (when ``dim`` is given), vectors containing a
+    null element, exact-zero vectors, and the L2-norm min/mean/max over
+    the clean rows. The data-card row to run BEFORE ANN/semdedup jobs:
+    a schema-drifted shard (wrong width), a failed encoder batch (zero
+    or null vectors), or a norm collapse all surface here instead of as
+    silently-garbage similarity scores downstream (the fail-loud
+    contract `_stack_vecs` enforces per batch, lifted to a corpus
+    census).
+
+    Scale shape: pure per-row array expressions (fold for the norm,
+    exists for the null scan — no explode, no Python) + ONE map-side-
+    combined groupBy; output is |groups| rows."""
+    groups = ([group_cols] if isinstance(group_cols, str)
+              else list(group_cols or []))
+    v = F.col(vec_col)
+    is_null = v.isNull()
+    has_null_el = F.when(~is_null, F.exists(v, lambda x: x.isNull())
+                         ).otherwise(F.lit(False))
+    wrong_width = (F.when(~is_null, F.size(v) != dim)
+                   .otherwise(F.lit(False))
+                   if dim is not None else F.lit(False))
+    clean = ~is_null & ~has_null_el & ~wrong_width
+    norm2 = F.aggregate(v, F.lit(0.0),
+                        lambda a, x: a + x.cast("double") * x)
+    norm = F.when(clean, F.sqrt(norm2))
+    is_zero = clean & (norm2 == 0.0)
+    per = df.select(
+        *groups, is_null.cast("int").alias("__nl"),
+        has_null_el.cast("int").alias("__ne"),
+        wrong_width.cast("int").alias("__ww"),
+        is_zero.cast("int").alias("__z"), norm.alias("__n"))
+    return per.groupBy(*groups).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__nl").cast("long").alias("n_null"),
+        F.sum("__ne").cast("long").alias("n_null_elem"),
+        F.sum("__ww").cast("long").alias("n_wrong_width"),
+        F.sum("__z").cast("long").alias("n_zero"),
+        F.min("__n").alias("min_norm"),
+        (F.sum("__n") / F.count("__n")).alias("mean_norm"),
+        F.max("__n").alias("max_norm"))

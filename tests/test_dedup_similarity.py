@@ -1188,3 +1188,43 @@ def test_jaccard_join_fuzz_random_docs(spark):
                               shingle_tokens=2).collect())
     want = [(a, b) for a, b, _ in _brute_jaccard(rows, 0.6, 2)]
     assert got == want
+
+
+def test_embedding_quality_census(spark):
+    import math
+
+    import pytest
+
+    from pyradiomics_spark.operators.similarity import embedding_quality
+
+    rows = [
+        ("a", [3.0, 4.0]),          # norm 5
+        ("a", [0.0, 0.0]),          # zero vector
+        ("a", None),                # null vector
+        ("a", [1.0, None]),         # null element
+        ("a", [1.0, 2.0, 3.0]),     # wrong width
+        ("b", [1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r.g: r for r in embedding_quality(
+        df, "v", group_cols="g", dim=2).collect()}
+    a = got["a"]
+    assert (a.n, a.n_null, a.n_null_elem, a.n_wrong_width, a.n_zero) == \
+        (5, 1, 1, 1, 1)
+    # clean rows of a: [3,4] and [0,0] -> norms 5 and 0
+    assert a.min_norm == 0.0 and a.max_norm == 5.0
+    assert a.mean_norm == pytest.approx(2.5)
+    b = got["b"]
+    assert (b.n, b.n_null, b.n_zero) == (1, 0, 0)
+    assert b.mean_norm == pytest.approx(math.sqrt(2.0))
+
+
+def test_embedding_quality_without_dim_or_groups(spark):
+    from pyradiomics_spark.operators.similarity import embedding_quality
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0],), ([0.0, 2.0, 0.0],)], ["v"])
+    r = embedding_quality(df, "v").collect()[0]
+    # no dim declared -> width drift is NOT flagged
+    assert (r.n, r.n_wrong_width) == (2, 0)
+    assert (r.min_norm, r.max_norm) == (1.0, 2.0)
