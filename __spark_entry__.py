@@ -4089,6 +4089,42 @@ def q_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label")
 
 
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM behavioral segmentation (operators/events.py rfm_segments):
+    per-user recency/frequency/monetary with inverted ntile scores and
+    the concatenated segment cell — the classic power-user/at-risk
+    split for per-segment pipelines. ONE per-user aggregate; ntile
+    windows run over the |users| aggregate with user_id ties —
+    engine-exact."""
+    from pyradiomics_spark.operators.events import rfm_segments
+
+    ev = _read(spark, sf_dir, "events")
+    out = rfm_segments(ev, "user_id", "ts", "value", n_tiles=5)
+    return out.select(
+        "user_id", _rnd("recency_days", 6).alias("recency_days"),
+        "frequency", _rnd("monetary", 6).alias("monetary"),
+        "r_score", "f_score", "m_score", "rfm",
+    ).orderBy("user_id")
+
+
+def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 value percentiles per event type
+    (operators/events.py group_percentiles, PERCENTILE_CONT linear
+    interpolation — DuckDB's quantile_cont shares the definition). The
+    exact small-group distribution table; unbounded groups use the GK
+    arm (quantile_buckets). ONE map-side-combined groupBy, no
+    windows."""
+    from pyradiomics_spark.operators.events import group_percentiles
+
+    ev = _read(spark, sf_dir, "events")
+    out = group_percentiles(ev, "event_type", "value",
+                            (0.5, 0.9, 0.99))
+    return out.select(
+        "event_type", _rnd("p", 2).alias("p"),
+        _rnd("value", 6).alias("value"),
+    ).orderBy("event_type", "p")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (VERDICT r4 item 1): the driver's CORRECTNESS gate
     # only checks the FIRST 50 entries, so the least-recently-driver-verified
@@ -4121,6 +4157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonality": q_seasonality,
         "tpch_q10": q_tpch_q10,
         "embedding_quality": q_embedding_quality,
+        "rfm": q_rfm,
+        "group_percentiles": q_group_percentiles,
         # --- new in the round-5 continuation session (never verified) ---
         "triangle_count": q_triangle_count,
         "scd2": q_scd2,
@@ -4971,6 +5009,56 @@ def oracle_sql() -> dict[str, str]:
                    floor(a2.auth * 1e6 + 0.50000095367431640625) / 1e6
                      AS auth
             FROM h2 JOIN a2 ON h2.node = a2.node ORDER BY h2.node
+        """,
+        "rfm": """
+            WITH a AS (
+              SELECT user_id, max(epoch(ts)) AS last_t,
+                     count(*) AS frequency, sum(value) AS monetary
+              FROM events GROUP BY user_id
+            ), r AS (
+              SELECT *, (SELECT max(last_t) FROM a) AS ref FROM a
+            ), s AS (
+              SELECT user_id,
+                     (ref - last_t) / 86400.0 AS recency_days,
+                     frequency, monetary,
+                     6 - ntile(5) OVER (
+                       ORDER BY (ref - last_t) / 86400.0 ASC, user_id)
+                       AS r_score,
+                     6 - ntile(5) OVER (
+                       ORDER BY frequency DESC, user_id) AS f_score,
+                     6 - ntile(5) OVER (
+                       ORDER BY monetary DESC, user_id) AS m_score
+              FROM r
+            )
+            SELECT user_id,
+                   floor(recency_days * 1e6
+                         + 0.50000095367431640625) / 1e6
+                     AS recency_days,
+                   frequency::BIGINT AS frequency,
+                   floor(monetary * 1e6 + 0.50000095367431640625) / 1e6
+                     AS monetary,
+                   r_score::BIGINT AS r_score,
+                   f_score::BIGINT AS f_score,
+                   m_score::BIGINT AS m_score,
+                   r_score::VARCHAR || f_score::VARCHAR
+                     || m_score::VARCHAR AS rfm
+            FROM s ORDER BY user_id
+        """,
+        "group_percentiles": """
+            WITH q AS (
+              SELECT event_type,
+                     quantile_cont(value, [0.5, 0.9, 0.99]) AS v
+              FROM events GROUP BY event_type
+            ), u AS (
+              SELECT event_type, unnest([0.5, 0.9, 0.99]) AS p,
+                     unnest(v) AS value
+              FROM q
+            )
+            SELECT event_type,
+                   floor(p * 1e2 + 0.50000095367431640625) / 1e2 AS p,
+                   floor(value * 1e6 + 0.50000095367431640625) / 1e6
+                     AS value
+            FROM u ORDER BY event_type, p
         """,
         "embedding_quality": """
             WITH per AS (

@@ -298,3 +298,97 @@ def conversion_attribution(
                     .cast("long").alias("first_touch"),
                     F.coalesce(F.col("last_touch"), F.lit(0))
                     .cast("long").alias("last_touch")))
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    n_tiles: int = 5,
+    as_of=None,
+) -> DataFrame:
+    """RFM segmentation — per user: recency (days since last event at
+    ``as_of``, default the corpus max timestamp), frequency (event
+    count), monetary (value sum), plus ``r_score``/``f_score``/
+    ``m_score`` ntile ranks 1..``n_tiles`` (5 = best: most recent,
+    most frequent, highest value) and the concatenated ``rfm`` cell —
+    the classic behavioral segmentation (Hughes 1994), used on event
+    streams to split power users / at-risk / churned for per-segment
+    feature pipelines.
+
+    Scale shape: ONE map-side-combined per-user aggregate; the ntile
+    windows run over the |users| AGGREGATE rows (ties broken by
+    user_id, so scores are engine-exact), never corpus rows; ``as_of``
+    defaults to a broadcast 1-row max — no driver action."""
+    from pyspark.sql import Window
+
+    if n_tiles < 2:
+        raise ValueError("n_tiles must be >= 2")
+    ts = F.col(ts_col).cast("timestamp").cast("double")
+    agg = df.groupBy(user_col).agg(
+        F.max(ts).alias("__last"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col(value_col).cast("double")).alias("monetary"))
+    if as_of is None:
+        ref = F.broadcast(agg.agg(F.max("__last").alias("__ref")))
+        agg = agg.crossJoin(ref)
+    else:
+        agg = agg.withColumn(
+            "__ref", F.lit(as_of).cast("timestamp").cast("double"))
+    agg = agg.withColumn(
+        "recency_days",
+        (F.col("__ref") - F.col("__last")) / F.lit(86400.0))
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col(user_col))
+    wf = Window.orderBy(F.col("frequency").desc(), F.col(user_col))
+    wm = Window.orderBy(F.col("monetary").desc(), F.col(user_col))
+    # most-recent / most-frequent / highest-value land in tile 1 →
+    # invert so 5 is best, the conventional reading
+    inv = lambda c: F.lit(n_tiles + 1) - c  # noqa: E731
+    out = (agg
+           .withColumn("r_score", inv(F.ntile(n_tiles).over(wr)))
+           .withColumn("f_score", inv(F.ntile(n_tiles).over(wf)))
+           .withColumn("m_score", inv(F.ntile(n_tiles).over(wm))))
+    return out.select(
+        F.col(user_col), "recency_days",
+        F.col("frequency").cast("long").alias("frequency"), "monetary",
+        F.col("r_score").cast("long").alias("r_score"),
+        F.col("f_score").cast("long").alias("f_score"),
+        F.col("m_score").cast("long").alias("m_score"),
+        F.concat(F.col("r_score").cast("string"),
+                 F.col("f_score").cast("string"),
+                 F.col("m_score").cast("string")).alias("rfm"))
+
+
+def group_percentiles(
+    df: DataFrame,
+    group_cols,
+    value_col: str,
+    percentiles=(0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact linear-interpolation percentiles per group — one output
+    row per (group, p): ``(group..., p, value)`` — the latency/size
+    distribution table every ops review reads (p50/p90/p99 by default).
+    Uses the engine's exact ``percentile`` aggregate (the SQL-standard
+    PERCENTILE_CONT definition DuckDB's quantile_cont shares, so the
+    twin is engine-exact up to interpolation arithmetic).
+
+    Scale note: exact percentiles sort each group's values INSIDE the
+    aggregate — right for bounded-cardinality groups (event types,
+    langs, hosts-per-shard); at unbounded group sizes use the GK-sketch
+    arm (`sampling.quantile_buckets`) instead — this is the exact
+    small-group form, ONE map-side-combined groupBy, no windows."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(
+        group_cols)
+    ps = list(percentiles)
+    if not ps or not all(0.0 <= p <= 1.0 for p in ps):
+        raise ValueError("percentiles must be in [0, 1]")
+    arr = ", ".join(repr(float(p)) for p in ps)
+    agg = df.groupBy(*groups).agg(
+        F.expr(f"percentile({value_col}, array({arr}))").alias("__v"))
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(float(p)) for p in ps]).alias("p"),
+        F.col("__v").alias("value"))
+    return (agg.select(*groups, F.explode(pairs).alias("__e"))
+            .select(*groups, F.col("__e.p").alias("p"),
+                    F.col("__e.value").alias("value")))

@@ -317,3 +317,90 @@ def test_concentration_monopoly_extremes(spark):
     r = concentration_metrics(df, "g", "h").collect()[0]
     assert (r.n_units, r.hhi) == (1, pytest.approx(1.0))
     assert r.gini == pytest.approx(0.0, abs=1e-15)
+
+
+def _py_rfm(rows, n_tiles=5):
+    from collections import defaultdict
+
+    by_u = defaultdict(list)
+    for u, ts, v in rows:
+        by_u[u].append((ts, v))
+    users = sorted(by_u)
+    last = {u: max(ts for ts, _ in by_u[u]) for u in users}
+    ref = max(last.values())
+    rec = {u: (ref - last[u]) / 86400.0 for u in users}
+    freq = {u: len(by_u[u]) for u in users}
+    mon = {u: sum(v for _, v in by_u[u]) for u in users}
+
+    def ntile(keys, n):
+        cnt = len(keys)
+        out = {}
+        for i, u in enumerate(keys):
+            # SQL ntile: first (cnt % n) tiles get ceil(cnt/n)
+            big = cnt % n
+            size = cnt // n
+            if i < big * (size + 1):
+                t = i // (size + 1) + 1
+            else:
+                t = big + (i - big * (size + 1)) // size + 1
+            out[u] = n + 1 - t
+        return out
+
+    r = ntile(sorted(users, key=lambda u: (rec[u], u)), n_tiles)
+    f = ntile(sorted(users, key=lambda u: (-freq[u], u)), n_tiles)
+    m = ntile(sorted(users, key=lambda u: (-mon[u], u)), n_tiles)
+    return {u: (rec[u], freq[u], mon[u], r[u], f[u], m[u]) for u in users}
+
+
+def test_rfm_matches_python(spark):
+    import pytest
+
+    from pyradiomics_spark.operators.events import rfm_segments
+
+    rows = []
+    for u in range(12):
+        for i in range(u + 1):                    # freq varies 1..12
+            rows.append((u, 86400.0 * (u + i), float(u * 10 + i)))
+    df = spark.createDataFrame(rows, ["u", "ts", "v"])
+    got = {r.u: (r.recency_days, r.frequency, r.monetary,
+                 r.r_score, r.f_score, r.m_score, r.rfm)
+           for r in rfm_segments(df, "u", "ts", "v").collect()}
+    want = _py_rfm(rows)
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == pytest.approx(want[u][0])
+        assert got[u][1:6] == want[u][1:]
+        assert got[u][6] == "".join(str(s) for s in want[u][3:])
+    # scores span the full 1..5 range on 12 users
+    assert {g[3] for g in got.values()} == set(range(1, 6))
+
+
+def test_rfm_rejects_tiles(spark):
+    import pytest
+
+    from pyradiomics_spark.operators.events import rfm_segments
+
+    df = spark.createDataFrame([(1, 1.0, 1.0)], ["u", "ts", "v"])
+    with pytest.raises(ValueError):
+        rfm_segments(df, "u", "ts", "v", n_tiles=1)
+
+
+def test_group_percentiles_exact(spark):
+    import numpy as np
+    import pytest
+
+    from pyradiomics_spark.operators.events import group_percentiles
+
+    vals = [float(v) for v in range(1, 101)]
+    rows = [("a", v) for v in vals] + [("b", 7.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {(r.g, r.p): r.value
+           for r in group_percentiles(df, "g", "v",
+                                      (0.0, 0.5, 0.9, 1.0)).collect()}
+    for p in (0.0, 0.5, 0.9, 1.0):
+        # Spark `percentile` is linear interpolation == numpy default
+        assert got[("a", p)] == pytest.approx(
+            float(np.percentile(vals, p * 100)), rel=1e-12)
+        assert got[("b", p)] == 7.0
+    with pytest.raises(ValueError):
+        group_percentiles(df, "g", "v", (1.5,))
