@@ -160,7 +160,7 @@ def main() -> None:
         "rolling_slope", "cusum", "bm25_search", "modularity",
         "mase", "reciprocity", "auc", "tpch_q7", "negative_samples",
         "skipgrams", "seasonality", "tpch_q10", "embedding_quality",
-        "rfm", "group_percentiles",
+        "rfm", "group_percentiles", "stream_rate_limit",
     ]
     for name in headline:
         if name not in qs:

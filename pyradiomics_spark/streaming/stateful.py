@@ -15,6 +15,7 @@ from typing import Any, Iterator, Tuple
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 STATE_SCHEMA = "cnt long, total double, total_sq double"
@@ -164,5 +165,88 @@ def stream_scd2(
         outputStructType=SCD2_OUTPUT_SCHEMA,
         stateStructType=SCD2_STATE_SCHEMA,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+RATE_STATE_SCHEMA = "win array<long>, cnt array<long>"
+RATE_OUTPUT_SCHEMA = (
+    "key long, ts timestamp, tie long, allowed boolean"
+)
+
+
+def _rate_update(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-key windowed-quota admission: the first ``limit`` events in
+    each tumbling window pass, the rest are flagged. State is the
+    per-window counts map (two parallel arrays — fixed-type state),
+    pruned to windows ≥ the newest seen minus one (the same
+    no-late-data ordering contract as _scd2_update; a genuinely late
+    event fails loudly rather than silently resetting a quota)."""
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["ts", "tie"], kind="mergesort")
+    limit = int(batch["limit"].iloc[0])
+    width_us = int(batch["width_us"].iloc[0])
+    counts: dict = {}
+    if state.exists:
+        wins, cnts = state.get
+        counts = dict(zip(wins, cnts))
+    max_win = max(counts) if counts else None
+    allowed = []
+    for ts in batch["ts"]:
+        w = int(pd.Timestamp(ts).value // 1000) // width_us
+        if max_win is not None and w < max_win - 1:
+            raise ValueError(
+                f"stream_rate_limit: event for key {key[0]!r} in window "
+                f"{w} arrived after window {max_win} — late data must "
+                "go through the batch recompute path")
+        c = counts.get(w, 0)
+        allowed.append(c < limit)
+        counts[w] = c + 1
+        max_win = w if max_win is None else max(max_win, w)
+    # prune closed windows: only the newest two can still receive rows
+    counts = {w: c for w, c in counts.items() if w >= max_win - 1}
+    state.update((list(counts.keys()), list(counts.values())))
+    yield pd.DataFrame({
+        "key": [key[0]] * len(batch),
+        "ts": batch["ts"].tolist(),
+        "tie": batch["tie"].tolist(),
+        "allowed": allowed,
+    })
+
+
+def stream_rate_limit(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    limit: int,
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """STREAMING per-key rate limiter (crawl/ingest admission control):
+    within each ``window_seconds`` tumbling window, the first ``limit``
+    events of a key pass (``allowed=true``), the overflow is flagged —
+    politeness quotas per host, API budget enforcement, bot throttling.
+    Quota state (per-window counts, pruned to the two live windows)
+    survives across micro-batches via applyInPandasWithState; on a
+    single-batch replay the decisions equal the batch twin
+    ``row_number() over (key, window order ts, tie) <= limit`` exactly
+    (pinned in tests and the driver gate). Ordering contract across
+    batches as stream_scd2: per-key event time non-decreasing up to one
+    window of slack; later arrivals fail loudly."""
+    if limit < 1 or window_seconds < 1:
+        raise ValueError("limit and window_seconds must be >= 1")
+    src = stream.selectExpr(
+        f"{key_col} as key", f"{ts_col} as ts", f"{tie_col} as tie"
+    ).withColumn("limit", F.lit(int(limit))).withColumn(
+        "width_us", F.lit(int(window_seconds) * 1_000_000))
+    return src.groupBy("key").applyInPandasWithState(
+        _rate_update,
+        outputStructType=RATE_OUTPUT_SCHEMA,
+        stateStructType=RATE_STATE_SCHEMA,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

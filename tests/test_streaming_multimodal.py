@@ -399,3 +399,64 @@ def test_stream_scd2_multibatch_equals_batch(spark, tmp_path):
     want_set = {(r.uid, r.lang, r.valid_from, r.valid_to if pd.notna(r.valid_to) else None,
                  r.n_events, r.is_current) for r in want.itertuples()}
     assert got_set == want_set
+
+
+def test_stream_rate_limit_multibatch_quota(spark, tmp_path):
+    """Windowed per-key quota across two micro-batches: the window's
+    count carries in state, so the second batch's events see the quota
+    already partly consumed; decisions equal the batch row_number
+    twin."""
+    import time
+    from datetime import datetime as DT
+
+    from pyradiomics_spark.streaming.stateful import stream_rate_limit
+
+    # window = 1 hour, limit 2; key 1 sends 2+2 in one window (last two
+    # must be denied — one in each batch), key 2 stays under quota and
+    # rolls into a fresh window
+    rows1 = [(1, DT(2024, 1, 1, 10, 0), 0), (1, DT(2024, 1, 1, 10, 5), 1),
+             (1, DT(2024, 1, 1, 10, 10), 2), (2, DT(2024, 1, 1, 10, 0), 3)]
+    rows2 = [(1, DT(2024, 1, 1, 10, 20), 4), (2, DT(2024, 1, 1, 11, 30), 5)]
+    schema = "key long, ts timestamp, eid long"
+    src = str(tmp_path / "rl_src")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src)
+    time.sleep(2)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    out = stream_rate_limit(stream, "key", "ts", "eid",
+                            limit=2, window_seconds=3600)
+    q = (out.writeStream.format("memory").queryName("rl_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.tie: r.allowed
+           for r in spark.sql("select * from rl_stream").collect()}
+    assert got == {0: True, 1: True, 2: False, 3: True,
+                   4: False, 5: True}
+
+
+def test_stream_rate_limit_rejects_late_window(spark, tmp_path):
+    import time
+    from datetime import datetime as DT
+
+    from pyradiomics_spark.streaming.stateful import stream_rate_limit
+
+    rows1 = [(1, DT(2024, 1, 1, 12, 0), 0)]
+    rows2 = [(1, DT(2024, 1, 1, 9, 0), 1)]   # 3 windows earlier
+    schema = "key long, ts timestamp, eid long"
+    src = str(tmp_path / "rl_late")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src)
+    time.sleep(2)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    out = stream_rate_limit(stream, "key", "ts", "eid",
+                            limit=5, window_seconds=3600)
+    q = (out.writeStream.format("memory").queryName("rl_late_q")
+         .outputMode("append").trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="late data|StreamingQuery"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
