@@ -728,3 +728,42 @@ def negative_samples(
     neg = F.coalesce(F.col("__w1.r"), F.col("__w2.r"), F.col("__w3.r"))
     return (out.select(F.col(id_col), "j", neg.alias("neg_id"))
             .where(F.col("neg_id") != F.col(id_col)))
+
+
+def weighted_stratified_sample(
+    df: DataFrame,
+    stratum_cols,
+    id_col: str,
+    log_weight_col: str,
+    k: int,
+    seed: int = 0,
+    score_col: str = "gumbel_score",
+) -> DataFrame:
+    """Exactly-k-per-stratum WEIGHTED sampling without replacement —
+    the Gumbel-top-k trick applied per group (equivalently
+    Efraimidis–Spirakis A-ES keys): within each stratum keep the k rows
+    maximizing ``log_weight + G_id``, drawing proportional-to-weight
+    without replacement. This completes the sampling matrix:
+    `stratified_sample` (uniform rate), `stratified_sample_exact`
+    (uniform exact-N), `gumbel_topk_sample` (weighted global-k) —
+    weighted exact-N per language/domain is the DoReMi-style mix with a
+    quality prior inside each domain. Deterministic: the noise is a
+    pure function of (id, seed) — reproducible across retries,
+    partitionings, and engines. Null log-weights are excluded.
+
+    Scale shape: scan-fused score projection + ONE bounded rank window
+    per stratum (the stratified_sample_exact shape — one exchange on
+    the stratum key, in-partition top-k, never a global sort)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    strata = ([stratum_cols] if isinstance(stratum_cols, str)
+              else list(stratum_cols))
+    u = hash_fraction(id_col, seed)
+    g = -F.log(-F.log(u + F.lit(2.0 ** -33)))
+    lw = F.col(log_weight_col).cast("double")
+    scored = (df.where(lw.isNotNull())
+              .withColumn(score_col, lw + g))
+    w = Window.partitionBy(*strata).orderBy(
+        F.desc(score_col), F.col(id_col))
+    return (scored.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k).drop("__rk"))

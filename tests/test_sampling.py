@@ -577,3 +577,67 @@ def test_negative_samples_rejects_bad_params(spark):
         negative_samples(df, "id", k=0)
     with pytest.raises(ValueError):
         negative_samples(df, "id", bucket_bits=0)
+
+
+def _py_weighted_strat(rows, k, seed=0):
+    """rows: (stratum, id, logw). Gumbel-top-k per stratum twin."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    def score(i, lw):
+        u = int(hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:8],
+                16) / float(1 << 32)
+        return lw - math.log(-math.log(u + 2.0 ** -33))
+
+    by_s = defaultdict(list)
+    for s, i, lw in rows:
+        if lw is not None:
+            by_s[s].append((score(i, lw), i))
+    out = set()
+    for s, items in by_s.items():
+        for _, i in sorted(items, key=lambda t: (-t[0], t[1]))[:k]:
+            out.add((s, i))
+    return out
+
+
+def test_weighted_stratified_matches_python(spark):
+    from pyradiomics_spark.operators.sampling import (
+        weighted_stratified_sample)
+
+    rows = ([("en", f"e{i}", float(i % 7) / 2.0) for i in range(40)]
+            + [("de", f"d{i}", 0.0) for i in range(10)]
+            + [("fr", "f0", None)])          # null weight excluded
+    df = spark.createDataFrame(rows, ["lang", "id", "lw"])
+    got = {(r.lang, r.id) for r in weighted_stratified_sample(
+        df, "lang", "id", "lw", k=5, seed=3).collect()}
+    assert got == _py_weighted_strat(
+        [(s, i, w) for s, i, w in rows], 5, seed=3)
+    # strata smaller than k are kept whole (minus null weights)
+    assert sum(1 for s, _ in got if s == "de") == 5
+    assert not any(s == "fr" for s, _ in got)
+
+
+def test_weighted_stratified_biases_toward_weight(spark):
+    from pyradiomics_spark.operators.sampling import (
+        weighted_stratified_sample)
+
+    # two weight classes 1000 apart: the k sampled ids must all come
+    # from the heavy class (probability ~e^-1000 otherwise)
+    rows = ([("s", f"h{i}", 10.0) for i in range(20)]
+            + [("s", f"l{i}", -990.0) for i in range(20)])
+    df = spark.createDataFrame(rows, ["g", "id", "lw"])
+    got = [r.id for r in weighted_stratified_sample(
+        df, "g", "id", "lw", k=10).collect()]
+    assert len(got) == 10 and all(i.startswith("h") for i in got)
+
+
+def test_weighted_stratified_rejects_k(spark):
+    import pytest
+
+    from pyradiomics_spark.operators.sampling import (
+        weighted_stratified_sample)
+
+    df = spark.createDataFrame([("s", "a", 0.0)], ["g", "id", "lw"])
+    with pytest.raises(ValueError):
+        weighted_stratified_sample(df, "g", "id", "lw", k=0)
