@@ -4181,6 +4181,26 @@ def q_weighted_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "doc_id")
 
 
+def q_dist_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS distance + 1-D Wasserstein (functions/encoders.py
+    distribution_distance) between the click and view event-value
+    distributions — the metric drift pair next to psi_drift/
+    snapshot_drift: "did it change anywhere" (KS) and "by how much in
+    value units" (W1). Support pre-quantized with exact floor (no
+    round-tie semantics cross-engine); the CDF window runs over the
+    |support|-row join, never corpus rows."""
+    from pyradiomics_spark.functions.encoders import distribution_distance
+
+    ev = _read(spark, sf_dir, "events")
+    q = (F.floor(F.col("value") * 10.0) / 10.0).alias("value")
+    a = ev.where(F.col("event_type") == "click").select(q)
+    b = ev.where(F.col("event_type") == "view").select(q)
+    out = distribution_distance(a, b, "value")
+    return out.select(
+        "n_a", "n_b", _rnd("d_ks", 6).alias("d_ks"),
+        _rnd("w1", 6).alias("w1"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (VERDICT r4 item 1): the driver's CORRECTNESS gate
     # only checks the FIRST 50 entries, so the least-recently-driver-verified
@@ -4217,6 +4237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_percentiles": q_group_percentiles,
         "stream_rate_limit": q_stream_rate_limit,
         "weighted_stratified": q_weighted_stratified,
+        "dist_distance": q_dist_distance,
         # --- new in the round-5 continuation session (never verified) ---
         "triangle_count": q_triangle_count,
         "scd2": q_scd2,
@@ -5067,6 +5088,40 @@ def oracle_sql() -> dict[str, str]:
                    floor(a2.auth * 1e6 + 0.50000095367431640625) / 1e6
                      AS auth
             FROM h2 JOIN a2 ON h2.node = a2.node ORDER BY h2.node
+        """,
+        "dist_distance": """
+            WITH qa AS (
+              SELECT floor(value * 10.0) / 10.0 AS v FROM events
+              WHERE event_type = 'click'
+            ), qb AS (
+              SELECT floor(value * 10.0) / 10.0 AS v FROM events
+              WHERE event_type = 'view'
+            ), ca AS (
+              SELECT v, count(*) AS na FROM qa GROUP BY v
+            ), cb AS (
+              SELECT v, count(*) AS nb FROM qb GROUP BY v
+            ), j AS (
+              SELECT coalesce(ca.v, cb.v) AS v,
+                     coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+              FROM ca FULL OUTER JOIN cb ON ca.v = cb.v
+            ), per AS (
+              SELECT sum(na) OVER () AS ta, sum(nb) OVER () AS tb,
+                     abs(sum(na) OVER w::DOUBLE / sum(na) OVER ()
+                         - sum(nb) OVER w::DOUBLE / sum(nb) OVER ())
+                       AS d,
+                     coalesce(lead(v) OVER (ORDER BY v) - v, 0.0)
+                       AS gap
+              FROM j
+              WINDOW w AS (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+            )
+            SELECT max(ta)::BIGINT AS n_a, max(tb)::BIGINT AS n_b,
+                   floor(max(d) * 1e6 + 0.50000095367431640625) / 1e6
+                     AS d_ks,
+                   floor(sum(d * gap) * 1e6
+                         + 0.50000095367431640625) / 1e6 AS w1
+            FROM per
         """,
         "weighted_stratified": """
             WITH s AS (

@@ -216,3 +216,60 @@ def woe_encode(
         woe.alias("woe"),
         ((p1 - p0) * woe).alias("__ivc"))
     return out.withColumn("iv", F.sum("__ivc").over(w)).drop("__ivc")
+
+
+def distribution_distance(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Two-sample distribution distances between ``a`` and ``b``'s
+    ``value_col`` — one row ``(n_a, n_b, d_ks, w1)``:
+
+        d_ks = max_v |F_a(v) − F_b(v)|        (Kolmogorov–Smirnov)
+        w1   = Σ_gaps |F_a(v) − F_b(v)|·Δv    (1-D Wasserstein / EMD)
+
+    over the empirical CDFs. The metric drift pair next to `psi_drift`
+    (pre-binned, bin-sensitive) and `snapshot_drift` (vocabulary JSD):
+    KS answers "did the distribution change anywhere", W1 "by how much
+    in value units" — the pages-per-host / doc-length / latency drift
+    gates between crawls.
+
+    Scale shape: ONE census groupBy per side on the (optionally
+    ``round_to``-quantized) value, a full-outer join of the two
+    |support|-row censuses, and ONE ordered window over the joined
+    support for the running CDFs. The window is support-sized, not
+    corpus-sized — for continuous values pass ``round_to`` (or
+    pre-quantize) so the support is bounded; exact integers/discrete
+    values need no rounding."""
+    v = F.col(value_col).cast("double")
+    if round_to is not None:
+        v = F.round(v, int(round_to))
+    ca = a.select(v.alias("__v")).groupBy("__v").agg(
+        F.count("*").alias("__na"))
+    cb = b.select(v.alias("__v")).groupBy("__v").agg(
+        F.count("*").alias("__nb"))
+    j = ca.join(cb, "__v", "full_outer").select(
+        "__v", F.coalesce(F.col("__na"), F.lit(0)).alias("__na"),
+        F.coalesce(F.col("__nb"), F.lit(0)).alias("__nb"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    wn = Window.orderBy("__v")
+    fa = (F.sum("__na").over(w).cast("double")
+          / F.sum("__na").over(wt).cast("double"))
+    fb = (F.sum("__nb").over(w).cast("double")
+          / F.sum("__nb").over(wt).cast("double"))
+    gap = F.lead("__v").over(wn) - F.col("__v")
+    per = j.select(
+        F.sum("__na").over(wt).alias("__ta"),
+        F.sum("__nb").over(wt).alias("__tb"),
+        F.abs(fa - fb).alias("__d"),
+        (F.abs(fa - fb) * F.coalesce(gap, F.lit(0.0))).alias("__wd"))
+    return per.agg(
+        F.max("__ta").cast("long").alias("n_a"),
+        F.max("__tb").cast("long").alias("n_b"),
+        F.max("__d").alias("d_ks"),
+        F.sum("__wd").alias("w1"))

@@ -157,3 +157,51 @@ def test_woe_rejects_zero_alpha(spark):
     df = spark.createDataFrame([("a", 1)], ["cat", "y"])
     with pytest.raises(ValueError):
         woe_encode(df, "cat", "y", alpha=0.0)
+
+
+def _py_dist_distance(xs, ys):
+    support = sorted(set(xs) | set(ys))
+    na, nb = len(xs), len(ys)
+    d_ks = 0.0
+    w1 = 0.0
+    ca = cb = 0
+    for i, v in enumerate(support):
+        ca += sum(1 for x in xs if x == v)
+        cb += sum(1 for y in ys if y == v)
+        d = abs(ca / na - cb / nb)
+        d_ks = max(d_ks, d)
+        if i + 1 < len(support):
+            w1 += d * (support[i + 1] - v)
+    return d_ks, w1
+
+
+def test_distribution_distance_matches_python(spark):
+    import pytest
+
+    from pyradiomics_spark.functions.encoders import distribution_distance
+
+    xs = [1.0, 2.0, 2.0, 3.0, 5.0, 8.0]
+    ys = [2.0, 3.0, 3.0, 4.0, 9.0]
+    a = spark.createDataFrame([(x,) for x in xs], ["v"])
+    b = spark.createDataFrame([(y,) for y in ys], ["v"])
+    row = distribution_distance(a, b, "v").collect()[0]
+    d_ks, w1 = _py_dist_distance(xs, ys)
+    assert (row.n_a, row.n_b) == (6, 5)
+    assert row.d_ks == pytest.approx(d_ks, rel=1e-12)
+    assert row.w1 == pytest.approx(w1, rel=1e-12)
+
+
+def test_distribution_distance_identical_and_shifted(spark):
+    import pytest
+
+    from pyradiomics_spark.functions.encoders import distribution_distance
+
+    xs = [float(i) for i in range(50)]
+    a = spark.createDataFrame([(x,) for x in xs], ["v"])
+    same = distribution_distance(a, a, "v").collect()[0]
+    assert same.d_ks == 0.0 and same.w1 == 0.0
+    # constant shift by c: W1 = c exactly, KS -> large
+    b = spark.createDataFrame([(x + 10.0,) for x in xs], ["v"])
+    shifted = distribution_distance(a, b, "v").collect()[0]
+    assert shifted.w1 == pytest.approx(10.0, rel=1e-12)
+    assert shifted.d_ks == pytest.approx(10.0 / 50.0, rel=1e-12)
