@@ -296,3 +296,48 @@ def test_jaccard_join_prefix_candidates_equi(spark):
     plan = _plan(jaccard_join(docs, "doc_id", "text", threshold=0.8))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_negative_samples_no_corpus_global_window(spark):
+    """negative_samples' ring-successor lookup must stay bucketed: the
+    only empty-partition-spec window runs over the 2^bucket_bits-row
+    bucket-minima AGGREGATE (its child contains the bucket groupBy),
+    never over corpus rows, and no join degrades to BNLJ/cartesian
+    (the global wrap is the 1-row broadcast-scalar pattern)."""
+    from pyradiomics_spark.operators.sampling import negative_samples
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    df = negative_samples(docs, "doc_id", k=3, bucket_bits=6)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the in-bucket successor is an equi-join on __b: present as a hash
+    # or sort-merge join keyed on __b somewhere in the plan
+    assert "__b" in plan
+    # analyzed plan: every Window with an empty partitionBy must sit
+    # above the bucket-minima Aggregate, not the raw scan
+    lp = df._jdf.queryExecution().analyzed().toString()
+    import re
+
+    for m in re.finditer(r"Window \[", lp):
+        seg = lp[m.start():m.start() + 300]
+        # the successor window orders by __b (bucket aggregate); the
+        # only other windows would be corpus-sized — there are none
+        assert "__b" in seg
+
+
+def test_weighted_stratified_bounded_rank_window(spark):
+    """weighted_stratified_sample ranks WITHIN strata — the window's
+    partition spec must be non-empty (no global single-partition
+    sort)."""
+    from pyspark.sql import functions as F
+
+    from pyradiomics_spark.operators.sampling import (
+        weighted_stratified_sample)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "lang", "doc_id",
+        F.log(F.lit(1.0) + F.col("n_chars")).alias("lw"))
+    df = weighted_stratified_sample(docs, "lang", "doc_id", "lw", k=5)
+    plan = _plan(df)
+    # physical window partition spec carries the stratum column
+    assert "lang" in plan and "row_number" in plan
