@@ -4201,6 +4201,31 @@ def q_dist_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rnd("w1", 6).alias("w1"))
 
 
+def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-crawl vocabulary overlap per language from KMV sketch
+    state alone (operators/sketches.py kmv_jaccard): the corpus splits
+    into two pseudo-crawls by doc parity, each side's distinct-token
+    sketch is built independently, and Jaccard is estimated over the
+    merged top-k — the set-operation payoff HLL can't give. Sketch
+    joins and windows are all ≤k rows per group."""
+    from pyradiomics_spark.operators.sketches import (kmv_jaccard,
+                                                      kmv_sketch)
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    a = toks.where(F.col("doc_id") % 2 == 0)
+    b = toks.where(F.col("doc_id") % 2 == 1)
+    k = 256
+    out = kmv_jaccard(kmv_sketch(a, "lang", "term", k=k),
+                      kmv_sketch(b, "lang", "term", k=k), "lang", k=k)
+    return out.select(
+        "lang", "k_used", _rnd("j_est", 6).alias("j_est"),
+    ).orderBy("lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (VERDICT r4 item 1): the driver's CORRECTNESS gate
     # only checks the FIRST 50 entries, so the least-recently-driver-verified
@@ -4238,6 +4263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rate_limit": q_stream_rate_limit,
         "weighted_stratified": q_weighted_stratified,
         "dist_distance": q_dist_distance,
+        "kmv_jaccard": q_kmv_jaccard,
         # --- new in the round-5 continuation session (never verified) ---
         "triangle_count": q_triangle_count,
         "scd2": q_scd2,
@@ -5088,6 +5114,48 @@ def oracle_sql() -> dict[str, str]:
                    floor(a2.auth * 1e6 + 0.50000095367431640625) / 1e6
                      AS auth
             FROM h2 JOIN a2 ON h2.node = a2.node ORDER BY h2.node
+        """,
+        "kmv_jaccard": """
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     unnest(string_split(lower(text), ' ')) AS term
+              FROM documents
+            ), t AS (
+              SELECT doc_id, lang, term FROM tok WHERE term <> ''
+            ), ha AS (
+              SELECT DISTINCT lang,
+                     ('0x' || substr(md5(term || ':0'), 1, 15))::BIGINT
+                       AS h
+              FROM t WHERE doc_id % 2 = 0
+            ), hb AS (
+              SELECT DISTINCT lang,
+                     ('0x' || substr(md5(term || ':0'), 1, 15))::BIGINT
+                       AS h
+              FROM t WHERE doc_id % 2 = 1
+            ), ra AS (
+              SELECT lang, h FROM ha
+              QUALIFY row_number() OVER (
+                PARTITION BY lang ORDER BY h) <= 256
+            ), rb AS (
+              SELECT lang, h FROM hb
+              QUALIFY row_number() OVER (
+                PARTITION BY lang ORDER BY h) <= 256
+            ), u AS (
+              SELECT coalesce(ra.lang, rb.lang) AS lang,
+                     coalesce(ra.h, rb.h) AS h,
+                     (ra.h IS NOT NULL)::INT AS ina,
+                     (rb.h IS NOT NULL)::INT AS inb
+              FROM ra FULL OUTER JOIN rb
+                ON ra.lang = rb.lang AND ra.h = rb.h
+            ), tk AS (
+              SELECT * FROM u
+              QUALIFY row_number() OVER (
+                PARTITION BY lang ORDER BY h) <= 256
+            )
+            SELECT lang, count(*)::BIGINT AS k_used,
+                   floor((sum(ina * inb)::DOUBLE / count(*)::DOUBLE)
+                         * 1e6 + 0.50000095367431640625) / 1e6 AS j_est
+            FROM tk GROUP BY lang ORDER BY lang
         """,
         "dist_distance": """
             WITH qa AS (

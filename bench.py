@@ -161,7 +161,7 @@ def main() -> None:
         "mase", "reciprocity", "auc", "tpch_q7", "negative_samples",
         "skipgrams", "seasonality", "tpch_q10", "embedding_quality",
         "rfm", "group_percentiles", "stream_rate_limit",
-        "weighted_stratified", "dist_distance",
+        "weighted_stratified", "dist_distance", "kmv_jaccard",
     ]
     for name in headline:
         if name not in qs:

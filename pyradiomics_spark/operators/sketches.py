@@ -351,3 +351,39 @@ def kmv_estimate(sketch: DataFrame, group_cols, k: int = 64) -> DataFrame:
         F.lit(float(k - 1))
         / (F.col("__hk").cast("double") / F.lit(float(1 << 60))))
     return agg.select(*groups, "n_hashes", est.alias("est"))
+
+
+def kmv_jaccard(a: DataFrame, b: DataFrame, group_cols, k: int = 64
+                ) -> DataFrame:
+    """Per-group Jaccard similarity estimate between two KMV sketches
+    (Beyer et al. SIGMOD'07 §4): over the k smallest hashes of the
+    UNION (the merged sketch), count how many belong to both inputs —
+    ``j_est = |merged ∩ a ∩ b| / k_used`` with ``k_used = min(k,
+    |union sketch|)`` (exact when the union has < k distinct hashes).
+    This is the set-operation payoff HLL registers cannot give:
+    cross-crawl vocabulary overlap, host-content similarity, split
+    leakage screens — straight from checkpointed sketch state, never
+    corpus rows.
+
+    Scale shape: a full-outer join of the two ≤k-row-per-group
+    sketches + one bounded rank window + one ≤k-row aggregate."""
+    from pyspark.sql import Window
+
+    groups = [group_cols] if isinstance(group_cols, str) else list(
+        group_cols)
+    sa = a.select(*groups, "h").withColumn("__ina", F.lit(1))
+    sb = b.select(*groups, "h").withColumn("__inb", F.lit(1))
+    u = (sa.join(sb, [*groups, "h"], "full_outer")
+         .select(*groups, "h",
+                 F.coalesce(F.col("__ina"), F.lit(0)).alias("__ina"),
+                 F.coalesce(F.col("__inb"), F.lit(0)).alias("__inb")))
+    w = Window.partitionBy(*groups).orderBy("h")
+    topk = (u.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k))
+    agg = topk.groupBy(*groups).agg(
+        F.count("*").alias("k_used"),
+        F.sum(F.col("__ina") * F.col("__inb")).alias("__both"))
+    return agg.select(
+        *groups, F.col("k_used").cast("long").alias("k_used"),
+        (F.col("__both").cast("double")
+         / F.col("k_used").cast("double")).alias("j_est"))

@@ -275,3 +275,53 @@ def test_kmv_rejects_tiny_k(spark):
     df = spark.createDataFrame([("g", "v")], ["g", "u"])
     with pytest.raises(ValueError):
         kmv_sketch(df, "g", "u", k=1)
+
+
+def test_kmv_jaccard_exact_below_k(spark):
+    import pytest
+
+    from pyradiomics_spark.operators.sketches import (kmv_jaccard,
+                                                      kmv_sketch)
+
+    # |A|=30, |B|=30, |A∩B|=10, |A∪B|=50 < k -> estimate is EXACT 0.2
+    a_vals = [("g", f"v{i}") for i in range(30)]
+    b_vals = [("g", f"v{i}") for i in range(20, 50)]
+    a = spark.createDataFrame(a_vals, ["g", "u"])
+    b = spark.createDataFrame(b_vals, ["g", "u"])
+    k = 64
+    row = kmv_jaccard(kmv_sketch(a, "g", "u", k=k),
+                      kmv_sketch(b, "g", "u", k=k), "g", k=k).collect()[0]
+    assert row.k_used == 50
+    assert row.j_est == pytest.approx(10 / 50)
+
+
+def test_kmv_jaccard_estimates_overlap(spark):
+    import pytest
+
+    from pyradiomics_spark.operators.sketches import (kmv_jaccard,
+                                                      kmv_sketch)
+
+    # true J = 1000/3000 = 1/3; k=256 -> SE ~ sqrt(J(1-J)/k) ~ 0.03
+    a = spark.createDataFrame(
+        [("g", f"x{i}") for i in range(2000)], ["g", "u"])
+    b = spark.createDataFrame(
+        [("g", f"x{i}") for i in range(1000, 3000)], ["g", "u"])
+    k = 256
+    row = kmv_jaccard(kmv_sketch(a, "g", "u", k=k),
+                      kmv_sketch(b, "g", "u", k=k), "g", k=k).collect()[0]
+    assert row.k_used == 256
+    assert row.j_est == pytest.approx(1 / 3, abs=0.1)
+
+
+def test_kmv_jaccard_disjoint_and_identical(spark):
+    from pyradiomics_spark.operators.sketches import (kmv_jaccard,
+                                                      kmv_sketch)
+
+    a = spark.createDataFrame([("g", f"a{i}") for i in range(100)],
+                              ["g", "u"])
+    b = spark.createDataFrame([("g", f"b{i}") for i in range(100)],
+                              ["g", "u"])
+    k = 32
+    sa, sb = kmv_sketch(a, "g", "u", k=k), kmv_sketch(b, "g", "u", k=k)
+    assert kmv_jaccard(sa, sb, "g", k=k).collect()[0].j_est == 0.0
+    assert kmv_jaccard(sa, sa, "g", k=k).collect()[0].j_est == 1.0
