@@ -664,3 +664,27 @@ def test_reciprocity_none_and_all(spark):
         [("a", "b"), ("b", "a")], ["src", "dst"])
     assert ring.count() == 2
     assert reciprocity(ring).collect()[0].reciprocity == 1.0
+
+
+def test_hits_fuzz_random_graph(spark):
+    """Seeded random digraph (multi-edges, sinks, sources) must track
+    the numpy iteration to 1e-12 on both vectors."""
+    import numpy as np
+
+    from pyradiomics_spark.operators.graph import hits
+
+    rng = np.random.default_rng(23)
+    edges = []
+    for _ in range(150):
+        u, v = rng.integers(0, 28, size=2)
+        if u != v and u < 22:          # 22..27 are pure sinks
+            edges.append((f"n{u}", f"n{v}"))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = hits(df, n_iter=4).collect()
+    want_h, want_a = _np_hits(edges, 4)
+    assert {r.node for r in rows} == set(want_h)
+    for r in rows:
+        assert r.hub == pytest.approx(want_h[r.node], rel=1e-12,
+                                      abs=1e-15)
+        assert r.auth == pytest.approx(want_a[r.node], rel=1e-12,
+                                       abs=1e-15)

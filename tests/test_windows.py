@@ -692,3 +692,31 @@ def test_seasonality_rejects_bad_bucket(spark):
     df = spark.createDataFrame([("e", 1.0, 1.0)], ["e", "ts", "v"])
     with pytest.raises(ValueError):
         seasonality_strength(df, "e", "ts", "v", bucket="minute")
+
+
+def test_cusum_fuzz_random_series(spark):
+    import numpy as np
+
+    from pyradiomics_spark.operators.windows import cusum_changepoint
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for e in range(25):
+        n = int(rng.integers(3, 40))
+        shift = float(rng.normal()) * 5.0
+        cp = int(rng.integers(1, n))
+        for i in range(n):
+            v = float(rng.normal()) + (shift if i >= cp else 0.0)
+            rows.append((f"e{e:02d}", float(i), v))
+    df = spark.createDataFrame(rows, ["e", "ts", "v"])
+    got = {r.e: (r.n, r.cp_ts, r.score)
+           for r in cusum_changepoint(df, "e", "ts", "v").collect()}
+    want = _py_cusum(rows)
+    assert set(got) == set(want)
+    for e in want:
+        assert got[e][0] == want[e][0]
+        assert got[e][1] == pytest.approx(want[e][1])
+        if want[e][2] is None:
+            assert got[e][2] is None
+        else:
+            assert got[e][2] == pytest.approx(want[e][2], rel=1e-9)
