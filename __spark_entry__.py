@@ -4262,6 +4262,46 @@ def q_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("entity"))
 
 
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING first/last-touch attribution (streaming/stateful.py
+    stream_attribution — the fourth custom stateful operator): each
+    purchase emits its crediting channels AT ARRIVAL with the user's
+    running bookends carried in state. Single-file availableNow replay
+    ⇒ per-conversion pairs equal the batch window bookends; the DuckDB
+    twin is the IGNORE-NULLS running-bookend window filtered to
+    conversions."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyradiomics_spark.streaming.stateful import stream_attribution
+
+    ev = _read(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="pyrs_attr_gate_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "events.parquet"))
+    stream = (spark.readStream.schema(ev.schema).parquet(src)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = stream_attribution(stream, "user_id", "ts", "event_type",
+                             "event_id", "purchase")
+    name = f"attr_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+         .start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select(F.col("key").alias("user_id"),
+                    F.col("tie").alias("event_id"),
+                    F.coalesce(F.col("first_touch"), F.lit("(none)"))
+                    .alias("first_touch"),
+                    F.coalesce(F.col("last_touch"), F.lit("(none)"))
+                    .alias("last_touch"))
+            .orderBy("event_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (VERDICT r4 item 1): the driver's CORRECTNESS gate
     # only checks the FIRST 50 entries, so the least-recently-driver-verified
@@ -4328,6 +4368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py tpch_q10 stream_running_stats)
         "tpch_q10": q_tpch_q10,
         "stream_running_stats": q_stream_running_stats,
+        "stream_attribution": q_stream_attribution,
         # --- never driver-verified before round 5 ---
         "matrix_glcm": q_matrix_glcm,
         "matrix_glrlm": q_matrix_glrlm,
@@ -5154,6 +5195,26 @@ def oracle_sql() -> dict[str, str]:
                    floor(a2.auth * 1e6 + 0.50000095367431640625) / 1e6
                      AS auth
             FROM h2 JOIN a2 ON h2.node = a2.node ORDER BY h2.node
+        """,
+        "stream_attribution": """
+            WITH m AS (
+              SELECT user_id, event_id, event_type,
+                     first_value(CASE WHEN event_type <> 'purchase'
+                                 THEN event_type END IGNORE NULLS)
+                       OVER w AS ft,
+                     last_value(CASE WHEN event_type <> 'purchase'
+                                THEN event_type END IGNORE NULLS)
+                       OVER w AS lt
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING)
+            )
+            SELECT user_id, event_id,
+                   coalesce(ft, '(none)') AS first_touch,
+                   coalesce(lt, '(none)') AS last_touch
+            FROM m WHERE event_type = 'purchase'
+            ORDER BY event_id
         """,
         "stream_running_stats": """
             WITH a AS (

@@ -250,3 +250,84 @@ def stream_rate_limit(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ATTR_STATE_SCHEMA = (
+    "ft string, lt string, has_ft boolean, last_us long"
+)
+ATTR_OUTPUT_SCHEMA = (
+    "key long, tie long, first_touch string, last_touch string"
+)
+
+
+def _attr_update(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Live credit assignment: carry the user's first and most recent
+    non-conversion event type in state; each conversion emits its
+    (first_touch, last_touch) pair at arrival time. Ordering contract
+    across batches as the other stateful ops (non-decreasing per-key
+    event time; violations raise)."""
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["ts", "tie"], kind="mergesort")
+    conv = batch["conv_type"].iloc[0]
+    ft, lt, has_ft, last_us = (None, None, False, None)
+    if state.exists:
+        ft, lt, has_ft, last_us = state.get
+        if not has_ft:
+            ft = None
+        if lt is not None and not isinstance(lt, str):
+            lt = None
+    out = []
+    for ts, tie, et in zip(batch["ts"], batch["tie"],
+                           batch["event_type"]):
+        us = int(pd.Timestamp(ts).value // 1000)
+        if last_us is not None and us < int(last_us):
+            raise ValueError(
+                f"stream_attribution: out-of-order event for key "
+                f"{key[0]!r} — late data must go through the batch "
+                "recompute path")
+        last_us = us
+        if et == conv:
+            out.append((int(tie), ft, lt))
+        else:
+            if not has_ft:
+                ft, has_ft = et, True
+            lt = et
+    state.update((ft, lt, bool(has_ft), int(last_us)))
+    yield pd.DataFrame({
+        "key": [key[0]] * len(out),
+        "tie": [t for t, _, _ in out],
+        "first_touch": [f for _, f, _ in out],
+        "last_touch": [l for _, _, l in out],
+    })
+
+
+def stream_attribution(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    tie_col: str,
+    conversion_type: str,
+) -> DataFrame:
+    """STREAMING first/last-touch attribution (the incremental twin of
+    operators.events.conversion_attribution): each conversion event
+    emits the crediting channels AT ARRIVAL, with the user's running
+    bookends carried across micro-batches in state — the serve-time
+    credit feed batch attribution can only produce after the fact. On a
+    single-batch replay the emitted pairs equal the batch operator's
+    per-conversion bookends exactly (pinned in tests and the gate)."""
+    src = stream.selectExpr(
+        f"{key_col} as key", f"{ts_col} as ts",
+        f"{type_col} as event_type", f"{tie_col} as tie"
+    ).withColumn("conv_type", F.lit(conversion_type))
+    return src.groupBy("key").applyInPandasWithState(
+        _attr_update,
+        outputStructType=ATTR_OUTPUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -460,3 +460,77 @@ def test_stream_rate_limit_rejects_late_window(spark, tmp_path):
         q.awaitTermination(120)
         if q.exception() is not None:
             raise q.exception()
+
+
+def test_stream_attribution_multibatch_carries_bookends(spark, tmp_path):
+    """First/last touch carried in state across batches: a conversion
+    in batch 2 credits touches from batch 1; decisions equal the batch
+    operator's per-conversion bookends."""
+    import time
+    from datetime import datetime as DT
+
+    from pyradiomics_spark.streaming.stateful import stream_attribution
+
+    rows1 = [(1, DT(2024, 1, 1, 10, 0), "ad", 0),
+             (1, DT(2024, 1, 1, 10, 5), "buy", 1),      # ft=lt=ad
+             (1, DT(2024, 1, 1, 10, 10), "email", 2),
+             (2, DT(2024, 1, 1, 10, 0), "buy", 3)]       # no prior touch
+    rows2 = [(1, DT(2024, 1, 1, 11, 0), "buy", 4),       # ft=ad, lt=email
+             (2, DT(2024, 1, 1, 11, 0), "search", 5),
+             (2, DT(2024, 1, 1, 11, 5), "buy", 6)]       # ft=lt=search
+    schema = "key long, ts timestamp, et string, eid long"
+    src = str(tmp_path / "attr_src")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src)
+    time.sleep(2)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    out = stream_attribution(stream, "key", "ts", "et", "eid", "buy")
+    q = (out.writeStream.format("memory").queryName("attr_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.tie: (r.first_touch, r.last_touch)
+           for r in spark.sql("select * from attr_stream").collect()}
+    assert got == {1: ("ad", "ad"), 3: (None, None),
+                   4: ("ad", "email"), 6: ("search", "search")}
+
+
+def test_stream_attribution_single_batch_equals_batch_operator(
+        spark, tmp_path):
+    from datetime import datetime as DT
+
+    from pyradiomics_spark.operators.events import conversion_attribution
+    from pyradiomics_spark.streaming.stateful import stream_attribution
+
+    rows = []
+    import random
+
+    rnd = random.Random(5)
+    types = ["ad", "email", "search", "buy"]
+    for u in range(12):
+        for i in range(rnd.randint(2, 12)):
+            rows.append((u, DT(2024, 1, 1 + i), rnd.choice(types), 
+                         u * 100 + i))
+    schema = "key long, ts timestamp, et string, eid long"
+    src = str(tmp_path / "attr_one")
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream_attribution(stream, "key", "ts", "et", "eid", "buy")
+    q = (out.writeStream.format("memory").queryName("attr_one_q")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from attr_one_q").toPandas()
+    # census the emitted pairs -> must equal the batch operator
+    import collections
+
+    first = collections.Counter(got["first_touch"].tolist())
+    last = collections.Counter(got["last_touch"].tolist())
+    want = {r.channel: (r.first_touch, r.last_touch)
+            for r in conversion_attribution(
+                spark.read.parquet(src), "key", "ts", "et", "buy",
+                tie_col="eid").collect()}
+    for ch, (fn, ln) in want.items():
+        assert first.get(ch, 0) == fn, ch
+        assert last.get(ch, 0) == ln, ch
