@@ -4302,6 +4302,22 @@ def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_id"))
 
 
+def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical Markov entropy rate of the event-type chain
+    (operators/events.py markov_entropy) — the sequence-predictability
+    readout of event_transitions: scripted bot loops run near 0 bits,
+    organic sessions well above. One lag window + census + ONE
+    aggregate over the |types|²-row transition table."""
+    from pyradiomics_spark.operators.events import markov_entropy
+
+    ev = _read(spark, sf_dir, "events")
+    out = markov_entropy(ev, "user_id", "ts", "event_type",
+                         tie_col="event_id")
+    return out.select(
+        "n_transitions", "n_states",
+        _rnd("entropy_bits", 6).alias("entropy_bits"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (VERDICT r4 item 1): the driver's CORRECTNESS gate
     # only checks the FIRST 50 entries, so the least-recently-driver-verified
@@ -4369,6 +4385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "stream_running_stats": q_stream_running_stats,
         "stream_attribution": q_stream_attribution,
+        "markov_entropy": q_markov_entropy,
         # --- never driver-verified before round 5 ---
         "matrix_glcm": q_matrix_glcm,
         "matrix_glrlm": q_matrix_glrlm,
@@ -5195,6 +5212,31 @@ def oracle_sql() -> dict[str, str]:
                    floor(a2.auth * 1e6 + 0.50000095367431640625) / 1e6
                      AS auth
             FROM h2 JOIN a2 ON h2.node = a2.node ORDER BY h2.node
+        """,
+        "markov_entropy": """
+            WITH pairs AS (
+              SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_type,
+                     event_type AS next_type
+              FROM events
+            ), c AS (
+              SELECT prev_type, next_type, count(*) AS n
+              FROM pairs WHERE prev_type IS NOT NULL
+              GROUP BY 1, 2
+            ), w AS (
+              SELECT n,
+                     n::DOUBLE / sum(n) OVER (PARTITION BY prev_type)
+                       AS prob,
+                     n::DOUBLE / sum(n) OVER () AS wt
+              FROM c
+            )
+            SELECT sum(n)::BIGINT AS n_transitions,
+                   count(*)::BIGINT AS n_states,
+                   floor(sum(-wt * log2(prob)) * 1e6
+                         + 0.50000095367431640625) / 1e6
+                     AS entropy_bits
+            FROM w
         """,
         "stream_attribution": """
             WITH m AS (

@@ -162,7 +162,7 @@ def main() -> None:
         "skipgrams", "seasonality", "tpch_q10", "embedding_quality",
         "rfm", "group_percentiles", "stream_rate_limit",
         "weighted_stratified", "dist_distance", "kmv_jaccard",
-        "stream_running_stats", "stream_attribution",
+        "stream_running_stats", "stream_attribution", "markov_entropy",
     ]
     for name in headline:
         if name not in qs:

@@ -392,3 +392,40 @@ def group_percentiles(
     return (agg.select(*groups, F.explode(pairs).alias("__e"))
             .select(*groups, F.col("__e.p").alias("p"),
                     F.col("__e.value").alias("value")))
+
+
+def markov_entropy(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """One row ``(n_transitions, n_states, entropy_bits)`` — the
+    empirical entropy rate of the first-order Markov chain over the
+    corpus's event transitions:
+
+        H = − Σ_{ij} (n_ij / N) · log2 P(j | i)
+
+    (the transition-weighted conditional entropy; with the empirical
+    prev-state distribution as weights it is the plug-in estimate of
+    the chain's entropy rate). The sequence-predictability readout of
+    `event_transitions`: scripted/bot traffic runs near 0 bits (a
+    crawler's action loop is deterministic), organic sessions sit well
+    above — the whole-corpus companion to `session_paths` and
+    `seasonality`.
+
+    Scale shape: event_transitions' one lag window + census, then ONE
+    aggregate over the |types|²-row transition table — corpus rows are
+    touched once."""
+    from pyspark.sql import Window
+
+    t = event_transitions(df, key, ts_col, type_col, tie_col=tie_col)
+    tot = F.sum("n").over(Window.partitionBy())
+    w = t.select(
+        "n", "prob",
+        (F.col("n") / tot).alias("__w"))
+    return w.agg(
+        F.sum("n").cast("long").alias("n_transitions"),
+        F.count("*").cast("long").alias("n_states"),
+        F.sum(-F.col("__w") * F.log2("prob")).alias("entropy_bits"))

@@ -404,3 +404,55 @@ def test_group_percentiles_exact(spark):
         assert got[("b", p)] == 7.0
     with pytest.raises(ValueError):
         group_percentiles(df, "g", "v", (1.5,))
+
+
+def _py_markov_entropy(rows):
+    import math
+    from collections import Counter, defaultdict
+
+    by_u = defaultdict(list)
+    for u, ts, t in rows:
+        by_u[u].append((ts, t))
+    trans = Counter()
+    for u, evs in by_u.items():
+        evs.sort()
+        for a, b in zip(evs, evs[1:]):
+            trans[(a[1], b[1])] += 1
+    n = sum(trans.values())
+    out_tot = Counter()
+    for (a, _), c in trans.items():
+        out_tot[a] += c
+    h = sum(-(c / n) * math.log2(c / out_tot[a])
+            for (a, _), c in trans.items())
+    return n, len(trans), h
+
+
+def test_markov_entropy_matches_python(spark):
+    import pytest
+
+    from pyradiomics_spark.operators.events import markov_entropy
+
+    rows = []
+    import random
+
+    rnd = random.Random(9)
+    for u in range(8):
+        for i in range(rnd.randint(3, 15)):
+            rows.append((u, float(i), rnd.choice("abc")))
+    df = spark.createDataFrame(rows, ["u", "ts", "t"])
+    got = markov_entropy(df, "u", "ts", "t").collect()[0]
+    n, s, h = _py_markov_entropy(rows)
+    assert (got.n_transitions, got.n_states) == (n, s)
+    assert got.entropy_bits == pytest.approx(h, rel=1e-12)
+
+
+def test_markov_entropy_deterministic_chain_is_zero(spark):
+    import pytest
+
+    from pyradiomics_spark.operators.events import markov_entropy
+
+    # a scripted bot loop a->b->c->a...: every transition deterministic
+    rows = [(1, float(i), "abc"[i % 3]) for i in range(30)]
+    df = spark.createDataFrame(rows, ["u", "ts", "t"])
+    got = markov_entropy(df, "u", "ts", "t").collect()[0]
+    assert got.entropy_bits == pytest.approx(0.0, abs=1e-15)
