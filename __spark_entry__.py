@@ -93,8 +93,45 @@ def entry(spark: SparkSession) -> DataFrame:
 # helpers shared by queries
 # --------------------------------------------------------------------------
 
-def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+# Tables whose consumers do heavy per-row text/array work right at the
+# scan (tokenize, shingle explode, deletion variants). A single parquet
+# row group is unsplittable, so a small file serializes that work onto
+# ONE task; fan such scans out to the cluster's slot count first
+# (guide §2.5 "input skew: one huge unsplittable file … repartition
+# immediately after the read"). Scale-adaptive: when the input already
+# carries >= slots splits (any real-scale table), this is a no-op.
+_FAN_TABLES = {"documents", "customer"}
+_FAN_SPLIT_BYTES = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes
+
+
+def _scan_splits(path: str) -> int:
+    """Lower-bound estimate of the scan's split count from the file
+    layout (avoids a per-query df.rdd plan analysis)."""
+    try:
+        if os.path.isdir(path):
+            import glob as _g
+
+            files = _g.glob(os.path.join(path, "*.parquet"))
+        else:
+            files = [path]
+        return sum(
+            max(1, -(-os.path.getsize(f) // _FAN_SPLIT_BYTES))
+            for f in files) or 1
+    except OSError:
+        return 1 << 30  # unknown layout: assume wide, skip the fan-out
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str,
+          fan: bool | None = None) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if fan is None:
+        fan = name in _FAN_TABLES
+    if fan:
+        slots = spark.sparkContext.defaultParallelism
+        if _scan_splits(path) < slots:
+            df = df.repartition(slots)
+    return df
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1657,7 +1694,13 @@ def q_simhash_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_candidates, simhash_signatures_md5)
 
     docs = _read(spark, sf_dir, "documents")
-    sig = simhash_signatures_md5(docs, "doc_id", "text", bits=16)
+    # materialize the |docs|-row fingerprint table before the C(6,4)=15
+    # block self-joins: the 30 join branches otherwise re-plan (and
+    # partially re-run) the explode+md5 signature subtree per branch —
+    # a fingerprint table is tiny relative to the corpus at any scale
+    # (guide §3.3 "materialising an intermediate truncates the plan")
+    sig = simhash_signatures_md5(docs, "doc_id", "text",
+                                 bits=16).localCheckpoint()
     return (
         simhash_candidates(sig, "doc_id", max_hamming=2, n_blocks=6, bits=16)
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
@@ -1677,7 +1720,13 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_candidates, simhash_signatures_md5)
 
     docs = _read(spark, sf_dir, "documents")
-    sig = simhash_signatures_md5(docs, "doc_id", "text", bits=16)
+    # materialize the |docs|-row fingerprint table before the C(6,4)=15
+    # block self-joins: the 30 join branches otherwise re-plan (and
+    # partially re-run) the explode+md5 signature subtree per branch —
+    # a fingerprint table is tiny relative to the corpus at any scale
+    # (guide §3.3 "materialising an intermediate truncates the plan")
+    sig = simhash_signatures_md5(docs, "doc_id", "text",
+                                 bits=16).localCheckpoint()
     pairs = simhash_candidates(sig, "doc_id", max_hamming=2, n_blocks=6,
                                bits=16)
     comp = connected_components(pairs, all_ids=docs.select("doc_id"))
@@ -3345,7 +3394,13 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_candidates, simhash_signatures_md5)
 
     docs = _read(spark, sf_dir, "documents")
-    sig = simhash_signatures_md5(docs, "doc_id", "text", bits=16)
+    # materialize the |docs|-row fingerprint table before the C(6,4)=15
+    # block self-joins: the 30 join branches otherwise re-plan (and
+    # partially re-run) the explode+md5 signature subtree per branch —
+    # a fingerprint table is tiny relative to the corpus at any scale
+    # (guide §3.3 "materialising an intermediate truncates the plan")
+    sig = simhash_signatures_md5(docs, "doc_id", "text",
+                                 bits=16).localCheckpoint()
     pairs = simhash_candidates(sig, "doc_id", max_hamming=2, n_blocks=6,
                                bits=16)
     comp = connected_components(pairs, all_ids=docs.select("doc_id"))

@@ -43,21 +43,31 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 # ---------------------------------------------------------------- minhash
 
+def _gram_array(toks, n: int):
+    """Array of word n-grams from a token-array column — built by
+    zip_with over n shifted views of the array instead of a
+    slice-per-position transform: the transform re-evaluates the token
+    subexpression inside every lambda call, which profiles ~4x slower
+    per row (guide §1: measured, r06). Identical output strings
+    (concat_ws over the same elements)."""
+    size = F.size(toks)
+    arr = toks
+    for i in range(1, n):
+        shifted = F.slice(toks, i + 1, F.greatest(size - i, F.lit(0)))
+        arr = F.zip_with(arr, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    # entries past size-n+1 were built against null-padded tails — drop
+    return F.when(
+        size >= n, F.slice(arr, 1, F.greatest(size - n + 1, F.lit(0)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int,
               dedupe: bool = True) -> DataFrame:
-    """Word n-gram shingles per doc — JVM-side via split + transform
+    """Word n-gram shingles per doc — JVM-side via split + zip_with
     + explode (no UDF). ``dedupe=False`` skips the distinct SHUFFLE for
     consumers whose aggregation is multiset-invariant (min-hash)."""
     toks = F.split(F.col(text_col), " ")
-    # array of n-grams at positions 0..size-n; guard short docs (an
-    # unguarded sequence(0, size-n) turns DESCENDING when size < n)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _gram_array(toks, n)
     # within-doc dedupe is FREE (array_distinct, no shuffle); the global
     # .distinct() would be a full shuffle of the exploded shingle table
     if dedupe:
@@ -532,22 +542,24 @@ def simhash_candidates(
         b = tbl.alias("b")
         ka = _block_key(F.col("a.simhash"), combo, los, widths)
         kb = _block_key(F.col("b.simhash"), combo, los, widths)
+        # exact bit_count verify INSIDE the join condition: over-distance
+        # bucket-mates die before the union, so the cross-combo distinct
+        # dedupes only true pairs (3 narrow columns) instead of every
+        # bucket collision with both 8-byte fingerprints (guide §2.3
+        # "project before the exchange")
         p = a.join(
             b,
-            (ka == kb) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            (ka == kb) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (hamming64(F.col("a.simhash"), F.col("b.simhash"))
+               <= max_hamming),
         ).select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            hamming64(F.col("a.simhash"),
+                      F.col("b.simhash")).alias("hamming"),
         )
         pairs = p if pairs is None else pairs.unionByName(p)
-    return (
-        pairs.distinct()
-        .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return pairs.distinct()
 
 
 def simhash_hot_buckets(
@@ -853,46 +865,62 @@ def jaccard_join(
     exact intersection with builtin array_intersect on the two sorted
     arrays.
 
-    Scale shape: one census groupBy (global shingle df), one per-doc
-    re-sort (aggregate-sized), the prefix equi-join, then a distinct on
-    candidate pairs and two |pairs|-row joins to fetch the arrays. All
-    equi-joins; no windows over hot keys; no Python. Verification cost
-    is |candidates|·avg|set| — prefix filtering exists precisely to
-    keep |candidates| near the output size."""
+    Scale shape: one census groupBy (global shingle df — keyed on the
+    64-bit shingle hash, so the census shuffle and the prefix equi-join
+    move longs, not strings; a hash collision can only merge two
+    shingles' df counts (ordering quality) or admit an extra CANDIDATE
+    pair — verification is on the true string arrays, so the output is
+    still exact), one per-doc re-sort (aggregate-sized), the prefix
+    equi-join with the PPJoin length AND positional filters (Xiao et
+    al. WWW'08 §3.2: a match at prefix positions (pa, pb) bounds the
+    overlap by min(|x|−pa, |y|−pb), which must reach the equivalent
+    overlap threshold t/(1+t)·(|x|+|y|)), then a distinct on candidate
+    pairs and two |pairs|-row joins to fetch the arrays. All equi-joins;
+    no windows over hot keys; no Python. Verification cost is
+    |candidates|·avg|set| — prefix + positional filtering exists
+    precisely to keep |candidates| near the output size."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
                     lambda x: x != "")
     n = shingle_tokens
-    sh = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    sh = _gram_array(toks, n)
     sets = (df.select(F.col(id_col).alias("__id"),
                       F.array_distinct(sh).alias("__sh"))
             .where(F.size("__sh") > 0))
-    occ = sets.select("__id", F.explode("__sh").alias("__s"))
-    census = occ.groupBy("__s").agg(F.count("*").alias("__df"))
-    # rarest-first ordering: re-collect each set sorted by (df, shingle)
-    ordered = (occ.join(census, "__s")
+    occ = sets.select("__id", F.explode("__sh").alias("__s")).withColumn(
+        "__h", F.xxhash64("__s"))
+    census = occ.groupBy("__h").agg(F.count("*").alias("__df"))
+    # rarest-first ordering: re-collect each set sorted by
+    # (df, hash, shingle) — any consistent global order is correct for
+    # prefix filtering; ties still break deterministically on the string
+    ordered = (occ.join(census, "__h")
                .groupBy("__id")
-               .agg(F.transform(
-                   F.array_sort(F.collect_list(
-                       F.struct("__df", "__s"))),
-                   lambda x: x["__s"]).alias("__arr")))
-    size = F.size("__arr")
+               .agg(F.array_sort(F.collect_list(
+                   F.struct("__df", "__h", "__s"))).alias("__full")))
+    size = F.size("__full")
     plen = (size - F.ceil(F.lit(float(threshold)) * size) + 1).cast("int")
-    pref = ordered.select(
+    ordered = ordered.select(
         "__id", size.alias("__n"),
-        F.explode(F.slice("__arr", 1, plen)).alias("__s"))
+        F.transform("__full", lambda x: x["__s"]).alias("__arr"),
+        F.transform(F.slice("__full", 1, plen),
+                    lambda x: x["__h"]).alias("__ph"))
+    pref = ordered.select(
+        "__id", "__n", F.posexplode("__ph").alias("__p", "__h"))
     a, b = pref.alias("a"), pref.alias("b")
     t = float(threshold)
-    cand = (a.join(b, (F.col("a.__s") == F.col("b.__s"))
+    # equivalent-overlap threshold: J >= t  <=>  |A∩B| >= t/(1+t)·(|A|+|B|)
+    alpha = F.lit(t / (1.0 + t)) * (F.col("a.__n") + F.col("b.__n"))
+    # positional upper bound on the overlap at the FIRST common prefix
+    # element (0-indexed positions): the 1e-9 slack keeps float rounding
+    # from ever dropping an exact-boundary true pair (overlap is integer)
+    ubound = F.least(F.col("a.__n") - F.col("a.__p"),
+                     F.col("b.__n") - F.col("b.__p"))
+    cand = (a.join(b, (F.col("a.__h") == F.col("b.__h"))
                    & (F.col("a.__id") < F.col("b.__id"))
                    # length filter: t·|x| ≤ |y| ≤ |x|/t
                    & (F.col("b.__n") * t <= F.col("a.__n"))
-                   & (F.col("a.__n") * t <= F.col("b.__n")))
+                   & (F.col("a.__n") * t <= F.col("b.__n"))
+                   # positional filter
+                   & (ubound >= alpha - F.lit(1e-9)))
             .select(F.col("a.__id").alias("id_a"),
                     F.col("b.__id").alias("id_b"))
             .distinct())

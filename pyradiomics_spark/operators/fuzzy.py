@@ -93,15 +93,27 @@ def edit_join(
         "w", F.explode(_deletion_variants("w", max_dist)).alias("v"))
     if bucket_cap is not None:
         variants, _ = _drop_hot_buckets(variants, ["v"], bucket_cap)
-    a = variants.alias("a")
-    b = variants.alias("b")
-    cand = (a.join(b, F.col("a.v") == F.col("b.v"))
+    # join on the 64-bit hash of the variant, not the string: the
+    # candidate shuffle moves 8-byte longs instead of ~L-byte strings
+    # and the equi-join compares longs (guide §2.3 "narrower types").
+    # Equal variants always hash equal, so no candidate is LOST; a hash
+    # collision only adds a spurious candidate, which the exact
+    # levenshtein verify below removes — output unchanged.
+    hashed = variants.select("w", F.xxhash64("v").alias("vh"))
+    a = hashed.alias("a")
+    b = hashed.alias("b")
+    cand = (a.join(b, F.col("a.vh") == F.col("b.vh"))
             .where(F.col("a.w") < F.col("b.w"))
             .select(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
             .distinct())
+    # verify in two steps: a BANDED levenshtein (threshold form, O(L·d)
+    # vs O(L²)) as a plain filter — a filter on a *derived* column would
+    # be pushed below its own projection and evaluate the distance twice
+    # per row (guide §4.4's duplication, which hits builtins too) — then
+    # the exact distance projected for survivors only
     return (cand
-            .withColumn("dist", F.levenshtein("w1", "w2"))
-            .where(F.col("dist") <= max_dist))
+            .where(F.levenshtein("w1", "w2", max_dist) >= 0)
+            .withColumn("dist", F.levenshtein("w1", "w2")))
 
 
 def edit_hot_buckets(
