@@ -100,7 +100,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # (guide §2.5 "input skew: one huge unsplittable file … repartition
 # immediately after the read"). Scale-adaptive: when the input already
 # carries >= slots splits (any real-scale table), this is a no-op.
-_FAN_TABLES = {"documents", "customer"}
+# Measured r06: after the zip_with shingle rewrite most scans are cheap
+# enough that the extra exchange LOSES; only queries whose per-row scan
+# work is still heavy (32 min-hash aggs, decontamination shingling,
+# corpus bigram census, PPJoin shingle census) opt in via fan=True.
+_FAN_TABLES: set = set()
 _FAN_SPLIT_BYTES = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes
 
 
@@ -119,6 +123,33 @@ def _scan_splits(path: str) -> int:
             for f in files) or 1
     except OSError:
         return 1 << 30  # unknown layout: assume wide, skip the fan-out
+
+
+
+def _stream_shuffle_partitions(spark: SparkSession):
+    """Context manager pinning spark.sql.shuffle.partitions to the slot
+    count for STREAMING gate rows. Stateful streaming shuffles are not
+    AQE-coalesced (Spark disables AQE in stateful workloads), so the
+    shuffle-partition count is exactly the state-store instance count,
+    and every instance pays per-micro-batch snapshot/commit cost. One
+    state store per slot is the right shape at any scale; the 2x batch
+    oversubscription only buys AQE skew headroom, which streaming can't
+    use. PYRS_STREAM_SHUFFLE_PARTITIONS overrides (e.g. for a cluster
+    whose expected state volume wants more splits)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        n = int(os.environ.get("PYRS_STREAM_SHUFFLE_PARTITIONS",
+                               spark.sparkContext.defaultParallelism))
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    return _cm()
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str,
@@ -658,10 +689,11 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, "user_id", "ts", width="1 hour", watermark="1 hour",
         agg_cols={"sum_value_raw": F.sum("value")})
     name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
-    q = (agg.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True)
-         .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
-    q.awaitTermination()
+    with _stream_shuffle_partitions(spark):
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
+        q.awaitTermination()
     return (
         spark.table(name)
         .select(
@@ -698,10 +730,11 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, "user_id", "ts", width="2 hours", slide="1 hour",
         watermark="1 hour", agg_cols={"sum_value_raw": F.sum("value")})
     name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
-    q = (agg.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True)
-         .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
-    q.awaitTermination()
+    with _stream_shuffle_partitions(spark):
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
+        q.awaitTermination()
     return (
         spark.table(name)
         .select(
@@ -743,10 +776,11 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = interval_join(stream, anchors, "ts", "iv_lo", "iv_hi",
                         bucket_width=3600.0)
     name = f"stream_ivj_{uuid.uuid4().hex[:8]}"
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(availableNow=True)
-         .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
-    q.awaitTermination()
+    with _stream_shuffle_partitions(spark):
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
+        q.awaitTermination()
     return (spark.table(name).select("event_id", "iv_id")
             .orderBy("event_id", "iv_id"))
 
@@ -777,10 +811,11 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = stream_sessionize(stream, "user_id", "ts", gap="30 minutes",
                             watermark="1 hour")
     name = f"stream_sessionize_{uuid.uuid4().hex[:8]}"
-    q = (agg.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True)
-         .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
-    q.awaitTermination()
+    with _stream_shuffle_partitions(spark):
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
+        q.awaitTermination()
     return (
         spark.table(name)
         .select(
@@ -901,10 +936,11 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = stream_cms(stream, "ts", "event_type", width="1 hour",
                      watermark="1 hour", sketch_width=64, depth=2, seed=5)
     name = f"stream_cms_{uuid.uuid4().hex[:8]}"
-    q = (agg.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True)
-         .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
-    q.awaitTermination()
+    with _stream_shuffle_partitions(spark):
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
+        q.awaitTermination()
     out = (
         spark.table(name)
         .select(F.col("window_start").cast("timestamp_ntz")
@@ -1061,7 +1097,7 @@ def q_gldm_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures with engine-agnostic md5 hashing (4 permutations,
     lexicographic-min of md5 hex) so DuckDB reproduces them exactly."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan=True)
     toks = F.split(F.col("text"), " ")
     grams = F.when(
         F.size(toks) >= 3,
@@ -1529,7 +1565,11 @@ def q_glcm_imc_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         directed.select("doc_id", F.col("j").alias("i"), F.col("i").alias("j")))
     cnt = sym.groupBy("doc_id", "i", "j").agg(F.count("*").alias("c"))
     tot = Window.partitionBy("doc_id")
-    p = cnt.withColumn("p", F.col("c") / F.sum("c").over(tot))
+    # five entropy branches (px/py/hxy/hxy1/hxy2) fan out from p —
+    # materialize the aggregate-sized matrix once instead of re-running
+    # the token-window lineage per branch (≤ G² rows per doc)
+    p = cnt.withColumn(
+        "p", F.col("c") / F.sum("c").over(tot)).localCheckpoint()
     px = p.groupBy("doc_id", "i").agg(F.sum("p").alias("px"))
     py = p.groupBy("doc_id", "j").agg(F.sum("p").alias("py"))
     hxy = p.groupBy("doc_id").agg(
@@ -1781,7 +1821,7 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrase survey every curation pass starts with."""
     from pyradiomics_spark.functions.textstats import ngram_topk
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan=True)
     return ngram_topk(docs, "text", n=2, k=50)
 
 
@@ -2699,7 +2739,7 @@ def q_ngram_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyradiomics_spark.operators.sampling import (ngram_decontaminate,
                                                       split_dataset)
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _read(spark, sf_dir, "documents", fan=True).select("doc_id", "text")
     sp = split_dataset(docs, "doc_id", seed=7)
     return (
         ngram_decontaminate(sp, "doc_id", "text", n=5)
@@ -2838,12 +2878,13 @@ def q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("ts").alias("signup_ts"),
         F.col("value").alias("signup_value"))
     out = os.path.join(tmp, "out")
-    q = (stream_asof_sink(
-            stream, signups, on="user_id", left_ts="ts",
-            right_ts="signup_ts", out_path=out,
-            checkpoint=os.path.join(tmp, "ckpt"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _stream_shuffle_partitions(spark):
+        q = (stream_asof_sink(
+                stream, signups, on="user_id", left_ts="ts",
+                right_ts="signup_ts", out_path=out,
+                checkpoint=os.path.join(tmp, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
     return (
         spark.read.parquet(out)
         .select("event_id", "user_id", "signup_ts",
@@ -3438,10 +3479,11 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("ts", F.col("ts").cast("timestamp")))
     out = stream_scd2(stream, "user_id", "ts", "event_type", "event_id")
     name = f"stream_scd2_{uuid.uuid4().hex[:8]}"
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("update").trigger(availableNow=True)
-         .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
-    q.awaitTermination()
+    with _stream_shuffle_partitions(spark):
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("update").trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
+        q.awaitTermination()
     return (spark.table(name).select(
         F.col("ent").cast("long").alias("user_id"),
         F.col("attr").alias("event_type"),
@@ -3653,7 +3695,7 @@ def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same shingle sets (quadratic is fine at oracle scale)."""
     from pyradiomics_spark.operators.dedup import jaccard_join
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan=True)
     out = jaccard_join(docs, "doc_id", "text", threshold=0.5,
                        shingle_tokens=3)
     return out.select(
@@ -4204,11 +4246,12 @@ def q_stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stream_rate_limit(stream, "user_id", "ts", "event_id",
                             limit=2, window_seconds=86400)
     name = f"rl_{uuid.uuid4().hex[:8]}"
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(availableNow=True)
-         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-         .start())
-    q.awaitTermination()
+    with _stream_shuffle_partitions(spark):
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .start())
+        q.awaitTermination()
     return (spark.table(name)
             .select(F.col("key").alias("user_id"),
                     F.col("tie").alias("event_id"),
@@ -4305,11 +4348,12 @@ def q_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("ent", F.col("user_id").cast("string")))
     out = running_entity_stats(stream, "ent", "value")
     name = f"rs_{uuid.uuid4().hex[:8]}"
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("update").trigger(availableNow=True)
-         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-         .start())
-    q.awaitTermination()
+    with _stream_shuffle_partitions(spark):
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("update").trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .start())
+        q.awaitTermination()
     return (spark.table(name)
             .select("entity", F.col("cnt").cast("long").alias("cnt"),
                     _rnd("mean", 6).alias("mean"),
@@ -4342,11 +4386,12 @@ def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stream_attribution(stream, "user_id", "ts", "event_type",
                              "event_id", "purchase")
     name = f"attr_{uuid.uuid4().hex[:8]}"
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(availableNow=True)
-         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-         .start())
-    q.awaitTermination()
+    with _stream_shuffle_partitions(spark):
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .start())
+        q.awaitTermination()
     return (spark.table(name)
             .select(F.col("key").alias("user_id"),
                     F.col("tie").alias("event_id"),

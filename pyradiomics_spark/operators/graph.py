@@ -87,6 +87,11 @@ def pagerank(
         else []
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"),
                      *wcols)
+    if checkpoint:
+        # the edge list is probed once per round — materialize it once
+        # instead of re-deriving its lineage (often a corpus scan +
+        # hashing) every iteration
+        e = e.localCheckpoint(eager=True)
     nodes = (e.select(F.col("__s").alias("node"))
              .unionByName(e.select(F.col("__d").alias("node")))
              .distinct())
@@ -250,6 +255,10 @@ def kcore_peel(
                  F.greatest(F.col(src), F.col(dst)).alias("b"))
          .where(F.col("a") != F.col("b"))
          .distinct())
+    if checkpoint:
+        # round 0 probes the canonical edge list three times (degree
+        # census + both semi-joins) — materialize it once first
+        e = e.localCheckpoint(eager=True)
     for _ in range(n_rounds):
         deg = (e.select(F.col("a").alias("node"))
                .unionAll(e.select(F.col("b").alias("node")))
@@ -382,6 +391,10 @@ def hits(
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    if checkpoint:
+        # probed twice per round (hub pass + auth pass) — materialize
+        # once instead of re-deriving the edge lineage each time
+        e = e.localCheckpoint(eager=True)
     nodes = (e.select(F.col("__s").alias("node"))
              .unionByName(e.select(F.col("__d").alias("node")))
              .distinct())

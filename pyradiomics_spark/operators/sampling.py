@@ -281,26 +281,29 @@ def deterministic_shuffle(
     every row into ONE partition — the classic scale-killer. Instead the
     hash fraction is cut into ``num_buckets`` explicit uniform buckets (a
     pure function of the id — no range-sampler nondeterminism), bucket
-    sizes are counted (one cheap agg; ≤ num_buckets rows to the driver),
-    and pos = bucket offset + rank within bucket. One balanced shuffle on
-    the bucket key + one broadcast of the offset table, at any corpus
-    size. Bucket counting re-reads the input; pass a cached/checkpointed
-    df if the upstream is expensive.
+    sizes are counted off the SAME bucket exchange the rank window uses
+    (reused, so the input lineage runs once), cross-bucket offsets are a
+    ≤ num_buckets-row window, and pos = bucket offset + rank within
+    bucket. One balanced shuffle on the bucket key + one broadcast of
+    the offset table, at any corpus size; no driver action.
     """
     frac = hash_fraction(id_col, seed)
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
     bucket = F.least(F.floor(frac * num_buckets), F.lit(num_buckets - 1)) \
         .cast("int")
-    src = df.withColumn("__shuf_bucket", bucket)
-    counts = src.groupBy("__shuf_bucket").count().collect()
-    sizes = {r["__shuf_bucket"]: r["count"] for r in counts}
-    rows, acc = [], 0
-    for b in sorted(sizes):
-        rows.append((b, acc))
-        acc += sizes[b]
-    spark = df.sparkSession
-    offsets = spark.createDataFrame(rows or [(0, 0)],
-                                    "__shuf_bucket int, __shuf_off long")
+    # ONE explicit bucket exchange feeds both the rank window and the
+    # bucket census (the census groupBy sees the partitioning satisfied
+    # and reuses the exchange), and the cross-bucket offsets are a
+    # ≤ num_buckets-row window instead of a driver collect — the input
+    # lineage runs once and the plan stays fully lazy
+    src = df.withColumn("__shuf_bucket", bucket).repartition(
+        F.col("__shuf_bucket"))
+    tot = src.groupBy("__shuf_bucket").agg(F.count("*").alias("__t"))
+    wo = Window.orderBy("__shuf_bucket").rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = tot.select(
+        "__shuf_bucket",
+        F.coalesce(F.sum("__t").over(wo), F.lit(0)).alias("__shuf_off"))
     w = Window.partitionBy("__shuf_bucket").orderBy(h, F.col(id_col))
     out = (
         src.join(F.broadcast(offsets), "__shuf_bucket")
@@ -337,8 +340,9 @@ def pack_sequences(
 
     Same scale shape as ``deterministic_shuffle``: token prefix-sums run
     per uniform hash bucket (window partitioned by bucket — never global),
-    bucket token totals (≤ num_buckets rows) come to the driver once and go
-    back as a broadcast offset table. The global layout is a pure function
+    bucket token totals aggregate off the same reused bucket exchange and
+    come back as a broadcast ≤ num_buckets-row offset table (no driver
+    action). The global layout is a pure function
     of (ids, token counts, seed) — independent of partitioning and of
     bucket count, so a re-run or a differently-sized cluster cuts the
     exact same context windows.
@@ -347,17 +351,20 @@ def pack_sequences(
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
     bucket = F.least(F.floor(frac * num_buckets), F.lit(num_buckets - 1)) \
         .cast("int")
-    src = df.withColumn("__pk_bucket", bucket)
     tok = F.col(token_col).cast("long")
-    counts = (src.groupBy("__pk_bucket")
-              .agg(F.sum(tok).alias("t")).collect())
-    sizes = {r["__pk_bucket"]: int(r["t"] or 0) for r in counts}
-    rows, acc = [], 0
-    for b in sorted(sizes):
-        rows.append((b, acc))
-        acc += sizes[b]
-    offsets = df.sparkSession.createDataFrame(
-        rows or [(0, 0)], "__pk_bucket int, __pk_off long")
+    # same shape as deterministic_shuffle: one explicit bucket exchange
+    # shared by the prefix-sum window and the token census; cross-bucket
+    # offsets via a ≤ num_buckets-row window, no driver collect, input
+    # lineage runs once
+    src = df.withColumn("__pk_bucket", bucket).repartition(
+        F.col("__pk_bucket"))
+    tot = src.groupBy("__pk_bucket").agg(
+        F.coalesce(F.sum(tok), F.lit(0)).alias("__t"))
+    wo = Window.orderBy("__pk_bucket").rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = tot.select(
+        "__pk_bucket",
+        F.coalesce(F.sum("__t").over(wo), F.lit(0)).alias("__pk_off"))
     w = Window.partitionBy("__pk_bucket").orderBy(h, F.col(id_col))
     cum = F.sum(tok).over(w.rowsBetween(Window.unboundedPreceding, 0))
     out = (
