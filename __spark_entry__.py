@@ -101,16 +101,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # immediately after the read"). Scale-adaptive: when the input already
 # carries >= slots splits (any real-scale table), this is a no-op.
 # Measured r06: after the zip_with shingle rewrite most scans are cheap
-# enough that the extra exchange LOSES; only queries whose per-row scan
-# work is still heavy (32 min-hash aggs, decontamination shingling,
-# corpus bigram census, PPJoin shingle census) opt in via fan=True.
-_FAN_TABLES: set = set()
+# enough at sf0.1 that the extra exchange LOSES; only queries whose
+# per-row scan work is still heavy (32 min-hash aggs, decontamination
+# shingling, corpus bigram census, PPJoin shingle census) opt in
+# unconditionally via fan=True. The size-conditional default below
+# covers the OTHER text consumers at larger scale factors: serial scan
+# cost grows linearly with the file while the fan-out exchange stays
+# ~constant, so once an unsplittable text file exceeds
+# PYRS_FAN_BYTES_PER_SPLIT per split the break-even flips and every
+# tokenize/regex consumer wants the fan (the round rule: config tuned
+# only to 600k-row tables may not hold at the driver's larger SF).
+_FAN_TABLES: set = {"documents", "customer"}
 _FAN_SPLIT_BYTES = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes
+_FAN_BYTES_PER_SPLIT = int(os.environ.get(
+    "PYRS_FAN_BYTES_PER_SPLIT", 3 * 1024 * 1024))
 
 
-def _scan_splits(path: str) -> int:
-    """Lower-bound estimate of the scan's split count from the file
-    layout (avoids a per-query df.rdd plan analysis)."""
+def _scan_layout(path: str) -> tuple[int, int]:
+    """(split count lower bound, total bytes) from the file layout
+    (avoids a per-query df.rdd plan analysis)."""
     try:
         if os.path.isdir(path):
             import glob as _g
@@ -118,11 +127,13 @@ def _scan_splits(path: str) -> int:
             files = _g.glob(os.path.join(path, "*.parquet"))
         else:
             files = [path]
-        return sum(
+        total = sum(os.path.getsize(f) for f in files)
+        splits = sum(
             max(1, -(-os.path.getsize(f) // _FAN_SPLIT_BYTES))
             for f in files) or 1
+        return splits, total
     except OSError:
-        return 1 << 30  # unknown layout: assume wide, skip the fan-out
+        return 1 << 30, 0  # unknown layout: assume wide, skip the fan-out
 
 
 
@@ -156,11 +167,16 @@ def _read(spark: SparkSession, sf_dir: str, name: str,
           fan: bool | None = None) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
+    splits, total = _scan_layout(path)
     if fan is None:
-        fan = name in _FAN_TABLES
+        # size-conditional default for text tables: under-parallel AND
+        # each would-be split big enough that serial per-row text work
+        # dominates the one extra exchange
+        fan = (name in _FAN_TABLES
+               and total // splits > _FAN_BYTES_PER_SPLIT)
     if fan:
         slots = spark.sparkContext.defaultParallelism
-        if _scan_splits(path) < slots:
+        if splits < slots:
             df = df.repartition(slots)
     return df
 
@@ -1700,11 +1716,22 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    # hoist the norms out of the pair loop: higher-order-function folds
+    # are interpreted (not codegen'd), and cosine_expr evaluates THREE of
+    # them per pair — precomputing sqrt(Σv²) per ROW leaves one fold (the
+    # dot) per pair, ~3x less interpreted work over the n²/2 pairs. The
+    # norm expression tree is unchanged, so every cosine is bit-identical.
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    emb = emb.withColumn("nv", norm)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+                   F.col("nv").alias("na"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+                   F.col("nv").alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
         .where(F.col("cosine") >= 0.35)
         .select("id_a", "id_b", _rnd("cosine", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
@@ -4419,74 +4446,18 @@ def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering contract (VERDICT r4 item 1): the driver's CORRECTNESS gate
-    # only checks the FIRST 50 entries, so the least-recently-driver-verified
-    # queries lead.  Front block = the 17 rows new in the round-5
-    # continuation session, then the rows never (or last in r1/r2) seen by
-    # a CORRECTNESS artifact plus the earlier round-5 additions; the rows
-    # gated green in CORRECTNESS_r04 follow. tools/check_oracle.py covers
-    # ALL entries locally regardless of this window.
+    # Ordering contract (VERDICT r5 item 1): the driver's CORRECTNESS gate
+    # only checks the FIRST 50 entries, so the 84 rows never seen by any
+    # CORRECTNESS_r01-r05 artifact lead (in their prior relative order);
+    # bpe_learn (rows-only oracle by design) sits past the gate window.
+    # The 115 already-driver-verified rows follow. tools/check_oracle.py
+    # covers ALL entries locally regardless of this window.
     return {
-        # --- new in the second round-5 continuation session ---
-        "hits": q_hits,
-        "label_prop": q_label_prop,
-        "kmv_distinct": q_kmv_distinct,
-        "feature_hash": q_feature_hash,
-        "woe_iv": q_woe_iv,
-        "rrf_fuse": q_rrf_fuse,
-        "ndcg": q_ndcg,
-        "attribution": q_attribution,
-        "concentration": q_concentration,
-        "rolling_slope": q_rolling_slope,
-        "cusum": q_cusum,
-        "bm25_search": q_bm25_search,
-        "modularity": q_modularity,
-        "mase": q_mase,
-        "reciprocity": q_reciprocity,
-        "auc": q_auc,
-        "tpch_q7": q_tpch_q7,
-        "negative_samples": q_negative_samples,
-        "skipgrams": q_skipgrams,
-        "seasonality": q_seasonality,
-        "embedding_quality": q_embedding_quality,
-        "rfm": q_rfm,
-        "group_percentiles": q_group_percentiles,
-        "stream_rate_limit": q_stream_rate_limit,
-        "weighted_stratified": q_weighted_stratified,
-        "dist_distance": q_dist_distance,
-        "kmv_jaccard": q_kmv_jaccard,
-        # --- new in the round-5 continuation session (never verified) ---
-        "triangle_count": q_triangle_count,
-        "scd2": q_scd2,
-        "bm25": q_bm25,
-        "chi2_terms": q_chi2_terms,
-        "edit_join": q_edit_join,
-        "event_transitions": q_event_transitions,
-        "ab_ttest": q_ab_ttest,
-        "boilerplate_strip": q_boilerplate_strip,
-        "jaccard_join": q_jaccard_join,
-        "minmax_index": q_minmax_index,
-        "kcore": q_kcore,
-        "stream_scd2": q_stream_scd2,
-        "textrank": q_textrank,
-        "acf": q_acf,
-        "edit_join2": q_edit_join2,
-        "assortativity": q_assortativity,
-        "clustering_coeff": q_clustering_coeff,
-        "session_paths": q_session_paths,
-        "lang_confusion": q_lang_confusion,
-        "logreg_predict": q_logreg_predict,
-        "calibration": q_calibration,
-        "snapshot_diff": q_snapshot_diff,
-        "dedup_canonical": q_dedup_canonical,
-        # the front block holds 52 never-verified rows but the driver
-        # window is 50 — these two are the cheapest for a judge to re-run
-        # (tools/check_oracle.py tpch_q10 stream_running_stats)
+        # --- never driver-verified (r6 gate window: first 50) ---
         "tpch_q10": q_tpch_q10,
         "stream_running_stats": q_stream_running_stats,
         "stream_attribution": q_stream_attribution,
         "markov_entropy": q_markov_entropy,
-        # --- never driver-verified before round 5 ---
         "matrix_glcm": q_matrix_glcm,
         "matrix_glrlm": q_matrix_glrlm,
         "matrix_ngtdm": q_matrix_ngtdm,
@@ -4498,7 +4469,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_arrow": q_assign_arrow,
         "ivf_topk_arrow": q_ivf_arrow,
         "melt": q_melt,
-        # --- new in round 5 ---
         "stratified_exact": q_stratified_exact,
         "matrix_glszm": q_matrix_glszm,
         "ngram_topk": q_ngram_topk,
@@ -4568,7 +4538,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "group_standardize": q_group_standardize,
         "feature_corr": q_feature_corr,
-        # --- last driver-verified in r1/r2 on older code ---
+        # --- driver-verified in r1-r5 artifacts ---
+        "hits": q_hits,
+        "label_prop": q_label_prop,
+        "kmv_distinct": q_kmv_distinct,
+        "feature_hash": q_feature_hash,
+        "woe_iv": q_woe_iv,
+        "rrf_fuse": q_rrf_fuse,
+        "ndcg": q_ndcg,
+        "attribution": q_attribution,
+        "concentration": q_concentration,
+        "rolling_slope": q_rolling_slope,
+        "cusum": q_cusum,
+        "bm25_search": q_bm25_search,
+        "modularity": q_modularity,
+        "mase": q_mase,
+        "reciprocity": q_reciprocity,
+        "auc": q_auc,
+        "tpch_q7": q_tpch_q7,
+        "negative_samples": q_negative_samples,
+        "skipgrams": q_skipgrams,
+        "seasonality": q_seasonality,
+        "embedding_quality": q_embedding_quality,
+        "rfm": q_rfm,
+        "group_percentiles": q_group_percentiles,
+        "stream_rate_limit": q_stream_rate_limit,
+        "weighted_stratified": q_weighted_stratified,
+        "dist_distance": q_dist_distance,
+        "kmv_jaccard": q_kmv_jaccard,
+        "triangle_count": q_triangle_count,
+        "scd2": q_scd2,
+        "bm25": q_bm25,
+        "chi2_terms": q_chi2_terms,
+        "edit_join": q_edit_join,
+        "event_transitions": q_event_transitions,
+        "ab_ttest": q_ab_ttest,
+        "boilerplate_strip": q_boilerplate_strip,
+        "jaccard_join": q_jaccard_join,
+        "minmax_index": q_minmax_index,
+        "kcore": q_kcore,
+        "stream_scd2": q_stream_scd2,
+        "textrank": q_textrank,
+        "acf": q_acf,
+        "edit_join2": q_edit_join2,
+        "assortativity": q_assortativity,
+        "clustering_coeff": q_clustering_coeff,
+        "session_paths": q_session_paths,
+        "lang_confusion": q_lang_confusion,
+        "logreg_predict": q_logreg_predict,
+        "calibration": q_calibration,
+        "snapshot_diff": q_snapshot_diff,
+        "dedup_canonical": q_dedup_canonical,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -4584,7 +4604,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "top_customers": q_top_customers,
         "fo_entropy_doc": q_fo_entropy_doc,
-        # --- gated green in CORRECTNESS_r04 (least critical to re-gate) ---
         "fo_doc_stats": q_fo_doc_stats,
         "fo_binned_hist": q_fo_binned_hist,
         "entropy_by_lang": q_entropy_by_lang,
@@ -4635,6 +4654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_step": q_kmeans_step,
         "length_quantiles": q_length_quantiles,
         "split_contamination": q_split_contamination,
+
     }
 
 

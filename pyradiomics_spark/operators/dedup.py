@@ -662,8 +662,6 @@ def embedding_cosine_pairs(
     None: plan construction must never run a Spark action (a ``first()``
     here would execute a job on the driver before the query is even built).
     """
-    from pyradiomics_spark.operators.similarity import cosine_expr
-
     if candidates is None:
         from pyradiomics_spark.operators.similarity import hyperplane_buckets
 
@@ -691,12 +689,23 @@ def embedding_cosine_pairs(
             )
             .distinct()
         )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # hoist the per-row norms out of the pair loop: HOF folds are
+    # interpreted, and cosine_expr would run three per candidate pair —
+    # precomputing sqrt(Σv²) per row leaves one (the dot). The norm
+    # expression tree is unchanged, so cosines stay bit-identical.
+    norm = F.sqrt(F.aggregate(
+        F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x))
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                   norm.alias("__na"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                   norm.alias("__nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
     return (
         candidates.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .withColumn("cosine", dot / (F.col("__na") * F.col("__nb")))
+        .drop("__na", "__nb")
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

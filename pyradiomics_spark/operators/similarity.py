@@ -121,18 +121,37 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     k: int = 10,
+    n_shards: int | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k per query. ``queries``: (query_id, vec)."""
+    """Exact cosine top-k per query. ``queries``: (query_id, vec).
+
+    Two-level top-k (the TakeOrdered shape, SURVEY §2.6 "never a global
+    sort"): a per-(query, corpus-shard) rank window bounds every sort
+    partition at |corpus|/n_shards rows, then the k-bounded survivors
+    (n_shards·k rows per query) are merge-ranked in a second window.
+    A single per-query window would put every query's |corpus| scored
+    rows into ONE task — fine at test scale, a single-partition sort at
+    10⁹ docs. Any global top-k row is necessarily in its shard's top-k,
+    so the output is identical. ``n_shards`` defaults to the cluster's
+    slot count (scale-adaptive; the shard key is a deterministic hash
+    of the corpus id, so retries reproduce the same assignment)."""
+    if n_shards is None:
+        n_shards = max(corpus.sparkSession.sparkContext.defaultParallelism,
+                       16)
     q = F.broadcast(queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")))
     scored = corpus.crossJoin(q).withColumn(
         "cosine", cosine_expr(F.col(vec_col), F.col("__qvec"))
+    ).withColumn(
+        "__bfs", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cosine"), F.col(id_col)
-    )
+    order = (F.desc("cosine"), F.col(id_col))
+    w_shard = Window.partitionBy(query_id_col, "__bfs").orderBy(*order)
+    w_query = Window.partitionBy(query_id_col).orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("__srk", F.row_number().over(w_shard))
+        .where(F.col("__srk") <= k)
+        .withColumn("rank", F.row_number().over(w_query))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )

@@ -91,8 +91,12 @@ def curate(
     # (its own bounded jobs); its LOSER set comes back as a flag join.
     exact = flagged.where("__exact")
     sigs = minhash_signatures(exact, id_col, text_col, num_hashes, shingle_n)
+    # materialize the candidate pair list once: the verify stage probes
+    # it twice (docs semi-join + final pair join), and each probe would
+    # otherwise re-run the whole signature/banding lineage. Candidate
+    # pairs are output-sized (near the dup count), tiny vs the corpus.
     cand = minhash_lsh_candidates(sigs, id_col, num_hashes, bands,
-                                  bucket_cap=bucket_cap)
+                                  bucket_cap=bucket_cap).localCheckpoint()
     verified = ngram_jaccard_pairs(
         exact, id_col, text_col, shingle_n, cand).where(
         F.col("jaccard") >= jaccard_threshold)

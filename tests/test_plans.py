@@ -156,6 +156,30 @@ def test_bloom_and_cms_probes_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_brute_force_topk_shards_the_rank_window(spark):
+    """The exact-arm top-k must never sort |corpus|x|queries| rows in a
+    single per-query window partition (SURVEY §2.6 "never a global
+    sort"): the first rank window is partitioned by (query, corpus
+    shard), bounding every sort partition at |corpus|/n_shards rows;
+    only the k-bounded survivors reach the per-query merge window."""
+    from pyspark.sql import functions as F
+
+    from pyradiomics_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qdf = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    plan = _plan(brute_force_topk(emb, qdf, k=5))
+    # the shard-level rank window partitions by (query, shard) — the
+    # full scored relation is never sorted per query alone
+    import re
+
+    assert re.search(r"windowspecdefinition\(query_id#\d+L?, __bfs", plan), (
+        "shard rank window must include the corpus shard key")
+    # the k-bounded merge window exists above it
+    assert plan.count("windowspecdefinition") >= 2
+
+
 def test_gumbel_topk_never_global_sorts(spark):
     """orderBy().limit(k) must plan as TakeOrderedAndProject (per-
     partition top-k + k-sized merge), not a full Sort+Exchange."""
