@@ -1796,7 +1796,8 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  bits=16).localCheckpoint()
     pairs = simhash_candidates(sig, "doc_id", max_hamming=2, n_blocks=6,
                                bits=16)
-    comp = connected_components(pairs, all_ids=docs.select("doc_id"))
+    comp = connected_components(pairs, all_ids=docs.select("doc_id"),
+                                assume_distinct=True)
     return comp.select(F.col("id").alias("doc_id"),
                        "component").orderBy("doc_id")
 
@@ -3471,7 +3472,8 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  bits=16).localCheckpoint()
     pairs = simhash_candidates(sig, "doc_id", max_hamming=2, n_blocks=6,
                                bits=16)
-    comp = connected_components(pairs, all_ids=docs.select("doc_id"))
+    comp = connected_components(pairs, all_ids=docs.select("doc_id"),
+                                assume_distinct=True)
     out = canonical_representatives(
         comp, docs.select("doc_id", "n_chars"), "doc_id", "n_chars")
     return out.select(

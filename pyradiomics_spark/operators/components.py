@@ -71,6 +71,7 @@ def connected_components(
     id_b: str = "id_b",
     max_rounds: int = 30,
     all_ids: DataFrame | None = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """(id, component) for every node in ``pairs`` — component = the
     minimum node id reachable (the canonical dedup representative).
@@ -88,9 +89,13 @@ def connected_components(
         pairs.select(F.col(id_a).cast(id_type).alias(_U),
                      F.col(id_b).cast(id_type).alias(_V))
         .where(F.col(_U) != F.col(_V))
-        .distinct()
-        .localCheckpoint()
     )
+    if not assume_distinct:
+        edges = edges.distinct()
+    # assume_distinct=True skips a full shuffle of the edge set when the
+    # producer already guarantees set semantics (e.g. *_candidates
+    # outputs, which are distinct by construction)
+    edges = edges.localCheckpoint()
 
     def _sig(df: DataFrame) -> tuple:
         """(count, order-invariant content checksum) in ONE job off the

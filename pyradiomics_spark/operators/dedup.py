@@ -855,6 +855,8 @@ def jaccard_join(
     text_col: str,
     threshold: float = 0.8,
     shingle_tokens: int = 3,
+    positional_filter: bool = True,
+    return_candidates: bool = False,
 ) -> DataFrame:
     """EXACT all-pairs Jaccard-similarity self-join at ``threshold`` over
     token-``shingle_tokens``-gram shingle SETS — the deterministic
@@ -928,11 +930,19 @@ def jaccard_join(
                    # length filter: t·|x| ≤ |y| ≤ |x|/t
                    & (F.col("b.__n") * t <= F.col("a.__n"))
                    & (F.col("a.__n") * t <= F.col("b.__n"))
-                   # positional filter
-                   & (ubound >= alpha - F.lit(1e-9)))
+                   # positional filter (off only for the pruning test —
+                   # the OUTPUT is identical either way, verification is
+                   # exact; only the candidate count changes)
+                   & ((ubound >= alpha - F.lit(1e-9))
+                      if positional_filter else F.lit(True)))
             .select(F.col("a.__id").alias("id_a"),
                     F.col("b.__id").alias("id_b"))
             .distinct())
+    if return_candidates:
+        # (id_a, id_b) BEFORE verification — the pruning-effect surface
+        # for tests and production monitoring (candidate volume is the
+        # cost driver; see the plan-shape docstring above)
+        return cand
     arrs_a = ordered.select(F.col("__id").alias("id_a"),
                             F.col("__arr").alias("__aa"))
     arrs_b = ordered.select(F.col("__id").alias("id_b"),

@@ -100,7 +100,8 @@ def curate(
     verified = ngram_jaccard_pairs(
         exact, id_col, text_col, shingle_n, cand).where(
         F.col("jaccard") >= jaccard_threshold)
-    comp = connected_components(verified, "id_a", "id_b")
+    comp = connected_components(verified, "id_a", "id_b",
+                                assume_distinct=True)
     losers = comp.where(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col), F.lit(True).alias("__loser"))
     flagged = (

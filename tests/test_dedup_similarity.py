@@ -1228,3 +1228,27 @@ def test_embedding_quality_without_dim_or_groups(spark):
     # no dim declared -> width drift is NOT flagged
     assert (r.n, r.n_wrong_width) == (2, 0)
     assert (r.min_norm, r.max_norm) == (1.0, 2.0)
+
+def test_jaccard_positional_filter_prunes_candidates(spark):
+    """PPJoin positional filter (Xiao WWW'08 §3.2): candidate volume —
+    the cost driver of the verification joins — must shrink materially
+    versus prefix+length filtering alone, while the verified OUTPUT is
+    identical (the filter only drops pairs that provably cannot reach
+    the overlap threshold)."""
+    from pyradiomics_spark.operators.dedup import jaccard_join
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with_pos = jaccard_join(docs, "doc_id", "text", threshold=0.5,
+                            return_candidates=True).count()
+    without = jaccard_join(docs, "doc_id", "text", threshold=0.5,
+                           positional_filter=False,
+                           return_candidates=True).count()
+    assert with_pos < without, (with_pos, without)
+    out_pos = sorted(map(tuple, jaccard_join(
+        docs, "doc_id", "text", threshold=0.5).collect()))
+    out_no = sorted(map(tuple, jaccard_join(
+        docs, "doc_id", "text", threshold=0.5,
+        positional_filter=False).collect()))
+    assert out_pos == out_no
+    # candidates stay near the output size (the PPJoin design goal)
+    assert with_pos <= max(10 * len(out_pos), 50), (with_pos, len(out_pos))
