@@ -1708,19 +1708,11 @@ def q_voxel_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("doc_id") < 50).orderBy("doc_id", "pos")
 
 
-def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs by exact cosine ≥ 0.35 (builtin zip_with +
-    aggregate array math, no UDF); all-pairs form for oracle parity (the
-    LSH-bucketed variant in operators.dedup is the scale path)."""
-    from pyradiomics_spark.operators.similarity import cosine_expr
-
-    emb = _read(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-    # hoist the norms out of the pair loop: higher-order-function folds
-    # are interpreted (not codegen'd), and cosine_expr evaluates THREE of
-    # them per pair — precomputing sqrt(Σv²) per ROW leaves one fold (the
-    # dot) per pair, ~3x less interpreted work over the n²/2 pairs. The
-    # norm expression tree is unchanged, so every cosine is bit-identical.
+def _embedding_dedup_expr(emb: DataFrame) -> DataFrame:
+    """Relational arm: exact all-pairs cosine with per-row norms hoisted
+    out of the pair loop (HOF folds are interpreted — precomputing
+    sqrt(Σv²) per row leaves one fold, the dot, per pair). Total-input
+    fallback arm; values are the reference for the Arrow arm below."""
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
     emb = emb.withColumn("nv", norm)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
@@ -1733,9 +1725,83 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
         .where(F.col("cosine") >= 0.35)
-        .select("id_a", "id_b", _rnd("cosine", 6).alias("cosine"))
-        .orderBy("id_a", "id_b")
+        .select("id_a", "id_b", "cosine")
     )
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs by exact cosine ≥ 0.35 — the all-pairs
+    diagnostic arm (the LSH-bucketed variant in operators.dedup is the
+    scale path). Two arms, bit-identical by construction:
+
+    * **Arrow arm** (clean fixed-width input, the normal case): the
+      corpus matrix broadcasts once and each task scores its slice of
+      rows against it with COLUMN-SEQUENTIAL accumulation
+      (``acc += A[:,j]·B[:,j]`` for j in order) — numpy elementwise
+      multiply-then-add in the SAME order as the SQL left fold, and
+      numpy ufuncs neither fuse (no FMA) nor reorder, so every dot,
+      norm and cosine is the bit-identical IEEE sequence the
+      zip_with/aggregate expression produces (guide §4.2: hand whole
+      batches to vectorized native code). ~10x less interpreted work
+      than the n²/2 HOF folds.
+    * **Expression arm** (fallback): any null/ragged/NaN vector at
+      build time falls back to the pure zip_with+aggregate form, whose
+      null-propagation semantics are the contract.
+    """
+    import numpy as np
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    pdf = emb.toPandas()  # all-pairs arm: corpus must be modest anyway
+    vecs = list(pdf["v"])
+    clean = (len(pdf) > 0
+             and all(x is not None for x in vecs)
+             and len({len(x) for x in vecs}) == 1)
+    if clean:
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+        clean = bool(np.isfinite(M).all())
+    if not clean:
+        out = _embedding_dedup_expr(emb)
+    else:
+        ids_all = pdf["vec_id"].to_numpy(np.int64)
+        dim = M.shape[1]
+        nsq = np.zeros(len(M))
+        for j in range(dim):
+            nsq += M[:, j] * M[:, j]
+        nrm = np.sqrt(nsq)
+        bc = spark.sparkContext.broadcast((ids_all, M, nrm))
+
+        def score(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            ids_b, B, nb = bc.value
+            for pa in batches:
+                if len(pa) == 0:
+                    continue
+                A = _np.stack([_np.asarray(x, dtype=_np.float64)
+                               for x in pa["v"]])
+                ia = pa["vec_id"].to_numpy(_np.int64)
+                acc = _np.zeros((len(A), B.shape[0]))
+                for j in range(A.shape[1]):
+                    acc += A[:, j:j + 1] * B[:, j][None, :]
+                nsq_a = _np.zeros(len(A))
+                for j in range(A.shape[1]):
+                    nsq_a += A[:, j] * A[:, j]
+                na = _np.sqrt(nsq_a)
+                cos = acc / (na[:, None] * nb[None, :])
+                keep = (ia[:, None] < ids_b[None, :]) & (cos >= 0.35)
+                r, c = _np.nonzero(keep)
+                yield _pd.DataFrame({"id_a": ia[r], "id_b": ids_b[c],
+                                     "cosine": cos[r, c]})
+
+        out = _read(spark, sf_dir, "embeddings", fan=True).select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        ).mapInPandas(score, "id_a long, id_b long, cosine double")
+    return (out
+            .select("id_a", "id_b", _rnd("cosine", 6).alias("cosine"))
+            .orderBy("id_a", "id_b"))
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

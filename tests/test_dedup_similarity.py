@@ -1252,3 +1252,24 @@ def test_jaccard_positional_filter_prunes_candidates(spark):
     assert out_pos == out_no
     # candidates stay near the output size (the PPJoin design goal)
     assert with_pos <= max(10 * len(out_pos), 50), (with_pos, len(out_pos))
+
+def test_embedding_dedup_arrow_arm_bitwise_matches_expr(spark):
+    """The Arrow all-pairs arm must reproduce the zip_with/aggregate
+    expression arm BIT-identically (column-sequential accumulation is
+    the same IEEE op sequence as the SQL left fold — no FMA, no
+    reordering), so the 6-dp gate rounding can never diverge."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    sfd = "/root/testdata/sf0.001"
+    new = e.q_embedding_dedup(spark, sfd)
+    emb = e._read(spark, sfd, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    old = (e._embedding_dedup_expr(emb)
+           .select("id_a", "id_b", e._rnd("cosine", 6).alias("cosine")))
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+    assert new.count() > 0
