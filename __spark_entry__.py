@@ -1115,13 +1115,9 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographic-min of md5 hex) so DuckDB reproduces them exactly."""
     docs = _read(spark, sf_dir, "documents", fan=True)
     toks = F.split(F.col("text"), " ")
-    grams = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from pyradiomics_spark.operators.dedup import _gram_array
+
+    grams = _gram_array(toks, 3)
     sh = docs.select(
         "doc_id", F.explode(grams).alias("g")
     ).where(F.col("g") != "").distinct()
@@ -1138,13 +1134,9 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing for oracle parity; counts distinct fingerprints per doc."""
     docs = _read(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    grams = F.when(
-        F.size(toks) >= 5,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 5),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 5)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from pyradiomics_spark.operators.dedup import _gram_array
+
+    grams = _gram_array(toks, 5)
     g = docs.select("doc_id", F.posexplode(grams).alias("pos", "g")).withColumn(
         "gh", F.md5("g")
     )
@@ -2426,13 +2418,9 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def sigs(side):
         toks = F.split(F.col("text"), " ")
-        grams = F.when(
-            F.size(toks) >= 3,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 3),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        from pyradiomics_spark.operators.dedup import _gram_array
+
+        grams = _gram_array(toks, 3)
         sh = side.select("doc_id", F.explode(grams).alias("g")).where(
             F.col("g") != "")
         s = sh.groupBy("doc_id").agg(*[

@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyradiomics_spark.operators.dedup import _gram_array
+
 #: tiny stopword marker profiles for the n-gram/stopword language heuristic
 LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "is", "in", "that", "it", "with", "for"],
@@ -168,13 +170,7 @@ def repetition_ratio(text_col, n: int = 3):
     expressions (split → slice n-grams → array_distinct), no UDF; exact
     DuckDB twin in the `repetition` gate query."""
     toks = F.filter(F.split(text_col, " "), lambda t: t != "")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _gram_array(toks, n)
     total = F.size(grams)
     return F.when(
         total > 0, 1.0 - F.size(F.array_distinct(grams)) / total
@@ -224,13 +220,7 @@ def winnowing_fingerprints(
     The standard local document fingerprint for plagiarism/near-dup."""
     toks = F.split(F.col(text_col), " ")
     # guard short docs: sequence(0, size-k) would turn descending
-    grams = F.when(
-        F.size(toks) >= kgram,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - kgram),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, kgram)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _gram_array(toks, kgram)
     g = df.select(
         F.col(id_col), F.posexplode(grams).alias("pos", "gram")
     ).withColumn("gh", F.xxhash64("gram"))
@@ -256,13 +246,7 @@ def ngram_topk(
     full sort of the distinct-ngram table; hot n-grams skew the AGG, not
     a join, and partial aggregation absorbs them before the shuffle."""
     toks = F.split(F.col(text_col), " ")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _gram_array(toks, n)
     exploded = df.select(F.explode(grams).alias("ngram")).where(
         F.col("ngram") != "")
     return (

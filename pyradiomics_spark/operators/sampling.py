@@ -466,13 +466,9 @@ def ngram_decontaminate(
         raise ValueError("n must be >= 1")
     toks = F.split(F.col(text_col), " ")
     # sequence(1, 0) counts DOWN in Spark — guard short docs explicitly
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from pyradiomics_spark.operators.dedup import _gram_array
+
+    grams = F.transform(_gram_array(toks, n), lambda g: F.md5(g))
     is_eval = F.col(split_col).isin(*eval_splits)
     exploded = df.select(
         F.col(id_col), is_eval.alias("__ev"),
