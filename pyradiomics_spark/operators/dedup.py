@@ -897,21 +897,28 @@ def jaccard_join(
     sets = (df.select(F.col(id_col).alias("__id"),
                       F.array_distinct(sh).alias("__sh"))
             .where(F.size("__sh") > 0))
-    occ = sets.select("__id", F.explode("__sh").alias("__s")).withColumn(
-        "__h", F.xxhash64("__s"))
+    # the census / ordering / prefix-join path never ships a STRING:
+    # occurrences carry only (id, xxhash64(shingle)). A collision can
+    # merge two shingles' df counts (ordering quality only) or admit an
+    # extra candidate; verification below intersects the true string
+    # sets, so the output is exact either way. (`sets` is probed three
+    # times — once for the census, twice to fetch the verify arrays; at
+    # cluster scale persist it once, the standard PPJoin shape.)
+    occ = sets.select("__id", F.explode("__sh").alias("__s")).select(
+        "__id", F.xxhash64("__s").alias("__h"))
     census = occ.groupBy("__h").agg(F.count("*").alias("__df"))
-    # rarest-first ordering: re-collect each set sorted by
-    # (df, hash, shingle) — any consistent global order is correct for
-    # prefix filtering; ties still break deterministically on the string
+    # rarest-first ordering: re-collect each set sorted by (df, hash) —
+    # any consistent global order is correct for prefix filtering; two
+    # colliding shingles share one census row, so equal (df, hash)
+    # entries are byte-identical and the array is deterministic
     ordered = (occ.join(census, "__h")
                .groupBy("__id")
                .agg(F.array_sort(F.collect_list(
-                   F.struct("__df", "__h", "__s"))).alias("__full")))
+                   F.struct("__df", "__h"))).alias("__full")))
     size = F.size("__full")
     plen = (size - F.ceil(F.lit(float(threshold)) * size) + 1).cast("int")
     ordered = ordered.select(
         "__id", size.alias("__n"),
-        F.transform("__full", lambda x: x["__s"]).alias("__arr"),
         F.transform(F.slice("__full", 1, plen),
                     lambda x: x["__h"]).alias("__ph"))
     pref = ordered.select(
@@ -943,10 +950,12 @@ def jaccard_join(
         # for tests and production monitoring (candidate volume is the
         # cost driver; see the plan-shape docstring above)
         return cand
-    arrs_a = ordered.select(F.col("__id").alias("id_a"),
-                            F.col("__arr").alias("__aa"))
-    arrs_b = ordered.select(F.col("__id").alias("id_b"),
-                            F.col("__arr").alias("__ab"))
+    # exact verification on the raw shingle SETS (array_intersect is
+    # order-insensitive, so the unsorted per-doc arrays serve directly)
+    arrs_a = sets.select(F.col("__id").alias("id_a"),
+                         F.col("__sh").alias("__aa"))
+    arrs_b = sets.select(F.col("__id").alias("id_b"),
+                         F.col("__sh").alias("__ab"))
     inter = F.size(F.array_intersect("__aa", "__ab"))
     union = F.size("__aa") + F.size("__ab") - inter
     return (cand.join(arrs_a, "id_a").join(arrs_b, "id_b")
