@@ -791,13 +791,20 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("iv_hi"))
     out = interval_join(stream, anchors, "ts", "iv_lo", "iv_hi",
                         bucket_width=3600.0)
-    name = f"stream_ivj_{uuid.uuid4().hex[:8]}"
+    # parquet file sink, not the memory sink: this row emits 287k join
+    # rows at sf0.1 and the memory sink funnels every one through a
+    # driver collect (measured 3.5–3.8 s vs 1.2–1.7 s; append-mode only —
+    # the update/complete-mode gate rows must keep the memory sink).
+    # Executors write, the gate reads the committed files back.
+    opath = os.path.join(tmp, "out")
     with _stream_shuffle_partitions(spark):
-        q = (out.writeStream.format("memory").queryName(name)
+        q = (out.select("event_id", "iv_id")
+             .writeStream.format("parquet")
              .outputMode("append").trigger(availableNow=True)
+             .option("path", opath)
              .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
         q.awaitTermination()
-    return (spark.table(name).select("event_id", "iv_id")
+    return (spark.read.parquet(opath).select("event_id", "iv_id")
             .orderBy("event_id", "iv_id"))
 
 
